@@ -1,0 +1,15 @@
+from blockcg_tpu.operators.base import LinearOperator, MatmatMixin
+from blockcg_tpu.operators.csr import CSROperator, ELLOperator
+from blockcg_tpu.operators.dia import DIAOperator
+from blockcg_tpu.operators.bsr import BSROperator
+from blockcg_tpu.operators.dense import DenseOperator
+
+__all__ = [
+    "LinearOperator",
+    "MatmatMixin",
+    "CSROperator",
+    "ELLOperator",
+    "DIAOperator",
+    "BSROperator",
+    "DenseOperator",
+]

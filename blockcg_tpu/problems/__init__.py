@@ -1,0 +1,21 @@
+from blockcg_tpu.problems.laplacian import (
+    laplacian_csr,
+    laplacian_dia,
+    laplacian_ell,
+    laplacian_scipy,
+)
+from blockcg_tpu.problems.dirac import dirac_bell, dirac_scipy
+from blockcg_tpu.problems.random_spd import random_spd, random_block
+from blockcg_tpu.problems.presets import PRESETS
+
+__all__ = [
+    "laplacian_csr",
+    "laplacian_dia",
+    "laplacian_ell",
+    "laplacian_scipy",
+    "dirac_bell",
+    "dirac_scipy",
+    "random_spd",
+    "random_block",
+    "PRESETS",
+]

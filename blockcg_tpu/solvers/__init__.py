@@ -1,0 +1,13 @@
+from blockcg_tpu.solvers.cg import solve_cg
+from blockcg_tpu.solvers.bcg import solve_bcg
+from blockcg_tpu.solvers.sbcgrq import solve_sbcgrq
+from blockcg_tpu.solvers.common import cholqr, block_dot, col_norms2
+
+__all__ = [
+    "solve_cg",
+    "solve_bcg",
+    "solve_sbcgrq",
+    "cholqr",
+    "block_dot",
+    "col_norms2",
+]

@@ -1,0 +1,97 @@
+"""CG solver (T-S1). Reference equivalent: R5 (SURVEY.md §3.1, recurrence §1.2).
+
+The iteration is a jitted ``lax.while_loop`` whose state lives entirely on
+device; with ``axis_name`` set the same body runs row-sharded under
+``shard_map`` (reductions psum, operator does its own halo exchange).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from blockcg_tpu.types import SolverInfo
+from blockcg_tpu.solvers.common import psum_if
+
+
+def _vdot(u, v, axis_name):
+    return psum_if(jnp.vdot(u, v), axis_name)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_iter", "axis_name", "record_history")
+)
+def _cg_impl(op, b, x0, tol, max_iter, axis_name, record_history):
+    dtype = b.dtype
+    bnorm2 = _vdot(b, b, axis_name)
+    bnorm2 = jnp.where(bnorm2 > 0, bnorm2, jnp.asarray(1.0, dtype))
+    tol2 = jnp.asarray(tol, dtype) ** 2 * bnorm2
+
+    r0 = b - op(x0)
+    rho0 = _vdot(r0, r0, axis_name)
+    hist0 = (
+        jnp.full((max_iter,), jnp.nan, dtype) if record_history else None
+    )
+
+    def cond(state):
+        _, _, _, rho, it, _ = state
+        return jnp.logical_and(it < max_iter, rho > tol2)
+
+    def body(state):
+        x, r, p, rho, it, hist = state
+        z = op(p)
+        denom = _vdot(p, z, axis_name)
+        alpha = rho / denom
+        x = x + alpha * p
+        r = r - alpha * z
+        rho_new = _vdot(r, r, axis_name)
+        beta = rho_new / rho
+        p = r + beta * p
+        if hist is not None:
+            hist = hist.at[it].set(jnp.sqrt(rho_new / bnorm2))
+        return (x, r, p, rho_new, it + 1, hist)
+
+    x, r, p, rho, it, hist = lax.while_loop(
+        cond, body, (x0, r0, r0, rho0, jnp.int32(0), hist0)
+    )
+    relres = jnp.sqrt(rho / bnorm2)[None]
+    info = SolverInfo(
+        iterations=it,
+        relres=relres,
+        converged=relres <= tol,
+        matvecs=it + 1,
+        history=hist,
+    )
+    return x, info
+
+
+def solve_cg(
+    op: Any,
+    b: jax.Array,
+    x0: jax.Array | None = None,
+    *,
+    tol: float = 1e-6,
+    max_iter: int = 1000,
+    axis_name: str | None = None,
+    record_history: bool = False,
+) -> tuple[jax.Array, SolverInfo]:
+    """Solve ``A x = b`` (A SPD) by conjugate gradients.
+
+    Args:
+      op: LinearOperator pytree (blockcg_tpu.operators) or any callable pytree.
+      b: (n,) or (n, 1) right-hand side.
+      x0: optional initial guess (defaults to zero).
+      tol: relative residual target ``||r|| <= tol * ||b||``.
+      max_iter: iteration cap (static: sizes the optional history buffer).
+      axis_name: set when running row-sharded inside ``shard_map``.
+
+    Returns:
+      (x, SolverInfo).
+    """
+    if x0 is None:
+        x0 = jnp.zeros_like(b)
+    return _cg_impl(op, b, x0, tol, max_iter, axis_name, record_history)

@@ -1,0 +1,143 @@
+"""SBCGrQ — thin-QR-stabilized block CG (T-S3, the flagship solver).
+
+Reference equivalent: R7 (SURVEY.md §3.1); recurrence per SURVEY.md §1.2
+(Dubrulle BIT 41 (2001) "rQ" stabilization, numerically validated there):
+
+    [Q, S] = thinQR(B - A X0);  P = Q
+    loop:
+        Z   = A P                          # the hot SpMM
+        a   = (P^T Z)^{-1}                 # k x k Cholesky inverse
+        X  += P (a S)
+        [Q, r] = thinQR(Q - Z a)           # re-orthonormalize the residual
+        S   = r S                          # true residual R = Q S throughout
+        P   = Q + P r^T
+
+Invariant (unit-tested): ``B - A X == Q S`` at every iteration. Convergence
+monitoring (T-C4) is free: per-RHS residual norms are the column norms of the
+k x k ``S`` because Q has orthonormal columns — no (n,k) reduction needed.
+
+The thin QR is distributed CholeskyQR2 (T-C3): the only cross-device traffic
+per iteration is one halo exchange inside ``op`` plus two k x k psums
+(SURVEY.md §4.3). Residual replacement (T-C5): every ``replace_every``
+iterations the true residual is recomputed with one extra SpMM and Q/S/P are
+refreshed, repairing f32 drift.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from blockcg_tpu.types import SolverInfo
+from blockcg_tpu.solvers.common import (
+    HIGHEST,
+    block_dot,
+    chol_inverse_spd,
+    cholqr,
+    col_norms2,
+)
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=HIGHEST, preferred_element_type=a.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "max_iter",
+        "qr_passes",
+        "replace_every",
+        "axis_name",
+        "record_history",
+    ),
+)
+def _sbcgrq_impl(
+    op, B, X0, tol, max_iter, qr_passes, replace_every, axis_name, record_history
+):
+    dtype = B.dtype
+    bnorm = jnp.sqrt(col_norms2(B, axis_name))
+    bnorm = jnp.where(bnorm > 0, bnorm, jnp.asarray(1.0, dtype))
+    tol_arr = jnp.asarray(tol, dtype)
+
+    def fresh_qs(X):
+        """True residual, re-factorized: one extra SpMM + thin QR."""
+        R = B - op(X)
+        Q, S = cholqr(R, passes=qr_passes, axis_name=axis_name)
+        return Q, S
+
+    Q0, S0 = fresh_qs(X0)
+    hist0 = jnp.full((max_iter,), jnp.nan, dtype) if record_history else None
+
+    def relres_of(S):
+        # R = Q S with orthonormal Q: per-RHS residual norm = ||S e_j||.
+        return jnp.sqrt(jnp.sum(S * S, axis=0)) / bnorm
+
+    def cond(state):
+        _, _, S, _, it, _, _ = state
+        return jnp.logical_and(it < max_iter, jnp.any(relres_of(S) > tol_arr))
+
+    def body(state):
+        X, Q, S, P, it, mv, hist = state
+        Z = op(P)
+        M = block_dot(P, Z, axis_name)  # P^T A P (Gram of Q-directions)
+        alpha = chol_inverse_spd(M)
+        X = X + _mm(P, _mm(alpha, S))
+        V = Q - _mm(Z, alpha)
+        Q, rho = cholqr(V, passes=qr_passes, axis_name=axis_name)
+        S = _mm(rho, S)
+        P = Q + _mm(P, rho.T)
+        mv = mv + 1
+
+        if replace_every > 0:
+            def replace(args):
+                X, _, _, _, mv = args
+                Qn, Sn = fresh_qs(X)
+                return (X, Qn, Sn, Qn, mv + 1)
+
+            do = (it + 1) % replace_every == 0
+            X, Q, S, P, mv = lax.cond(
+                do, replace, lambda a: a, (X, Q, S, P, mv)
+            )
+
+        if hist is not None:
+            hist = hist.at[it].set(jnp.max(relres_of(S)))
+        return (X, Q, S, P, it + 1, mv, hist)
+
+    state0 = (X0, Q0, S0, Q0, jnp.int32(0), jnp.int32(1), hist0)
+    X, Q, S, P, it, mv, hist = lax.while_loop(cond, body, state0)
+    relres = relres_of(S)
+    info = SolverInfo(
+        iterations=it,
+        relres=relres,
+        converged=relres <= tol_arr,
+        matvecs=mv,
+        history=hist,
+    )
+    return X, info
+
+
+def solve_sbcgrq(
+    op: Any,
+    B: jax.Array,
+    X0: jax.Array | None = None,
+    *,
+    tol: float = 1e-6,
+    max_iter: int = 1000,
+    qr_passes: int = 2,
+    replace_every: int = 0,
+    axis_name: str | None = None,
+    record_history: bool = False,
+) -> tuple[jax.Array, SolverInfo]:
+    """Solve ``A X = B`` (A SPD, B (n, k)) by stabilized block CG (SBCGrQ)."""
+    if B.ndim == 1:
+        raise ValueError("solve_sbcgrq expects an (n, k) block; use solve_cg for k=1")
+    if X0 is None:
+        X0 = jnp.zeros_like(B)
+    return _sbcgrq_impl(
+        op, B, X0, tol, max_iter, qr_passes, replace_every, axis_name, record_history
+    )

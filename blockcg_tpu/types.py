@@ -1,0 +1,71 @@
+"""Solver configuration and result types.
+
+Reference equivalent: the reference solvers take ``(X, B, A, tol)`` and return
+an iteration count (SURVEY.md §4.1). Here options/results are structured so the
+info can flow out of jitted ``lax.while_loop`` bodies as a pytree.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverOptions:
+    """Options shared by all solvers (static under jit).
+
+    Attributes:
+      tol: per-RHS relative residual target, ``max_j ||R e_j|| / ||B e_j|| <= tol``.
+      max_iter: hard iteration cap for the ``lax.while_loop``.
+      qr_passes: CholeskyQR passes in the thin-QR stage (2 = CholeskyQR2,
+        recommended in f32; 1 is cheaper when the residual block is well
+        conditioned).
+      replace_every: residual-replacement period (0 = never). Every
+        ``replace_every`` iterations the true residual ``B - A X`` is recomputed
+        with one extra SpMM and the Q/S factorization is refreshed
+        (SURVEY.md T-C5).
+      record_history: if True, solvers record the per-iteration max relative
+        residual into a ``(max_iter,)`` ring buffer returned in ``SolverInfo``.
+    """
+
+    tol: float = 1e-6
+    max_iter: int = 1000
+    qr_passes: int = 2
+    replace_every: int = 0
+    record_history: bool = False
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SolverInfo:
+    """Result metadata, device-resident (a pytree, safe to return from jit).
+
+    Attributes:
+      iterations: number of iterations executed.
+      relres: per-RHS relative residual estimate at exit, shape (k,).
+      converged: True where ``relres <= tol``, shape (k,).
+      matvecs: number of operator applications (SpMMs) performed.
+      history: optional (max_iter,) max-relative-residual trace (NaN-padded),
+        present only when ``SolverOptions.record_history`` was set.
+    """
+
+    iterations: jax.Array
+    relres: jax.Array
+    converged: jax.Array
+    matvecs: jax.Array
+    history: Any = None
+
+    def __repr__(self) -> str:  # pragma: no cover - debug convenience
+        try:
+            return (
+                f"SolverInfo(iterations={int(self.iterations)}, "
+                f"max_relres={float(jnp.max(self.relres)):.3e}, "
+                f"converged={bool(jnp.all(self.converged))}, "
+                f"matvecs={int(self.matvecs)})"
+            )
+        except Exception:
+            return object.__repr__(self)
