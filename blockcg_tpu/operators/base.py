@@ -5,9 +5,19 @@ The reference applies ``A`` through Eigen sparse-times-dense products
 passed straight through ``jax.jit`` / ``shard_map``: array leaves are traced,
 structural metadata (shape, format parameters) is static.
 
-The only method solvers rely on is ``matmat(X) -> A @ X`` for an (n, k) block
-X (k may be 1). Operators also expose ``nnz`` (for nnz/s metrics) and
-``shape``.
+Two apply entry points:
+
+- ``matmat(X) -> A @ X`` for an (n, k) block — the public convention
+  (matches the reference's column-block layout).
+- ``matmat_t(Xt) -> (A @ X)^T`` for a (k, n) *lanes-major* block — the hot
+  internal convention. On TPU the row dimension n must live on the 128-lane
+  minor axis so the Pallas kernels can window it in VMEM without the 4x
+  lane-padding a (rows, k<128) tile would pay; solvers keep all their block
+  state in this layout (SURVEY.md L1/L2 boundary).
+
+Operators natively implement whichever direction is natural and get the
+other via the transpose fallbacks below; the performance-critical formats
+(DIA/BSR) implement ``matmat_t`` natively.
 """
 
 from __future__ import annotations
@@ -19,7 +29,7 @@ import jax
 
 @runtime_checkable
 class LinearOperator(Protocol):
-    """Anything that can apply ``A @ X`` to an (n, k) dense block."""
+    """Anything that can apply ``A @ X`` to a dense block."""
 
     @property
     def shape(self) -> tuple[int, int]: ...
@@ -29,11 +39,27 @@ class LinearOperator(Protocol):
 
     def matmat(self, X: jax.Array) -> jax.Array: ...
 
+    def matmat_t(self, Xt: jax.Array) -> jax.Array: ...
+
     def __call__(self, X: jax.Array) -> jax.Array: ...
 
 
 class MatmatMixin:
-    """``op(X)`` as an alias for ``op.matmat(X)``."""
+    """Fallback glue: ``op(X)``, and each of matmat/matmat_t in terms of the
+    other (subclasses must define at least one natively)."""
 
     def __call__(self, X):
         return self.matmat(X)
+
+    def matmat(self, X):
+        squeeze = X.ndim == 1
+        Xt = X[None, :] if squeeze else X.T
+        Yt = self.matmat_t(Xt)
+        return Yt[0] if squeeze else Yt.T
+
+    def matmat_t(self, Xt):
+        return self.matmat(Xt.T).T
+
+    def matvec(self, x):
+        """(n,) -> (n,) single-vector apply via the lanes-major path."""
+        return self.matmat_t(x[None, :])[0]

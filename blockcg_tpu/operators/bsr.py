@@ -94,6 +94,24 @@ class BSROperator(MatmatMixin):
         Y = Y.reshape(n, k)
         return Y[:, 0] if squeeze else Y
 
+    def matmat_t(self, Xt: jax.Array) -> jax.Array:
+        """(k, n) lanes-major apply."""
+        k, n = Xt.shape
+        assert n == self.n, (n, self.n)
+        Xb = Xt.reshape(k, self.nbr, self.bs)
+        Yb = jnp.zeros((k, self.nbr, self.bs), dtype=Xt.dtype)
+        for j in range(self.wb):
+            xg = Xb[:, self.cols[:, j], :]  # (k, nbr, bs)
+            # Y[k, i, a] += sum_b vals[i, j, a, b] * xg[k, i, b]
+            Yb = Yb + jax.lax.dot_general(
+                xg,
+                self.vals[:, j],
+                dimension_numbers=(((2,), (2,)), ((1,), (0,))),
+                preferred_element_type=Xt.dtype,
+                precision=jax.lax.Precision.HIGHEST,
+            ).transpose(1, 0, 2)
+        return Yb.reshape(k, n)
+
 
 jax.tree_util.register_dataclass(
     BSROperator,

@@ -36,5 +36,10 @@ class DenseOperator(MatmatMixin):
             self.A, X, precision=jax.lax.Precision.HIGHEST
         ).astype(X.dtype)
 
+    def matmat_t(self, Xt: jax.Array) -> jax.Array:
+        return jnp.matmul(
+            Xt, self.A.T, precision=jax.lax.Precision.HIGHEST
+        ).astype(Xt.dtype)
+
 
 jax.tree_util.register_dataclass(DenseOperator, data_fields=["A"], meta_fields=[])

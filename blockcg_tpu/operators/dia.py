@@ -65,22 +65,41 @@ class DIAOperator(MatmatMixin):
                 diags[d, -o:n] = a.data[d, : n + o]
         return cls(diags=jnp.asarray(diags), offsets=offsets)
 
-    def matmat(self, X: jax.Array) -> jax.Array:
-        squeeze = X.ndim == 1
-        if squeeze:
-            X = X[:, None]
-        n, k = X.shape
-        Y = jnp.zeros((n, k), dtype=X.dtype)
+    def matmat_t(self, Xt: jax.Array) -> jax.Array:
+        """(k, n) lanes-major apply: ``Yt[:, i] = sum_d c_d[i] * Xt[:, i+o_d]``.
+
+        Dispatch: on TPU this routes to the Pallas stencil kernel (T-K1 fast
+        path, ~5x the XLA path: it windows X through VMEM once instead of
+        re-reading it per diagonal). The XLA fallback below covers CPU, odd
+        shapes, and BLOCKCG_NO_PALLAS=1.
+        """
+        import os
+
+        from blockcg_tpu.ops import stencil
+
+        if (
+            jax.default_backend() == "tpu"
+            and not os.environ.get("BLOCKCG_NO_PALLAS")
+            and stencil.available(
+                self.n, Xt.shape[0], len(self.offsets), self.bandwidth
+            )
+        ):
+            return stencil.stencil_spmm_t(self.diags, self.offsets, Xt)
+        return self._matmat_t_xla(Xt)
+
+    def _matmat_t_xla(self, Xt: jax.Array) -> jax.Array:
+        k, n = Xt.shape
+        Yt = jnp.zeros((k, n), dtype=Xt.dtype)
         for d, o in enumerate(self.offsets):  # static unroll, ndiag is tiny
-            coeff = self.diags[d][:, None]
+            c = self.diags[d][None, :]
             if o == 0:
-                Y = Y + coeff * X
+                Yt = Yt + c * Xt
             elif o > 0:
                 # Y[i] += c[i] * X[i+o]  for i in [0, n-o)
-                Y = Y.at[: n - o].add(coeff[: n - o] * X[o:])
+                Yt = Yt.at[:, : n - o].add(c[:, : n - o] * Xt[:, o:])
             else:
-                Y = Y.at[-o:].add(coeff[-o:] * X[: n + o])
-        return Y[:, 0] if squeeze else Y
+                Yt = Yt.at[:, -o:].add(c[:, -o:] * Xt[:, : n + o])
+        return Yt
 
 
 jax.tree_util.register_dataclass(

@@ -1,6 +1,11 @@
 """Block CG solver (T-S2), O'Leary 1980. Reference equivalent: R6
 (SURVEY.md §3.1, recurrence §1.2): all k right-hand sides share one block
 Krylov space; the per-iteration coefficients are k x k SPD solves.
+
+Internal layout is lanes-major (k, n): see solvers/common.py. The §1.2
+recurrence transposes to:
+
+    Xt += alpha^T Pt ;  Rt -= alpha^T Zt ;  Pt = Rt + beta^T Pt
 """
 
 from __future__ import annotations
@@ -14,28 +19,24 @@ from jax import lax
 
 from blockcg_tpu.types import SolverInfo
 from blockcg_tpu.solvers.common import (
-    HIGHEST,
-    block_dot,
     chol_solve_spd,
-    col_norms2,
+    gram_t,
+    mm,
+    row_norms2_t,
 )
-
-
-def _mm(a, b):
-    return jnp.matmul(a, b, precision=HIGHEST, preferred_element_type=a.dtype)
 
 
 @functools.partial(
     jax.jit, static_argnames=("max_iter", "axis_name", "record_history")
 )
-def _bcg_impl(op, B, X0, tol, max_iter, axis_name, record_history):
-    dtype = B.dtype
-    bnorm2 = col_norms2(B, axis_name)
+def _bcg_impl(op, Bt, X0t, tol, max_iter, axis_name, record_history):
+    dtype = Bt.dtype
+    bnorm2 = row_norms2_t(Bt, axis_name)
     bnorm2 = jnp.where(bnorm2 > 0, bnorm2, jnp.asarray(1.0, dtype))
     tol2 = jnp.asarray(tol, dtype) ** 2 * bnorm2
 
-    R0 = B - op(X0)
-    S0 = block_dot(R0, R0, axis_name)
+    R0t = Bt - op.matmat_t(X0t)
+    S0 = gram_t(R0t, R0t, axis_name)
     hist0 = jnp.full((max_iter,), jnp.nan, dtype) if record_history else None
 
     def cond(state):
@@ -43,21 +44,21 @@ def _bcg_impl(op, B, X0, tol, max_iter, axis_name, record_history):
         return jnp.logical_and(it < max_iter, jnp.any(jnp.diag(S) > tol2))
 
     def body(state):
-        X, R, P, S, it, hist = state
-        Z = op(P)
-        M = block_dot(P, Z, axis_name)  # P^T A P
+        Xt, Rt, Pt, S, it, hist = state
+        Zt = op.matmat_t(Pt)
+        M = gram_t(Pt, Zt, axis_name)  # P^T A P
         alpha = chol_solve_spd(M, S)  # M alpha = S
-        X = X + _mm(P, alpha)
-        R = R - _mm(Z, alpha)
-        S_new = block_dot(R, R, axis_name)
+        Xt = Xt + mm(alpha.T, Pt)
+        Rt = Rt - mm(alpha.T, Zt)
+        S_new = gram_t(Rt, Rt, axis_name)
         beta = chol_solve_spd(S, S_new)  # S beta = S'
-        P = R + _mm(P, beta)
+        Pt = Rt + mm(beta.T, Pt)
         if hist is not None:
             hist = hist.at[it].set(jnp.sqrt(jnp.max(jnp.diag(S_new) / bnorm2)))
-        return (X, R, P, S_new, it + 1, hist)
+        return (Xt, Rt, Pt, S_new, it + 1, hist)
 
-    X, R, P, S, it, hist = lax.while_loop(
-        cond, body, (X0, R0, R0, S0, jnp.int32(0), hist0)
+    Xt, Rt, Pt, S, it, hist = lax.while_loop(
+        cond, body, (X0t, R0t, R0t, S0, jnp.int32(0), hist0)
     )
     relres = jnp.sqrt(jnp.diag(S) / bnorm2)
     info = SolverInfo(
@@ -67,7 +68,7 @@ def _bcg_impl(op, B, X0, tol, max_iter, axis_name, record_history):
         matvecs=it + 1,
         history=hist,
     )
-    return X, info
+    return Xt, info
 
 
 def solve_bcg(
@@ -89,6 +90,7 @@ def solve_bcg(
     """
     if B.ndim == 1:
         raise ValueError("solve_bcg expects an (n, k) block; use solve_cg for k=1")
-    if X0 is None:
-        X0 = jnp.zeros_like(B)
-    return _bcg_impl(op, B, X0, tol, max_iter, axis_name, record_history)
+    Bt = B.T
+    X0t = jnp.zeros_like(Bt) if X0 is None else X0.T
+    Xt, info = _bcg_impl(op, Bt, X0t, tol, max_iter, axis_name, record_history)
+    return Xt.T, info

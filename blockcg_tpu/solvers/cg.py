@@ -2,7 +2,8 @@
 
 The iteration is a jitted ``lax.while_loop`` whose state lives entirely on
 device; with ``axis_name`` set the same body runs row-sharded under
-``shard_map`` (reductions psum, operator does its own halo exchange).
+``shard_map`` (reductions psum, operator does its own halo exchange). The
+operator is applied through ``matvec`` (the lanes-major kernel path).
 """
 
 from __future__ import annotations
@@ -31,7 +32,7 @@ def _cg_impl(op, b, x0, tol, max_iter, axis_name, record_history):
     bnorm2 = jnp.where(bnorm2 > 0, bnorm2, jnp.asarray(1.0, dtype))
     tol2 = jnp.asarray(tol, dtype) ** 2 * bnorm2
 
-    r0 = b - op(x0)
+    r0 = b - op.matvec(x0)
     rho0 = _vdot(r0, r0, axis_name)
     hist0 = (
         jnp.full((max_iter,), jnp.nan, dtype) if record_history else None
@@ -43,7 +44,7 @@ def _cg_impl(op, b, x0, tol, max_iter, axis_name, record_history):
 
     def body(state):
         x, r, p, rho, it, hist = state
-        z = op(p)
+        z = op.matvec(p)
         denom = _vdot(p, z, axis_name)
         alpha = rho / denom
         x = x + alpha * p
@@ -82,7 +83,7 @@ def solve_cg(
     """Solve ``A x = b`` (A SPD) by conjugate gradients.
 
     Args:
-      op: LinearOperator pytree (blockcg_tpu.operators) or any callable pytree.
+      op: LinearOperator pytree (blockcg_tpu.operators).
       b: (n,) or (n, 1) right-hand side.
       x0: optional initial guess (defaults to zero).
       tol: relative residual target ``||r|| <= tol * ||b||``.
@@ -90,8 +91,16 @@ def solve_cg(
       axis_name: set when running row-sharded inside ``shard_map``.
 
     Returns:
-      (x, SolverInfo).
+      (x, SolverInfo), x shaped like b.
     """
+    unsqueeze = b.ndim == 2
+    if unsqueeze:
+        if b.shape[1] != 1:
+            raise ValueError("solve_cg is single-RHS; use solve_bcg/solve_sbcgrq")
+        b = b[:, 0]
+        if x0 is not None:
+            x0 = x0[:, 0]
     if x0 is None:
         x0 = jnp.zeros_like(b)
-    return _cg_impl(op, b, x0, tol, max_iter, axis_name, record_history)
+    x, info = _cg_impl(op, b, x0, tol, max_iter, axis_name, record_history)
+    return (x[:, None] if unsqueeze else x), info

@@ -1,11 +1,17 @@
 """Shared solver primitives (L3), distribution-aware via ``axis_name``.
 
-Design: every reduction over the row dimension n (dot products, Gram
-matrices, CholQR) takes an optional ``axis_name``. With ``axis_name=None``
-the solver runs single-device. Under ``shard_map`` over a row-sharded mesh
-axis, the *same solver code* runs on the local row shard and these helpers
-insert ``lax.psum`` — this is the entire distributed story for everything
-except the SpMM halo (SURVEY.md §3.4, §4.3: "the n-sized data never moves").
+Layout: the hot internal convention is **lanes-major** — an (n, k) block V is
+carried as ``Vt = V^T`` of shape (k, n), so the large row dimension sits on
+the TPU's 128-lane minor axis (required by the Pallas kernels' VMEM
+windowing; see operators/base.py). All helpers here speak (k, n); public
+(n, k) wrappers are provided for the API/tests.
+
+Distribution: every reduction over the row dimension n takes an optional
+``axis_name``. With ``axis_name=None`` the solver runs single-device. Under
+``shard_map`` over a row-sharded mesh axis, the *same solver code* runs on
+the local row shard and these helpers insert ``lax.psum`` — this is the
+entire distributed story for everything except the SpMM halo (SURVEY.md
+§3.4, §4.3: "the n-sized data never moves").
 
 k x k algebra (Cholesky, triangular solves) is replicated on every device —
 k <= 64, negligible (SURVEY.md R3).
@@ -24,15 +30,23 @@ def psum_if(x, axis_name: str | None):
     return x if axis_name is None else lax.psum(x, axis_name)
 
 
-def block_dot(U: jax.Array, V: jax.Array, axis_name: str | None = None) -> jax.Array:
-    """Gram block ``U^T V`` (k x k), reduced over the (possibly sharded) rows."""
-    G = jnp.matmul(U.T, V, precision=HIGHEST, preferred_element_type=U.dtype)
+def mm(a, b):
+    """Small-by-large matmul at full f32 precision (MXU, 6-pass)."""
+    return jnp.matmul(a, b, precision=HIGHEST, preferred_element_type=a.dtype)
+
+
+def gram_t(Ut: jax.Array, Vt: jax.Array, axis_name: str | None = None) -> jax.Array:
+    """Gram block ``U^T V`` (k x k) from lanes-major operands (k, n)."""
+    G = lax.dot_general(
+        Ut, Vt, (((1,), (1,)), ((), ())), precision=HIGHEST,
+        preferred_element_type=Ut.dtype,
+    )
     return psum_if(G, axis_name)
 
 
-def col_norms2(U: jax.Array, axis_name: str | None = None) -> jax.Array:
-    """Squared column norms of an (n, k) block, shape (k,)."""
-    s = jnp.sum(U * U, axis=0)
+def row_norms2_t(Ut: jax.Array, axis_name: str | None = None) -> jax.Array:
+    """Squared column norms of U, i.e. row norms of Ut (k, n) -> (k,)."""
+    s = jnp.sum(Ut * Ut, axis=1)
     return psum_if(s, axis_name)
 
 
@@ -61,7 +75,7 @@ def chol_solve_spd(M: jax.Array, B: jax.Array) -> jax.Array:
 
 def chol_inverse_spd(M: jax.Array) -> jax.Array:
     """Explicit inverse of SPD k x k ``M`` (k <= 64: negligible; keeping the
-    inverse explicit makes the big (n,k)@(k,k) updates plain MXU matmuls)."""
+    inverse explicit makes the big (k,k)@(k,n) updates plain MXU matmuls)."""
     return chol_solve_spd(M, jnp.eye(M.shape[0], dtype=M.dtype))
 
 
@@ -72,33 +86,51 @@ def tri_inverse_upper(R: jax.Array) -> jax.Array:
     )
 
 
-def _cholqr_once(V: jax.Array, axis_name: str | None):
-    """One CholeskyQR pass with column equilibration.
+def _cholqr_once_t(Vt: jax.Array, axis_name: str | None):
+    """One CholeskyQR pass with column equilibration, lanes-major.
 
-    Returns (Q, R) with V = Q R, R upper triangular (R includes the
-    un-equilibration, so it is triangular x diagonal = triangular).
+    Math: V = Q R (R upper triangular). Lanes-major: Vt = R^T Qt, returns
+    (Qt, R). R includes the un-equilibration (triangular x diagonal).
     """
-    nrm2 = col_norms2(V, axis_name)
-    d = lax.rsqrt(jnp.maximum(nrm2, jnp.finfo(V.dtype).tiny))
-    Vs = V * d[None, :]
-    G = block_dot(Vs, Vs, axis_name)
+    nrm2 = row_norms2_t(Vt, axis_name)
+    d = lax.rsqrt(jnp.maximum(nrm2, jnp.finfo(Vt.dtype).tiny))
+    Vs = Vt * d[:, None]
+    G = gram_t(Vs, Vs, axis_name)
     L = safe_cholesky(G)  # G = L L^T, so R_s = L^T
     Rinv_s = tri_inverse_upper(L.T)
-    Q = jnp.matmul(Vs, Rinv_s, precision=HIGHEST, preferred_element_type=V.dtype)
+    # Q = Vs R_s^{-1}  ->  Qt = R_s^{-T} Vs_t = Rinv_s^T @ Vs
+    Qt = mm(Rinv_s.T, Vs)
     R = L.T / d[None, :]  # L^T @ diag(1/d): un-equilibrate the columns
-    return Q, R
+    return Qt, R
 
 
-def cholqr(V: jax.Array, passes: int = 2, axis_name: str | None = None):
-    """Thin QR of an (n, k) block via CholeskyQR (T-C3, SURVEY.md R4).
+def cholqr_t(Vt: jax.Array, passes: int = 2, axis_name: str | None = None):
+    """Thin QR via CholeskyQR (T-C3, reference R4 equivalent), lanes-major.
 
-    Implements CholeskyQR2 when ``passes=2`` (recommended in f32): the second
-    pass restores orthogonality lost to the squared condition number of the
-    first Gram. Distribution: the only cross-device ops are the k x k psums
-    inside ``block_dot`` / ``col_norms2``.
+    CholeskyQR2 when ``passes=2`` (recommended in f32): the second pass
+    restores orthogonality lost to the squared condition number of the first
+    Gram. Distribution: the only cross-device ops are the k x k psums inside
+    ``gram_t`` / ``row_norms2_t``.
     """
-    Q, R = _cholqr_once(V, axis_name)
+    Qt, R = _cholqr_once_t(Vt, axis_name)
     for _ in range(passes - 1):
-        Q, R2 = _cholqr_once(Q, axis_name)
-        R = jnp.matmul(R2, R, precision=HIGHEST, preferred_element_type=R.dtype)
-    return Q, R
+        Qt, R2 = _cholqr_once_t(Qt, axis_name)
+        R = mm(R2, R)
+    return Qt, R
+
+
+# ------------------------------------------------------ (n, k) wrappers ----
+
+
+def block_dot(U, V, axis_name: str | None = None):
+    return gram_t(U.T, V.T, axis_name)
+
+
+def col_norms2(U, axis_name: str | None = None):
+    return row_norms2_t(U.T, axis_name)
+
+
+def cholqr(V, passes: int = 2, axis_name: str | None = None):
+    """Thin QR of an (n, k) block: V = Q R. Public wrapper over cholqr_t."""
+    Qt, R = cholqr_t(V.T, passes=passes, axis_name=axis_name)
+    return Qt.T, R

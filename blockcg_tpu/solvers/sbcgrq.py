@@ -16,6 +16,11 @@ Invariant (unit-tested): ``B - A X == Q S`` at every iteration. Convergence
 monitoring (T-C4) is free: per-RHS residual norms are the column norms of the
 k x k ``S`` because Q has orthonormal columns — no (n,k) reduction needed.
 
+Internal layout is lanes-major (k, n) (see solvers/common.py); transposed
+recurrence, using alpha = alpha^T (it is an SPD inverse):
+
+    Xt += S^T alpha Pt ;  Vt = Qt - alpha Zt ;  Pt = Qt + rho Pt
+
 The thin QR is distributed CholeskyQR2 (T-C3): the only cross-device traffic
 per iteration is one halo exchange inside ``op`` plus two k x k psums
 (SURVEY.md §4.3). Residual replacement (T-C5): every ``replace_every``
@@ -34,16 +39,12 @@ from jax import lax
 
 from blockcg_tpu.types import SolverInfo
 from blockcg_tpu.solvers.common import (
-    HIGHEST,
-    block_dot,
     chol_inverse_spd,
-    cholqr,
-    col_norms2,
+    cholqr_t,
+    gram_t,
+    mm,
+    row_norms2_t,
 )
-
-
-def _mm(a, b):
-    return jnp.matmul(a, b, precision=HIGHEST, preferred_element_type=a.dtype)
 
 
 @functools.partial(
@@ -57,20 +58,20 @@ def _mm(a, b):
     ),
 )
 def _sbcgrq_impl(
-    op, B, X0, tol, max_iter, qr_passes, replace_every, axis_name, record_history
+    op, Bt, X0t, tol, max_iter, qr_passes, replace_every, axis_name, record_history
 ):
-    dtype = B.dtype
-    bnorm = jnp.sqrt(col_norms2(B, axis_name))
+    dtype = Bt.dtype
+    bnorm = jnp.sqrt(row_norms2_t(Bt, axis_name))
     bnorm = jnp.where(bnorm > 0, bnorm, jnp.asarray(1.0, dtype))
     tol_arr = jnp.asarray(tol, dtype)
 
-    def fresh_qs(X):
+    def fresh_qs(Xt):
         """True residual, re-factorized: one extra SpMM + thin QR."""
-        R = B - op(X)
-        Q, S = cholqr(R, passes=qr_passes, axis_name=axis_name)
-        return Q, S
+        Rt = Bt - op.matmat_t(Xt)
+        Qt, S = cholqr_t(Rt, passes=qr_passes, axis_name=axis_name)
+        return Qt, S
 
-    Q0, S0 = fresh_qs(X0)
+    Q0t, S0 = fresh_qs(X0t)
     hist0 = jnp.full((max_iter,), jnp.nan, dtype) if record_history else None
 
     def relres_of(S):
@@ -82,34 +83,34 @@ def _sbcgrq_impl(
         return jnp.logical_and(it < max_iter, jnp.any(relres_of(S) > tol_arr))
 
     def body(state):
-        X, Q, S, P, it, mv, hist = state
-        Z = op(P)
-        M = block_dot(P, Z, axis_name)  # P^T A P (Gram of Q-directions)
-        alpha = chol_inverse_spd(M)
-        X = X + _mm(P, _mm(alpha, S))
-        V = Q - _mm(Z, alpha)
-        Q, rho = cholqr(V, passes=qr_passes, axis_name=axis_name)
-        S = _mm(rho, S)
-        P = Q + _mm(P, rho.T)
+        Xt, Qt, S, Pt, it, mv, hist = state
+        Zt = op.matmat_t(Pt)
+        M = gram_t(Pt, Zt, axis_name)  # P^T A P (Gram of Q-directions)
+        alpha = chol_inverse_spd(M)  # symmetric
+        Xt = Xt + mm(S.T, mm(alpha, Pt))
+        Vt = Qt - mm(alpha, Zt)
+        Qt, rho = cholqr_t(Vt, passes=qr_passes, axis_name=axis_name)
+        S = mm(rho, S)
+        Pt = Qt + mm(rho, Pt)
         mv = mv + 1
 
         if replace_every > 0:
             def replace(args):
-                X, _, _, _, mv = args
-                Qn, Sn = fresh_qs(X)
-                return (X, Qn, Sn, Qn, mv + 1)
+                Xt, _, _, _, mv = args
+                Qn, Sn = fresh_qs(Xt)
+                return (Xt, Qn, Sn, Qn, mv + 1)
 
             do = (it + 1) % replace_every == 0
-            X, Q, S, P, mv = lax.cond(
-                do, replace, lambda a: a, (X, Q, S, P, mv)
+            Xt, Qt, S, Pt, mv = lax.cond(
+                do, replace, lambda a: a, (Xt, Qt, S, Pt, mv)
             )
 
         if hist is not None:
             hist = hist.at[it].set(jnp.max(relres_of(S)))
-        return (X, Q, S, P, it + 1, mv, hist)
+        return (Xt, Qt, S, Pt, it + 1, mv, hist)
 
-    state0 = (X0, Q0, S0, Q0, jnp.int32(0), jnp.int32(1), hist0)
-    X, Q, S, P, it, mv, hist = lax.while_loop(cond, body, state0)
+    state0 = (X0t, Q0t, S0, Q0t, jnp.int32(0), jnp.int32(1), hist0)
+    Xt, Qt, S, Pt, it, mv, hist = lax.while_loop(cond, body, state0)
     relres = relres_of(S)
     info = SolverInfo(
         iterations=it,
@@ -118,7 +119,7 @@ def _sbcgrq_impl(
         matvecs=mv,
         history=hist,
     )
-    return X, info
+    return Xt, info
 
 
 def solve_sbcgrq(
@@ -136,8 +137,10 @@ def solve_sbcgrq(
     """Solve ``A X = B`` (A SPD, B (n, k)) by stabilized block CG (SBCGrQ)."""
     if B.ndim == 1:
         raise ValueError("solve_sbcgrq expects an (n, k) block; use solve_cg for k=1")
-    if X0 is None:
-        X0 = jnp.zeros_like(B)
-    return _sbcgrq_impl(
-        op, B, X0, tol, max_iter, qr_passes, replace_every, axis_name, record_history
+    Bt = B.T
+    X0t = jnp.zeros_like(Bt) if X0 is None else X0.T
+    Xt, info = _sbcgrq_impl(
+        op, Bt, X0t, tol, max_iter, qr_passes, replace_every, axis_name,
+        record_history,
     )
+    return Xt.T, info

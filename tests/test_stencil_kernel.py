@@ -1,0 +1,66 @@
+"""Pallas stencil SpMM kernel tests (T-K1), interpret mode on CPU.
+
+SURVEY.md §5.2 item 1: interpret=True runs the kernel with exact semantics on
+CPU; compare against scipy. The compiled TPU path is exercised by the bench
+CLI and was validated on hardware (rel err ~1e-7 vs scipy).
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+import scipy.sparse as sp
+
+from blockcg_tpu.operators import DIAOperator
+from blockcg_tpu.ops.stencil import plan, stencil_spmm_t
+from blockcg_tpu.problems import laplacian_dia, laplacian_scipy
+
+
+@pytest.mark.parametrize("shape,k", [((16, 16, 16), 8), ((64, 64), 4), ((32, 32), 1)])
+def test_stencil_matches_scipy_laplacian(shape, k):
+    op = laplacian_dia(shape, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((op.n, k)).astype(np.float32)
+    Yt = stencil_spmm_t(op.diags, op.offsets, jnp.asarray(X.T), interpret=True)
+    want = laplacian_scipy(shape) @ X
+    err = np.abs(np.asarray(Yt).T - want).max() / np.abs(want).max()
+    assert err < 1e-5
+
+
+def test_stencil_random_banded():
+    """Random banded matrix with ragged offsets (not just Laplacians)."""
+    n = 1024
+    rng = np.random.default_rng(1)
+    offsets = [-130, -7, -1, 0, 2, 64, 257]
+    data = []
+    for o in offsets:
+        d = np.zeros(n)
+        m = n - abs(o)
+        d[:m] = rng.standard_normal(m)
+        data.append(d)
+    a = sp.diags(
+        [d[: n - abs(o)] for d, o in zip(data, offsets)], offsets, shape=(n, n)
+    ).tocsr()
+    op = DIAOperator.from_scipy(a, dtype=jnp.float32)
+    X = rng.standard_normal((n, 5)).astype(np.float32)
+    Yt = stencil_spmm_t(op.diags, op.offsets, jnp.asarray(X.T), interpret=True)
+    want = a @ X
+    assert np.abs(np.asarray(Yt).T - want).max() / np.abs(want).max() < 1e-5
+
+
+def test_stencil_agrees_with_xla_path():
+    op = laplacian_dia((8, 8, 8), dtype=jnp.float32)
+    rng = np.random.default_rng(2)
+    Xt = jnp.asarray(rng.standard_normal((6, op.n)), dtype=jnp.float32)
+    got = stencil_spmm_t(op.diags, op.offsets, Xt, interpret=True)
+    want = op._matmat_t_xla(Xt)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-5, atol=1e-5)
+
+
+def test_plan_constraints():
+    # R | n, H | R, H >= bandwidth
+    p = plan(262144, 32, 7, 4096)
+    assert p is not None
+    R, H = p
+    assert 262144 % R == 0 and R % H == 0 and H >= 4096
+    # unplannable: n not a multiple of 128
+    assert plan(1000, 4, 7, 10) is None
