@@ -2,6 +2,7 @@ from blockcg_tpu.operators.base import LinearOperator, MatmatMixin
 from blockcg_tpu.operators.csr import CSROperator, ELLOperator
 from blockcg_tpu.operators.dia import DIAOperator
 from blockcg_tpu.operators.bsr import BSROperator
+from blockcg_tpu.operators.bdia import BlockDIAOperator
 from blockcg_tpu.operators.dense import DenseOperator
 
 __all__ = [
@@ -11,5 +12,6 @@ __all__ = [
     "ELLOperator",
     "DIAOperator",
     "BSROperator",
+    "BlockDIAOperator",
     "DenseOperator",
 ]

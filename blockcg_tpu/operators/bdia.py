@@ -1,0 +1,90 @@
+"""Block-DIA operator: per-site bs x bs blocks on static site offsets.
+
+The TPU-native representation of nearest-neighbor lattice block operators
+(the north-star config-4 Dirac-like operator; reference R1 BSR flavor,
+SURVEY.md §3.1). Compared to generic BSR it drops the column-index arrays
+entirely (offsets are static structure) — ~4 B/nnz of matrix traffic, the
+roofline winner — and maps onto the block-stencil Pallas kernel.
+
+Row ordering is spin-major: row = a * ns + s (a = block/spin index,
+s = site). Periodic wraps are separate masked diagonals (see
+problems/dirac.py), so all structure is static.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from blockcg_tpu.operators.base import MatmatMixin
+
+
+@dataclasses.dataclass
+class BlockDIAOperator(MatmatMixin):
+    """blocks: (noff, bs, bs, ns); offsets: static site offsets.
+
+    ``blocks[d, a, b, s]`` couples row (a, s) to column
+    (b, (s + offsets[d]) mod ns) — semantics are toroidal, matching the
+    stencil kernels. Builders zero slots with no true coupling.
+    """
+
+    blocks: jax.Array
+    offsets: tuple[int, ...]
+
+    @property
+    def bs(self) -> int:
+        return self.blocks.shape[1]
+
+    @property
+    def ns(self) -> int:
+        return self.blocks.shape[3]
+
+    @property
+    def n(self) -> int:
+        return self.bs * self.ns
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self.n, self.n)
+
+    @property
+    def nnz(self) -> int:
+        return getattr(
+            self, "_nnz", self.blocks.shape[0] * self.bs * self.bs * self.ns
+        )
+
+    @property
+    def dtype(self):
+        return self.blocks.dtype
+
+    def matmat_t(self, Xt: jax.Array) -> jax.Array:
+        import os
+
+        from blockcg_tpu.ops import block_stencil
+
+        if (
+            jax.default_backend() == "tpu"
+            and not os.environ.get("BLOCKCG_NO_PALLAS")
+            and block_stencil.available(self.ns, Xt.shape[0], self.bs, self.offsets)
+        ):
+            return block_stencil.block_stencil_spmm_t(self.blocks, self.offsets, Xt)
+        return self._matmat_t_xla(Xt)
+
+    def _matmat_t_xla(self, Xt: jax.Array) -> jax.Array:
+        # Toroidal semantics (match the Pallas kernel): site = (s + o) mod ns.
+        k = Xt.shape[0]
+        bs, ns = self.bs, self.ns
+        Xv = Xt.reshape(k, bs, ns)
+        Yv = jnp.zeros((k, bs, ns), dtype=Xt.dtype)
+        for d, o in enumerate(self.offsets):  # static unroll
+            src = Xv if o == 0 else jnp.roll(Xv, -o, axis=2)
+            # Y[k, a, i] += sum_b blocks[d, a, b, i] * src[k, b, i]
+            Yv = Yv + jnp.einsum("abi,kbi->kai", self.blocks[d], src)
+        return Yv.reshape(k, self.n)
+
+
+jax.tree_util.register_dataclass(
+    BlockDIAOperator, data_fields=["blocks"], meta_fields=["offsets"]
+)

@@ -80,25 +80,21 @@ class DIAOperator(MatmatMixin):
         if (
             jax.default_backend() == "tpu"
             and not os.environ.get("BLOCKCG_NO_PALLAS")
-            and stencil.available(
-                self.n, Xt.shape[0], len(self.offsets), self.bandwidth
-            )
+            and stencil.available(self.n, Xt.shape[0], self.offsets)
         ):
             return stencil.stencil_spmm_t(self.diags, self.offsets, Xt)
         return self._matmat_t_xla(Xt)
 
     def _matmat_t_xla(self, Xt: jax.Array) -> jax.Array:
+        # Toroidal semantics (match the Pallas kernel): col = (i + o) mod n.
+        # Constructors zero every coefficient without true wraparound
+        # coupling, so this equals the truncated apply for e.g. Laplacians.
         k, n = Xt.shape
         Yt = jnp.zeros((k, n), dtype=Xt.dtype)
         for d, o in enumerate(self.offsets):  # static unroll, ndiag is tiny
             c = self.diags[d][None, :]
-            if o == 0:
-                Yt = Yt + c * Xt
-            elif o > 0:
-                # Y[i] += c[i] * X[i+o]  for i in [0, n-o)
-                Yt = Yt.at[:, : n - o].add(c[:, : n - o] * Xt[:, o:])
-            else:
-                Yt = Yt.at[:, -o:].add(c[:, -o:] * Xt[:, : n + o])
+            src = Xt if o == 0 else jnp.roll(Xt, -o, axis=1)
+            Yt = Yt + c * src
         return Yt
 
 

@@ -1,0 +1,177 @@
+"""Pallas TPU block-stencil SpMM kernel — T-K1 for lattice block operators.
+
+Reference equivalent: R1 (SURVEY.md §3.1) for the BSR 4x4 lattice-Dirac-like
+operator (north-star config 4). A nearest-neighbor lattice operator with
+bs x bs blocks is a *block stencil*: in spin-major row ordering
+(row = a*ns + s, a = spin, s = site),
+
+    Y[:, a, s] = sum_d sum_b blocks[d, a, b, s] * X[:, b, s + o_d]
+
+i.e. per site-offset o_d a pointwise bs x bs block multiply. This kernel
+reuses the scalar stencil windowing (near halo + far aligned windows, see
+ops/stencil.py) on the site axis, with fields viewed as (k, bs, ns).
+
+Periodic boundary wraps are *extra diagonals* with masked coefficients
+(emitted by problems/dirac.py), so the kernel itself has no wrap logic; the
+clamped halo garbage is killed by zero coefficients exactly as in the scalar
+kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from blockcg_tpu.ops.stencil import plan as _plan
+
+
+def plan(n_sites: int, k: int, bs: int, offsets: tuple[int, ...]):
+    return _plan(n_sites, k, offsets, sublanes=bs)
+
+
+def _kernel(near, far, H, bs, diags_ref, *refs):
+    """Scratch layout: w_ref is (bs, k, (R+2H) + nfar*R) — spin-plane-major,
+    so every inner FMA reads a contiguous (k, R) slice. The one-time copies
+    below pay the strided spin extraction once per tile instead of once per
+    (offset, a, b) term (16*noff times)."""
+    nf = len(far)
+    if H > 0:
+        xprev, xcur, xnext = refs[0], refs[1], refs[2]
+        far_refs = refs[3 : 3 + nf]
+        y_ref = refs[3 + nf]
+        w_ref = refs[4 + nf]
+    else:
+        xcur = refs[0]
+        far_refs = refs[1 : 1 + nf]
+        y_ref = refs[1 + nf]
+        w_ref = refs[2 + nf]
+    k, _, R = y_ref.shape
+    W = R + 2 * H  # near-window width inside scratch; far windows follow
+
+    for b in range(bs):
+        if H > 0:
+            w_ref[b, :, :H] = xprev[:, b, :]
+            w_ref[b, :, H : H + R] = xcur[:, b, :]
+            w_ref[b, :, H + R : W] = xnext[:, b, :]
+        else:
+            w_ref[b, :, :R] = xcur[:, b, :]
+        for fi in range(nf):
+            w_ref[b, :, W + fi * R : W + (fi + 1) * R] = far_refs[fi][:, b, :]
+
+    # Per-spin-plane accumulators (Mosaic has no scatter-add on values).
+    acc = [jnp.zeros((k, R), dtype=y_ref.dtype) for _ in range(bs)]
+    fi = 0
+    for d, o in enumerate(near + far):  # static unroll over site-offsets
+        if d < len(near):
+            lo = H + o
+        else:
+            lo = W + fi * R
+            fi += 1
+        for a in range(bs):
+            for b in range(bs):
+                # diags are 2D-reshaped (noff*bs*bs, R) to avoid sublane pad
+                c = diags_ref[(d * bs + a) * bs + b, :].reshape(1, R)
+                acc[a] = acc[a] + c * w_ref[b, :, lo : lo + R]
+    for a in range(bs):
+        y_ref[:, a, :] = acc[a]
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "interpret"))
+def block_stencil_spmm_t(
+    blocks: jax.Array,
+    offsets: tuple[int, ...],
+    Xt: jax.Array,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Lanes-major block-stencil SpMM.
+
+    Args:
+      blocks: (noff, bs, bs, ns) per-site block diagonals.
+      offsets: static site offsets.
+      Xt: (k, bs*ns) lanes-major RHS block, spin-major flat rows.
+
+    Returns:
+      Yt: (k, bs*ns).
+    """
+    noff, bs, _, ns = blocks.shape
+    k = Xt.shape[0]
+    p = plan(ns, k, bs, offsets)
+    if p is None:
+        raise ValueError(
+            f"no block-stencil plan for ns={ns}, k={k}, bs={bs}, offsets={offsets}"
+        )
+    R, H = p.R, p.H
+    nb = ns // R
+    nh = ns // H if H else 1
+
+    order = [offsets.index(o) for o in p.near + p.far]
+    blocks_ord = blocks[jnp.asarray(order)] if order != list(range(noff)) else blocks
+    diags2d = blocks_ord.reshape(noff * bs * bs, ns)
+    Xv = Xt.reshape(k, bs, ns)
+
+    in_specs = [
+        pl.BlockSpec((noff * bs * bs, R), lambda i: (0, i), memory_space=pltpu.VMEM)
+    ]
+    x_args = []
+    if H > 0:
+        in_specs += [
+            pl.BlockSpec(
+                (k, bs, H),
+                lambda i: (0, 0, (i * (R // H) - 1) % nh),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((k, bs, R), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (k, bs, H),
+                lambda i: (0, 0, ((i + 1) * (R // H)) % nh),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        x_args += [Xv, Xv, Xv]
+    else:
+        in_specs.append(
+            pl.BlockSpec((k, bs, R), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+        )
+        x_args.append(Xv)
+    for o in p.far:
+        m = o // R
+        in_specs.append(
+            pl.BlockSpec(
+                (k, bs, R),
+                functools.partial(lambda m, i: (0, 0, (i + m) % nb), m),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        x_args.append(Xv)
+
+    kernel = functools.partial(_kernel, p.near, p.far, H, bs)
+    flops = 2 * noff * bs * bs * k * ns
+    bytes_accessed = 4 * (
+        k * bs * ns * p.x_reads + noff * bs * bs * ns + k * bs * ns
+    )
+    scratch = [
+        pltpu.VMEM((bs, k, (R + 2 * H) + len(p.far) * R), Xt.dtype)
+    ]
+
+    Yv = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((k, bs, R), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((k, bs, ns), Xt.dtype),
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=int(bytes_accessed), transcendentals=0
+        ),
+        interpret=interpret,
+    )(diags2d, *x_args)
+    return Yv.reshape(k, bs * ns)
+
+
+def available(n_sites: int, k: int, bs: int, offsets: tuple[int, ...]) -> bool:
+    return plan(n_sites, k, bs, offsets) is not None

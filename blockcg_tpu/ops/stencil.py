@@ -3,26 +3,36 @@
 Reference equivalent: R1 (SURVEY.md §3.1), specialized to banded/stencil
 matrices (all the north-star Laplacian configs). The XLA DIA path re-reads
 the RHS block once per diagonal (~`ndiag` HBM passes over X); this kernel
-pipelines a lanes-major window of X through VMEM once per output tile and
-applies every diagonal from VMEM:
+pipelines lanes-major windows of X through VMEM once per output tile and
+applies every diagonal from VMEM.
 
-  grid step i owns output lanes [i*R, (i+1)*R):
-    VMEM window W = [prev H lanes | current R lanes | next H lanes] of Xt
-    for each diagonal d with offset o:  Yt tile += c_d * W[:, H+o : H+o+R]
+Windowing: grid step i owns output lanes [i*R, (i+1)*R). Each diagonal offset
+o is served one of two ways, chosen by the planner:
 
-where H >= bandwidth. HBM traffic per tile: X read (R + 2H)/R times
-(~1+2H/R), diagonals once, Y written once — near the stencil roofline
-(SURVEY.md §7, corrected per-config in BASELINE.md).
+- near (|o| <= H):   a halo'd window [prev H | cur R | next H] of Xt, built
+                     from three BlockSpecs with clamped index maps;
+                     contribution = c_d * W[:, H+o : H+o+R].
+- far  (o = m*R):    its own (k, R) BlockSpec window at block index i+m
+                     (exactly lane-aligned — no slicing);
+                     contribution = c_d * far_window.
 
-The halo windows are expressed as extra BlockSpecs on the same input with
-clamped index maps — no manual DMA; Pallas double-buffers the pipeline.
-Out-of-range halo garbage at the edges is always multiplied by a zero
-coefficient: the DIA constructors zero every slot whose neighbor falls
-outside [0, n) (see problems/laplacian.py, operators/dia.py).
+Far windows make huge strides (3D z-stride, 4D lattice t-stride) affordable:
+VMEM holds one R-tile per far offset instead of a bandwidth-wide halo. HBM
+traffic per apply: X read (R + 2H + nfar*R)/R times, diagonals once, Y
+written once (see BASELINE.md per-config rooflines).
+
+Semantics are **toroidal**: the column index is ``(i + o_d) mod n`` — halo
+and far windows are fetched modulo n. Operators built from matrices without
+wraparound coupling (e.g. Dirichlet Laplacians) zero every coefficient whose
+neighbor falls outside [0, n), making toroidal and truncated semantics
+identical (see problems/laplacian.py, operators/dia.py). Periodic lattice
+operators exploit the mod directly: the slowest axis's wrap coupling rides
+its main +/-stride diagonal (problems/dirac.py).
 """
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 
 import jax
@@ -30,62 +40,95 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# VMEM budget for planning (bytes); real VMEM is ~16 MB more is risky with
-# double buffering.
+# VMEM budget for planning (bytes); real VMEM is ~16 MB, double buffering
+# needs headroom.
 _VMEM_BUDGET = 10 * 1024 * 1024
 
 
-def plan(n: int, k: int, ndiag: int, bandwidth: int) -> tuple[int, int] | None:
-    """Choose (R, H): output tile length and halo width.
+@dataclasses.dataclass(frozen=True)
+class StencilPlan:
+    R: int  # output tile length (lanes)
+    H: int  # near-halo width (lanes); 0 if no near offsets besides the tile
+    far: tuple[int, ...]  # far offsets, each a multiple of R
+    near: tuple[int, ...]  # near offsets, |o| <= H
 
-    Constraints: H >= bandwidth, H | R, R | n (so halo block index arithmetic
-    is exact), and the VMEM working set fits the budget. Returns None when no
-    valid plan exists (dispatcher falls back to the XLA path).
+    @property
+    def x_reads(self) -> float:
+        return 1.0 + (2 * self.H + len(self.far) * self.R) / self.R
+
+
+def plan(
+    n: int, k: int, offsets: tuple[int, ...], sublanes: int = 1
+) -> StencilPlan | None:
+    """Choose (R, H, near/far split) minimizing X traffic under VMEM.
+
+    ``sublanes`` scales the VMEM estimate for the block-stencil variant
+    (fields carry a bs-sized sublane dim padded to 8).
     """
-    if n % 128 != 0:
+    if n % 128 != 0 or n < 256:
         return None
-    # halo: smallest multiple of 128 lanes that covers the bandwidth AND
-    # divides n (block index arithmetic is exact in H-sized units)
-    H = None
-    h = max(128, -(-bandwidth // 128) * 128)
-    while h <= n:
-        if n % h == 0:
-            H = h
-            break
-        h += 128
-    if H is None:
-        return None
+    ndiag = len(offsets)
+    bs = max(sublanes, 1)
+    pad8 = -(-bs // 8) * 8  # sublane tile padding of the bs dim
+    ksub = max(k, 8) if bs == 1 else max(k, 1) * pad8
 
-    def vmem_bytes(R):
-        window = k * (R + 2 * H)
-        # in blocks (double-buffered) + scratch window + out (double) + diags
-        return 4 * (2 * window + window + 2 * k * R + 2 * ndiag * R)
+    best: StencilPlan | None = None
+    best_traffic = None
+    H = 0
+    while H <= min(n, 1 << 20):
+        R = max(H, 128)
+        while R <= n:
+            if n % R == 0 and (H == 0 or R % H == 0):
+                near = tuple(o for o in offsets if abs(o) <= H)
+                far = tuple(o for o in offsets if abs(o) > H and o % R == 0)
+                if len(near) + len(far) == ndiag:
+                    # VMEM: window + far blocks + out, double-buffered inputs
+                    win = ksub * (R + 2 * H)
+                    vmem = 4 * (
+                        2 * win + win  # in-blocks (x2) + scratch
+                        + 2 * len(far) * ksub * R
+                        + 2 * ksub * R  # out
+                        + 2 * ndiag * bs * bs * R  # diags (2D-reshaped, no pad)
+                    )
+                    if vmem <= _VMEM_BUDGET:
+                        traffic = 1.0 + (2 * H + len(far) * R) / R
+                        if best_traffic is None or traffic < best_traffic - 1e-9:
+                            best, best_traffic = StencilPlan(R, H, far, near), traffic
+            R *= 2
+        H = 128 if H == 0 else H * 2
+    return best
 
-    # Largest R = H * 2^j (or H * m) that divides n and fits the budget.
-    best = None
-    m = 1
-    while True:
-        R = H * m
-        if R > n or n % R != 0:
-            break
-        if vmem_bytes(R) <= _VMEM_BUDGET:
-            best = R
-        m *= 2
-    if best is None:
-        return None
-    # Prefer R >= 2*bandwidth so halo re-reads stay <= 2x.
-    return best, H
 
+def _kernel(near, far, H, diags_ref, *refs):
+    # refs layout: [xprev, xcur, xnext][:nref-? ...], far windows, y_ref, w_ref
+    if H > 0:
+        xprev, xcur, xnext = refs[0], refs[1], refs[2]
+        far_refs = refs[3 : 3 + len(far)]
+        y_ref = refs[3 + len(far)]
+        w_ref = refs[4 + len(far)]
+        k, R = y_ref.shape
+        w_ref[:, :H] = xprev[:]
+        w_ref[:, H : H + R] = xcur[:]
+        w_ref[:, H + R :] = xnext[:]
+    else:
+        xcur = refs[0]
+        far_refs = refs[1 : 1 + len(far)]
+        y_ref = refs[1 + len(far)]
+        w_ref = None
+        k, R = y_ref.shape
 
-def _kernel(offsets, H, diags_ref, xprev_ref, xcur_ref, xnext_ref, y_ref, w_ref):
-    k, R = y_ref.shape
-    w_ref[:, :H] = xprev_ref[:]
-    w_ref[:, H : H + R] = xcur_ref[:]
-    w_ref[:, H + R :] = xnext_ref[:]
     acc = jnp.zeros((k, R), dtype=y_ref.dtype)
-    for d, o in enumerate(offsets):  # static unroll over diagonals
+    fi = 0
+    for d, o in enumerate(near + far):  # static unroll over diagonals
         c = diags_ref[d, :].reshape(1, R)
-        acc = acc + c * w_ref[:, H + o : H + o + R]
+        if d < len(near):
+            if o == 0 and H == 0:
+                acc = acc + c * xcur[:]
+            else:
+                acc = acc + c * w_ref[:, H + o : H + o + R]
+        else:
+            acc = acc + c * far_refs[fi][:]
+            fi += 1
     y_ref[:] = acc
 
 
@@ -101,49 +144,73 @@ def stencil_spmm_t(
 
     Args:
       diags: (ndiag, n) row-aligned diagonals (DIAOperator convention).
-      offsets: static diagonal offsets, |o| <= bandwidth.
+      offsets: static diagonal offsets.
       Xt: (k, n) lanes-major RHS block.
     """
     ndiag, n = diags.shape
     k = Xt.shape[0]
-    bw = max(abs(o) for o in offsets)
-    p = plan(n, k, ndiag, bw)
+    p = plan(n, k, offsets)
     if p is None:
-        raise ValueError(f"no stencil kernel plan for n={n}, k={k}, bw={bw}")
-    R, H = p
-    nh = n // H  # number of halo-sized blocks
+        raise ValueError(f"no stencil kernel plan for n={n}, k={k}, offsets={offsets}")
+    R, H = p.R, p.H
+    nb = n // R  # output tiles
+    nh = n // H if H else 1  # halo-sized blocks
 
-    grid = (n // R,)
-    kernel = functools.partial(_kernel, offsets, H)
-    flops = 2 * ndiag * k * n
-    bytes_accessed = 4 * (k * n * (1 + 2 * H / R) + ndiag * n + k * n)
+    # Reorder diagonals so the kernel sees near ones first.
+    order = [offsets.index(o) for o in p.near + p.far]
+    diags_ord = diags[jnp.asarray(order)] if order != list(range(ndiag)) else diags
 
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((ndiag, R), lambda i: (0, i), memory_space=pltpu.VMEM),
+    in_specs = [
+        pl.BlockSpec((ndiag, R), lambda i: (0, i), memory_space=pltpu.VMEM)
+    ]
+    x_args = []
+    if H > 0:
+        in_specs += [
             pl.BlockSpec(
                 (k, H),
-                lambda i: (0, jnp.maximum(i * (R // H) - 1, 0)),
+                lambda i: (0, (i * (R // H) - 1) % nh),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec((k, R), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (k, H),
-                lambda i: (0, jnp.minimum((i + 1) * (R // H), nh - 1)),
+                lambda i: (0, ((i + 1) * (R // H)) % nh),
                 memory_space=pltpu.VMEM,
             ),
-        ],
+        ]
+        x_args += [Xt, Xt, Xt]
+    else:
+        in_specs.append(pl.BlockSpec((k, R), lambda i: (0, i), memory_space=pltpu.VMEM))
+        x_args.append(Xt)
+    for o in p.far:
+        m = o // R
+        in_specs.append(
+            pl.BlockSpec(
+                (k, R),
+                functools.partial(lambda m, i: (0, (i + m) % nb), m),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        x_args.append(Xt)
+
+    kernel = functools.partial(_kernel, p.near, p.far, H)
+    flops = 2 * ndiag * k * n
+    bytes_accessed = 4 * (k * n * p.x_reads + ndiag * n + k * n)
+    scratch = [pltpu.VMEM((k, R + 2 * H), Xt.dtype)] if H > 0 else []
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((k, R), lambda i: (0, i), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((k, n), Xt.dtype),
-        scratch_shapes=[pltpu.VMEM((k, R + 2 * H), Xt.dtype)],
+        scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=int(bytes_accessed), transcendentals=0
         ),
         interpret=interpret,
-    )(diags, Xt, Xt, Xt)
+    )(diags_ord, *x_args)
 
 
-def available(n: int, k: int, ndiag: int, bandwidth: int) -> bool:
-    return plan(n, k, ndiag, bandwidth) is not None
+def available(n: int, k: int, offsets: tuple[int, ...]) -> bool:
+    return plan(n, k, offsets) is not None

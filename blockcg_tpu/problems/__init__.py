@@ -4,7 +4,12 @@ from blockcg_tpu.problems.laplacian import (
     laplacian_ell,
     laplacian_scipy,
 )
-from blockcg_tpu.problems.dirac import dirac_bell, dirac_scipy
+from blockcg_tpu.problems.dirac import (
+    bdia_scipy,
+    dirac_bdia,
+    dirac_bell,
+    dirac_scipy,
+)
 from blockcg_tpu.problems.random_spd import random_spd, random_block
 from blockcg_tpu.problems.presets import PRESETS
 
@@ -13,6 +18,8 @@ __all__ = [
     "laplacian_dia",
     "laplacian_ell",
     "laplacian_scipy",
+    "bdia_scipy",
+    "dirac_bdia",
     "dirac_bell",
     "dirac_scipy",
     "random_spd",

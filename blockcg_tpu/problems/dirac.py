@@ -1,17 +1,23 @@
 """Lattice-Dirac-like SPD block operator (T-P1, north-star config 4).
 
-A 4x4-blocked SPD operator on a periodic 4D lattice L^4 with nearest-neighbor
+A 4x4-blocked SPD operator on a 4D lattice L^4 with nearest-neighbor
 hopping — the sparsity/block structure of an even-odd-preconditioned Wilson
 ``D^H D + m^2`` lattice operator (SURVEY.md §1, R10):
 
     A[x, x]      = (m^2 + 8) * I_4
-    A[x, x+mu]   = -H_mu          (mu = 0..3, periodic)
+    A[x, x+mu]   = -H_mu          (mu = 0..3)
     A[x, x-mu]   = -H_mu^T
 
 with fixed deterministic symmetric 4x4 hopping matrices ``H_mu`` of unit
 spectral norm, so A is symmetric and block-Gershgorin SPD with
-``lambda_min >= m^2``. Built directly in block-ELL layout (wb = 9 blocks per
-block row, no padding) so the 32^4-site config constructs without scipy.
+``lambda_min >= m^2``. Boundary conditions: ``periodic`` (lattice-QCD
+standard; wraps become extra masked block diagonals) or ``open``.
+
+Two container formats:
+  - ``dirac_bdia``: BlockDIAOperator, spin-major rows — the TPU fast path
+    (block-stencil Pallas kernel).
+  - ``dirac_bell``: BSROperator in block-ELL layout, site-major rows — the
+    generic BSR-format path.
 """
 
 from __future__ import annotations
@@ -20,6 +26,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from blockcg_tpu.operators import BSROperator
+from blockcg_tpu.operators.bdia import BlockDIAOperator
 
 BS = 4  # spin-block size
 _NDIM = 4
@@ -37,16 +44,101 @@ def hopping_matrices(seed: int = 7) -> np.ndarray:
     return np.stack(hs)
 
 
-def dirac_bell(L: int, m: float = 0.5, dtype=jnp.float32, seed: int = 7) -> BSROperator:
-    """Build the operator as a BSROperator (block-ELL) on an L^4 lattice."""
+def _coords(ns: int, L: int) -> list[np.ndarray]:
+    idx = np.arange(ns)
+    strides = [L ** (_NDIM - 1 - ax) for ax in range(_NDIM)]
+    return [(idx // strides[ax]) % L for ax in range(_NDIM)], strides
+
+
+def dirac_bdia(
+    L: int, m: float = 0.5, bc: str = "periodic", dtype=jnp.float32, seed: int = 7
+) -> BlockDIAOperator:
+    """Build the operator as a BlockDIAOperator (spin-major rows)."""
+    if bc not in ("periodic", "open"):
+        raise ValueError(f"bc must be 'periodic' or 'open', got {bc!r}")
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+    H = hopping_matrices(seed).astype(np_dtype)
+    ns = L**_NDIM
+    coords, strides = _coords(ns, L)
+
+    offsets: list[int] = [0]
+    blocks: list[np.ndarray] = []
+    diag = np.zeros((BS, BS, ns), dtype=np_dtype)
+    diag[:, :, :] = ((m * m + 2.0 * _NDIM) * np.eye(BS, dtype=np_dtype))[:, :, None]
+    blocks.append(diag)
+
+    def masked(block: np.ndarray, mask: np.ndarray) -> np.ndarray:
+        out = np.zeros((BS, BS, ns), dtype=np_dtype)
+        out[:, :, mask] = block[:, :, None]
+        return out
+
+    for ax in range(_NDIM):
+        st = strides[ax]
+        c = coords[ax]
+        if bc == "periodic" and ax == 0:
+            # Slowest axis: flat-index wraparound IS the lattice wraparound
+            # ((s +/- L^3) mod ns), and BlockDIA semantics are toroidal —
+            # one unmasked diagonal per direction covers hop + wrap.
+            offsets.append(st)
+            blocks.append(masked(-H[ax], np.ones(ns, bool)))
+            offsets.append(-st)
+            blocks.append(masked(-H[ax].T, np.ones(ns, bool)))
+            continue
+        # +mu hop (interior rows)
+        offsets.append(st)
+        blocks.append(masked(-H[ax], c < L - 1))
+        # -mu hop
+        offsets.append(-st)
+        blocks.append(masked(-H[ax].T, c > 0))
+        if bc == "periodic":
+            # +mu wrap: rows with c == L-1 couple to site s - (L-1)*st
+            offsets.append(-(L - 1) * st)
+            blocks.append(masked(-H[ax], c == L - 1))
+            # -mu wrap: rows with c == 0 couple to site s + (L-1)*st
+            offsets.append((L - 1) * st)
+            blocks.append(masked(-H[ax].T, c == 0))
+
+    blk = np.stack(blocks)  # (noff, bs, bs, ns)
+    op = BlockDIAOperator(blocks=jnp.asarray(blk), offsets=tuple(offsets))
+    object.__setattr__(op, "_nnz", int(np.count_nonzero(blk)))
+    return op
+
+
+def bdia_scipy(op: BlockDIAOperator):
+    """Generic BlockDIAOperator -> scipy CSR (small problems; test oracle)."""
+    import scipy.sparse as sp
+
+    bs, ns = op.bs, op.ns
+    n = bs * ns
+    blocks = np.asarray(op.blocks, dtype=np.float64)
+    rows, cols, data = [], [], []
+    s = np.arange(ns)
+    for d, o in enumerate(op.offsets):
+        scol = (s + o) % ns  # toroidal semantics (operators/bdia.py)
+        for a in range(bs):
+            for b in range(bs):
+                vals = blocks[d, a, b, :]
+                nzm = vals != 0
+                rows.append(a * ns + s[nzm])
+                cols.append(b * ns + scol[nzm])
+                data.append(vals[nzm])
+    rows = np.concatenate(rows)
+    cols = np.concatenate(cols)
+    data = np.concatenate(data)
+    return sp.coo_matrix((data, (rows, cols)), shape=(n, n)).tocsr()
+
+
+def dirac_bell(
+    L: int, m: float = 0.5, dtype=jnp.float32, seed: int = 7, bc: str = "periodic"
+) -> BSROperator:
+    """Build the operator as a BSROperator (block-ELL, site-major rows)."""
     np_dtype = np.dtype(jnp.dtype(dtype).name)
     H = hopping_matrices(seed).astype(np_dtype)
     n_sites = L**_NDIM
     wb = 1 + 2 * _NDIM
 
     idx = np.arange(n_sites)
-    strides = [L ** (_NDIM - 1 - ax) for ax in range(_NDIM)]
-    coords = [(idx // strides[ax]) % L for ax in range(_NDIM)]
+    coords, strides = _coords(n_sites, L)
 
     cols = np.empty((n_sites, wb), dtype=np.int32)
     vals = np.empty((n_sites, wb, BS, BS), dtype=np_dtype)
@@ -55,12 +147,22 @@ def dirac_bell(L: int, m: float = 0.5, dtype=jnp.float32, seed: int = 7) -> BSRO
     vals[:, 0] = (m * m + 2.0 * _NDIM) * np.eye(BS, dtype=np_dtype)
     slot = 1
     for ax in range(_NDIM):
-        up = idx + strides[ax] * (np.where(coords[ax] == L - 1, 1 - L, 1))
-        dn = idx + strides[ax] * (np.where(coords[ax] == 0, L - 1, -1))
+        st = strides[ax]
+        c = coords[ax]
+        if bc == "periodic":
+            up = idx + st * np.where(c == L - 1, 1 - L, 1)
+            dn = idx + st * np.where(c == 0, L - 1, -1)
+            up_mask = np.ones(n_sites, bool)
+            dn_mask = np.ones(n_sites, bool)
+        else:
+            up = np.where(c < L - 1, idx + st, idx)
+            dn = np.where(c > 0, idx - st, idx)
+            up_mask = c < L - 1
+            dn_mask = c > 0
         cols[:, slot] = up
-        vals[:, slot] = -H[ax]
+        vals[:, slot] = np.where(up_mask[:, None, None], -H[ax], 0.0)
         cols[:, slot + 1] = dn
-        vals[:, slot + 1] = -H[ax].T
+        vals[:, slot + 1] = np.where(dn_mask[:, None, None], -H[ax].T, 0.0)
         slot += 2
 
     op = BSROperator(vals=jnp.asarray(vals), cols=jnp.asarray(cols))
@@ -68,21 +170,20 @@ def dirac_bell(L: int, m: float = 0.5, dtype=jnp.float32, seed: int = 7) -> BSRO
     return op
 
 
-def dirac_scipy(L: int, m: float = 0.5, seed: int = 7):
-    """scipy CSR export for small L (test comparisons; duplicates summed,
-    which handles the L=2 wraparound where +mu and -mu coincide)."""
+def dirac_scipy(L: int, m: float = 0.5, seed: int = 7, bc: str = "periodic"):
+    """scipy CSR export of the BSR (site-major) form for small L (duplicates
+    summed, which handles the L=2 wraparound where +mu and -mu coincide)."""
     import scipy.sparse as sp
 
-    op = dirac_bell(L, m=m, dtype=jnp.float64, seed=seed)
+    op = dirac_bell(L, m=m, dtype=jnp.float64, seed=seed, bc=bc)
     nbr, wb = op.cols.shape
     vals = np.asarray(op.vals, dtype=np.float64)
     cols = np.asarray(op.cols)
     n = nbr * BS
-    # Expand block entries into COO triplets.
-    br = np.repeat(np.arange(nbr), wb)  # (nbr*wb,)
-    bc = cols.reshape(-1)
+    br = np.repeat(np.arange(nbr), wb)
+    bc_ = cols.reshape(-1)
     sub_r, sub_c = np.meshgrid(np.arange(BS), np.arange(BS), indexing="ij")
     rows = (br[:, None, None] * BS + sub_r[None]).reshape(-1)
-    ccols = (bc[:, None, None] * BS + sub_c[None]).reshape(-1)
+    ccols = (bc_[:, None, None] * BS + sub_c[None]).reshape(-1)
     data = vals.reshape(-1)
     return sp.coo_matrix((data, (rows, ccols)), shape=(n, n)).tocsr()

@@ -57,10 +57,47 @@ def test_stencil_agrees_with_xla_path():
 
 
 def test_plan_constraints():
-    # R | n, H | R, H >= bandwidth
-    p = plan(262144, 32, 7, 4096)
+    offs = (-4096, -64, -1, 0, 1, 64, 4096)
+    p = plan(262144, 32, offs)
     assert p is not None
-    R, H = p
-    assert 262144 % R == 0 and R % H == 0 and H >= 4096
+    assert 262144 % p.R == 0 and (p.H == 0 or p.R % p.H == 0)
+    assert set(p.near) | set(p.far) == set(offs)
+    for o in p.near:
+        assert abs(o) <= p.H
+    for o in p.far:
+        assert o % p.R == 0
     # unplannable: n not a multiple of 128
-    assert plan(1000, 4, 7, 10) is None
+    assert plan(1000, 4, (-1, 0, 1)) is None
+
+
+def test_plan_huge_stride_uses_far_windows():
+    """Config-5 shape: 256^3 Laplacian, k=64 — the z-stride (65536) cannot fit
+    a near halo in VMEM; the planner must serve it with far windows."""
+    offs = (-65536, -256, -1, 0, 1, 256, 65536)
+    p = plan(256**3, 64, offs)
+    assert p is not None
+    assert -65536 in p.far and 65536 in p.far
+    assert p.x_reads < 3.5
+
+
+def test_stencil_far_window_correctness():
+    """Force a plan where the big offsets go through far windows (small n,
+    large stride) and check against scipy."""
+    import scipy.sparse as sp
+
+    n = 4096
+    rng = np.random.default_rng(3)
+    offsets = [-1024, -1, 0, 1, 1024]
+    data = []
+    for o in offsets:
+        d = np.zeros(n)
+        d[: n - abs(o)] = rng.standard_normal(n - abs(o))
+        data.append(d)
+    a = sp.diags(
+        [d[: n - abs(o)] for d, o in zip(data, offsets)], offsets, shape=(n, n)
+    ).tocsr()
+    op = DIAOperator.from_scipy(a, dtype=jnp.float32)
+    X = rng.standard_normal((n, 4)).astype(np.float32)
+    Yt = stencil_spmm_t(op.diags, op.offsets, jnp.asarray(X.T), interpret=True)
+    want = a @ X
+    assert np.abs(np.asarray(Yt).T - want).max() / np.abs(want).max() < 1e-5
