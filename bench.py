@@ -1,0 +1,96 @@
+"""Headline benchmark — prints ONE JSON line for the driver.
+
+Metric: SpMM nnz/s per chip on north-star config 3 (3D 7-pt Laplacian 64^3,
+262k rows, k=32 RHS block) through the Pallas stencil kernel, plus SBCGrQ
+time-to-tol on the same config as extra fields.
+
+vs_baseline: the reference (lkeegan/blockCG) publishes no numbers
+(BASELINE.md); the baseline is the north-star target "70% of roofline
+nnz/s". The config-3 roofline at the measured achievable HBM bandwidth
+(611 GB/s, axpy-calibrated on this chip) with X read once is
+611e9 / 40.6 B/nnz = 15.05 Gnnz/s, so baseline = 10.5 Gnnz/s.
+vs_baseline >= 1.0 means the target is met.
+
+Timing notes (this sandbox): the TPU tunnel caches repeat executions and
+block_until_ready does not force execution — so we AOT-compile fori_loops of
+N chained applies, time first executions with a value fetch, and difference
+two loop lengths.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+BASELINE_NNZS = 10.5e9  # 70% of config-3 stencil roofline @ 611 GB/s
+
+
+def _timed_loop(compiled, x, n_ignored):
+    t0 = time.time()
+    y = compiled(x)
+    _ = float(jnp.sum(y[0] if isinstance(y, tuple) else y))
+    return time.time() - t0
+
+
+def measure_apply(op, Xt, n1=4, n2=36, trials=2):
+    """Seconds per operator apply (differenced chained loops)."""
+    times = []
+    for n in (n1, n2):
+        def loop(o, v):
+            return jax.lax.fori_loop(
+                0, n,
+                lambda i, u: jax.lax.optimization_barrier(o.matmat_t(u) * 0.05),
+                v, unroll=False,
+            )
+        compiled = jax.jit(loop).lower(op, Xt).compile()
+        best = float("inf")
+        for t in range(trials):
+            xs = Xt * (1.0 + 1e-6 * (t + 1))
+            _ = float(jnp.sum(xs))  # materialize input
+            t0 = time.time()
+            y = compiled(op, xs)
+            _ = float(jnp.sum(y))
+            best = min(best, time.time() - t0)
+        times.append(best)
+    return (times[1] - times[0]) / (n2 - n1)
+
+
+def main():
+    import blockcg_tpu as bc
+    from blockcg_tpu.problems import laplacian_dia
+
+    op = laplacian_dia((64, 64, 64), dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    Xt = jnp.asarray(rng.standard_normal((32, op.n)), dtype=jnp.float32)
+
+    dt = measure_apply(op, Xt)
+    nnzs = op.nnz / dt
+
+    # SBCGrQ time-to-tol on the same config (32 RHS, tol 1e-6).
+    B = jnp.asarray(rng.standard_normal((op.n, 32)), dtype=jnp.float32)
+    X, info = bc.solve_sbcgrq(op, B, tol=1e-6, max_iter=300)
+    _ = int(info.iterations)  # warm/compile + force
+    t0 = time.time()
+    X, info = bc.solve_sbcgrq(op, B * 1.00001, tol=1e-6, max_iter=300)
+    iters = int(info.iterations)
+    solve_s = time.time() - t0
+
+    print(json.dumps({
+        "metric": "SpMM nnz/s per chip (config 3: 3D Laplacian 64^3, k=32, Pallas stencil)",
+        "value": round(nnzs / 1e9, 3),
+        "unit": "Gnnz/s",
+        "vs_baseline": round(nnzs / BASELINE_NNZS, 3),
+        "spmm_ms": round(dt * 1e3, 4),
+        "sbcgrq_time_to_tol_s": round(solve_s, 3),
+        "sbcgrq_iters": iters,
+        "sbcgrq_max_relres": float(jnp.max(info.relres)),
+        "device": str(jax.devices()[0]),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,32 @@
+"""L2: distributed linear algebra — row partitioning, halo exchange, psum
+Gram reductions (SURVEY.md T-D1/T-D2)."""
+
+from blockcg_tpu.parallel.halo import ring_halos
+from blockcg_tpu.parallel.dist_ops import (
+    DistDIAOperator,
+    DistBlockDIAOperator,
+    partition_dia,
+    partition_bdia,
+    to_dist_order,
+    from_dist_order,
+)
+from blockcg_tpu.parallel.api import (
+    row_mesh,
+    solve_cg_dist,
+    solve_bcg_dist,
+    solve_sbcgrq_dist,
+)
+
+__all__ = [
+    "ring_halos",
+    "DistDIAOperator",
+    "DistBlockDIAOperator",
+    "partition_dia",
+    "partition_bdia",
+    "to_dist_order",
+    "from_dist_order",
+    "row_mesh",
+    "solve_cg_dist",
+    "solve_bcg_dist",
+    "solve_sbcgrq_dist",
+]

@@ -1,0 +1,136 @@
+"""Distributed solver entry points (T-D2 + L4 surface, SURVEY.md §4.3).
+
+The same jitted solver bodies (solvers/) run SPMD inside ``shard_map`` over a
+1-D row mesh: the operator pytree is row-sharded, the RHS block lanes-major
+row-sharded, and every reduction goes through the solvers' ``axis_name``
+psum hook. Works identically on a real pod slice and on the fake CPU mesh
+(``--xla_force_host_platform_device_count``, SURVEY.md §5.2 item 3).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from blockcg_tpu.types import SolverInfo
+from blockcg_tpu.solvers.cg import _cg_impl
+from blockcg_tpu.solvers.bcg import _bcg_impl
+from blockcg_tpu.solvers.sbcgrq import _sbcgrq_impl
+
+try:  # jax >= 0.6 exports shard_map at top level
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+
+def row_mesh(num_devices: int | None = None, axis_name: str = "rows") -> Mesh:
+    """1-D mesh over all (or the first N) devices (T-D2)."""
+    devs = jax.devices()
+    if num_devices is not None:
+        devs = devs[:num_devices]
+    return jax.make_mesh((len(devs),), (axis_name,), devices=devs)
+
+
+def _info_specs(record_history: bool):
+    return SolverInfo(
+        iterations=P(),
+        relres=P(),
+        converged=P(),
+        matvecs=P(),
+        history=P() if record_history else None,
+    )
+
+
+def solve_sbcgrq_dist(
+    dop,
+    B: jax.Array,
+    mesh: Mesh,
+    *,
+    tol: float = 1e-6,
+    max_iter: int = 1000,
+    qr_passes: int = 2,
+    replace_every: int = 0,
+    record_history: bool = False,
+) -> tuple[jax.Array, SolverInfo]:
+    """Row-sharded SBCGrQ. ``dop`` is a Dist*Operator from parallel.dist_ops;
+    ``B`` is (n, k) in the operator's distributed row ordering."""
+    axis = dop.axis_name
+    Bt = jax.device_put(B.T, NamedSharding(mesh, P(None, axis)))
+
+    def body(op, bt):
+        x0 = jnp.zeros_like(bt)
+        return _sbcgrq_impl(
+            op, bt, x0, tol, max_iter,
+            qr_passes=qr_passes, replace_every=replace_every,
+            axis_name=axis, record_history=record_history,
+        )
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(dop.in_specs(), P(None, axis)),
+        out_specs=(P(None, axis), _info_specs(record_history)),
+        check_vma=False,
+    )
+    Xt, info = jax.jit(fn)(dop, Bt)
+    return Xt.T, info
+
+
+def solve_bcg_dist(
+    dop,
+    B: jax.Array,
+    mesh: Mesh,
+    *,
+    tol: float = 1e-6,
+    max_iter: int = 1000,
+    record_history: bool = False,
+) -> tuple[jax.Array, SolverInfo]:
+    axis = dop.axis_name
+    Bt = jax.device_put(B.T, NamedSharding(mesh, P(None, axis)))
+
+    def body(op, bt):
+        x0 = jnp.zeros_like(bt)
+        return _bcg_impl(
+            op, bt, x0, tol, max_iter, axis_name=axis,
+            record_history=record_history,
+        )
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(dop.in_specs(), P(None, axis)),
+        out_specs=(P(None, axis), _info_specs(record_history)),
+        check_vma=False,
+    )
+    Xt, info = jax.jit(fn)(dop, Bt)
+    return Xt.T, info
+
+
+def solve_cg_dist(
+    dop,
+    b: jax.Array,
+    mesh: Mesh,
+    *,
+    tol: float = 1e-6,
+    max_iter: int = 1000,
+    record_history: bool = False,
+) -> tuple[jax.Array, SolverInfo]:
+    axis = dop.axis_name
+    bl = jax.device_put(b, NamedSharding(mesh, P(axis)))
+
+    def body(op, bv):
+        x0 = jnp.zeros_like(bv)
+        return _cg_impl(
+            op, bv, x0, tol, max_iter, axis_name=axis,
+            record_history=record_history,
+        )
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(dop.in_specs(), P(axis)),
+        out_specs=(P(axis), _info_specs(record_history)),
+        check_vma=False,
+    )
+    return jax.jit(fn)(dop, bl)

@@ -1,0 +1,155 @@
+"""Distributed (row-sharded) tests on the fake 8-device CPU mesh.
+
+SURVEY.md §5.2 item 3: run the full shard_map solver on the fake backend and
+assert equality with the single-device run; halo-plan unit tests compare
+partitioned SpMM against unpartitioned.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from blockcg_tpu import solve_cg, solve_sbcgrq
+from blockcg_tpu.parallel import (
+    from_dist_order,
+    partition_bdia,
+    partition_dia,
+    row_mesh,
+    solve_cg_dist,
+    solve_bcg_dist,
+    solve_sbcgrq_dist,
+    to_dist_order,
+)
+from blockcg_tpu.parallel.api import shard_map
+from blockcg_tpu.problems import (
+    bdia_scipy,
+    dirac_bdia,
+    laplacian_dia,
+    laplacian_scipy,
+    random_block,
+)
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 2, reason="needs the multi-device (fake CPU) mesh"
+)
+
+
+def _dist_apply(dop, mesh, Xt):
+    axis = dop.axis_name
+    fn = shard_map(
+        lambda o, xt: o.matmat_t(xt),
+        mesh=mesh,
+        in_specs=(dop.in_specs(), P(None, axis)),
+        out_specs=P(None, axis),
+        check_vma=False,
+    )
+    XtS = jax.device_put(Xt, NamedSharding(mesh, P(None, axis)))
+    return jax.jit(fn)(dop, XtS)
+
+
+@pytest.mark.parametrize("D", [2, 4, 8])
+def test_partitioned_dia_spmm_matches_global(D):
+    shape = (32, 32)
+    op = laplacian_dia(shape, dtype=jnp.float64)
+    mesh = row_mesh(D)
+    dop = partition_dia(op, D)
+    rng = np.random.default_rng(0)
+    Xt = jnp.asarray(rng.standard_normal((5, op.n)))
+    got = np.asarray(_dist_apply(dop, mesh, Xt))
+    want = np.asarray(op.matmat_t(Xt))
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+
+
+def test_partitioned_dia_single_shard():
+    """D=1: the ring maps to self; toroidal semantics must be preserved."""
+    op = laplacian_dia((16, 16), dtype=jnp.float64)
+    mesh = row_mesh(1)
+    dop = partition_dia(op, 1)
+    Xt = jnp.asarray(np.random.default_rng(1).standard_normal((3, op.n)))
+    got = np.asarray(_dist_apply(dop, mesh, Xt))
+    np.testing.assert_allclose(got, np.asarray(op.matmat_t(Xt)), rtol=1e-12)
+
+
+@pytest.mark.parametrize("bc", ["periodic", "open"])
+def test_partitioned_bdia_spmm_matches_scipy(bc):
+    """Site-sharded Dirac-like operator: distributed apply == scipy, with the
+    distributed row-ordering permutation applied."""
+    L, D, k = 4, 4, 3
+    op = dirac_bdia(L, m=0.5, bc=bc, dtype=jnp.float64)
+    a = bdia_scipy(op)
+    mesh = row_mesh(D)
+    dop = partition_bdia(op, D)
+    rng = np.random.default_rng(2)
+    X = rng.standard_normal((op.n, k))
+    Xd = to_dist_order(X, op.bs, D)  # distributed row ordering
+    got_d = np.asarray(_dist_apply(dop, mesh, jnp.asarray(Xd.T))).T
+    got = from_dist_order(got_d, op.bs, D)
+    np.testing.assert_allclose(got, a @ X, rtol=1e-12, atol=1e-12)
+
+
+def test_dist_order_roundtrip():
+    X = np.random.default_rng(3).standard_normal((4 * 16, 2))
+    Xd = to_dist_order(X, 4, 4)
+    np.testing.assert_array_equal(from_dist_order(Xd, 4, 4), X)
+
+
+def test_solve_cg_dist_matches_single():
+    shape = (32, 32)
+    op = laplacian_dia(shape, dtype=jnp.float64)
+    b = jnp.asarray(random_block(op.n, 1, seed=4)[:, 0])
+    mesh = row_mesh(8)
+    dop = partition_dia(op, 8)
+    x_d, info_d = solve_cg_dist(dop, b, mesh, tol=1e-10, max_iter=2000)
+    x_s, info_s = solve_cg(op, b, tol=1e-10, max_iter=2000)
+    assert bool(info_d.converged.all())
+    # same algorithm, different reduction order: equality within f64 slack
+    np.testing.assert_allclose(np.asarray(x_d), np.asarray(x_s), rtol=1e-7, atol=1e-9)
+    assert abs(int(info_d.iterations) - int(info_s.iterations)) <= 2
+
+
+def test_solve_sbcgrq_dist_matches_single():
+    shape = (16, 16, 16)
+    op = laplacian_dia(shape, dtype=jnp.float64)
+    B = jnp.asarray(random_block(op.n, 6, seed=5))
+    mesh = row_mesh(8)
+    dop = partition_dia(op, 8)
+    X_d, info_d = solve_sbcgrq_dist(dop, B, mesh, tol=1e-9, max_iter=400)
+    assert bool(info_d.converged.all())
+    a = laplacian_scipy(shape)
+    res = np.linalg.norm(a @ np.asarray(X_d) - np.asarray(B), axis=0)
+    res /= np.linalg.norm(np.asarray(B), axis=0)
+    assert res.max() <= 2e-9
+    # cross-check against single-device iteration count
+    _, info_s = solve_sbcgrq(op, B, tol=1e-9, max_iter=400)
+    assert abs(int(info_d.iterations) - int(info_s.iterations)) <= 3
+
+
+def test_solve_bcg_dist_converges():
+    op = laplacian_dia((24, 24), dtype=jnp.float64)
+    B = jnp.asarray(random_block(op.n, 4, seed=6))
+    mesh = row_mesh(4)
+    dop = partition_dia(op, 4)
+    X, info = solve_bcg_dist(dop, B, mesh, tol=1e-9, max_iter=500)
+    assert bool(info.converged.all())
+    a = laplacian_scipy((24, 24))
+    res = np.linalg.norm(a @ np.asarray(X) - np.asarray(B), axis=0)
+    res /= np.linalg.norm(np.asarray(B), axis=0)
+    assert res.max() <= 2e-9
+
+
+def test_solve_sbcgrq_dist_bdia():
+    """Distributed solve on the lattice operator (config-4 logic, fake mesh)."""
+    L, D = 4, 4
+    op = dirac_bdia(L, m=0.5, bc="periodic", dtype=jnp.float64)
+    mesh = row_mesh(D)
+    dop = partition_bdia(op, D)
+    B = random_block(op.n, 4, seed=7)
+    Bd = jnp.asarray(to_dist_order(B, op.bs, D))
+    X_d, info = solve_sbcgrq_dist(dop, Bd, mesh, tol=1e-9, max_iter=200)
+    assert bool(info.converged.all())
+    X = from_dist_order(np.asarray(X_d), op.bs, D)
+    a = bdia_scipy(op)
+    res = np.linalg.norm(a @ X - B, axis=0) / np.linalg.norm(B, axis=0)
+    assert res.max() <= 2e-9
