@@ -27,7 +27,7 @@ from blockcg_tpu.operators import (
     BSROperator,
     DenseOperator,
 )
-from blockcg_tpu.solvers import solve_cg, solve_bcg, solve_sbcgrq
+from blockcg_tpu.solvers import solve_cg, solve_bcg, solve_sbcgrq, solve_refined
 
 __version__ = "0.1.0"
 
@@ -42,4 +42,5 @@ __all__ = [
     "solve_cg",
     "solve_bcg",
     "solve_sbcgrq",
+    "solve_refined",
 ]

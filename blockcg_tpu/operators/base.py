@@ -63,3 +63,19 @@ class MatmatMixin:
     def matvec(self, x):
         """(n,) -> (n,) single-vector apply via the lanes-major path."""
         return self.matmat_t(x[None, :])[0]
+
+
+def astype(op, dtype):
+    """Cast an operator pytree's float arrays to ``dtype`` (indices kept).
+
+    Used by the refinement driver to get an f64 (XLA-emulated on TPU)
+    true-residual operator from the f32 compute operator.
+    """
+    import jax.numpy as jnp
+
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
+        else x,
+        op,
+    )

@@ -66,6 +66,8 @@ class BlockDIAOperator(MatmatMixin):
 
         if (
             jax.default_backend() == "tpu"
+            and self.dtype == jnp.float32  # kernel is f32; f64 (emulated)
+            and Xt.dtype == jnp.float32    # must take the XLA path
             and not os.environ.get("BLOCKCG_NO_PALLAS")
             and block_stencil.available(self.ns, Xt.shape[0], self.bs, self.offsets)
         ):

@@ -79,6 +79,8 @@ class DIAOperator(MatmatMixin):
 
         if (
             jax.default_backend() == "tpu"
+            and self.dtype == jnp.float32  # kernel is f32; f64 (emulated)
+            and Xt.dtype == jnp.float32    # must take the XLA path
             and not os.environ.get("BLOCKCG_NO_PALLAS")
             and stencil.available(self.n, Xt.shape[0], self.offsets)
         ):
