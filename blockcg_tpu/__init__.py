@@ -27,7 +27,13 @@ from blockcg_tpu.operators import (
     BSROperator,
     DenseOperator,
 )
-from blockcg_tpu.solvers import solve_cg, solve_bcg, solve_sbcgrq, solve_refined
+from blockcg_tpu.solvers import (
+    solve_cg,
+    solve_bcg,
+    solve_sbcgrq,
+    solve_refined,
+    solve_shifted_cg,
+)
 
 __version__ = "0.1.0"
 
@@ -43,4 +49,5 @@ __all__ = [
     "solve_bcg",
     "solve_sbcgrq",
     "solve_refined",
+    "solve_shifted_cg",
 ]

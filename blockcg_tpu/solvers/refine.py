@@ -44,6 +44,7 @@ def solve_refined(
     replace_every: int = 0,
     solve_fn: Callable | None = None,
     op64=None,
+    checkpoint_path: str | None = None,
     verbose: bool = False,
 ) -> tuple[jax.Array, SolverInfo]:
     """Solve ``A X = B`` to a tolerance below f32 reach.
@@ -91,7 +92,15 @@ def solve_refined(
         bnorm = jnp.linalg.norm(B64, axis=0)
         bnorm = jnp.where(bnorm > 0, bnorm, 1.0)
         X = jnp.zeros_like(B64)
-        R = B64
+        if checkpoint_path is not None:  # resume = warm start (SURVEY.md §6)
+            from blockcg_tpu.utils.checkpoint import load_checkpoint
+
+            ckpt = load_checkpoint(checkpoint_path)
+            if ckpt is not None:
+                X = ckpt[0].astype(f64)
+                if verbose:
+                    print(f"[refine] resumed from {checkpoint_path} (cycle {ckpt[1]})")
+        R = B64 - op64.matmat(X) if checkpoint_path is not None else B64
         relres = jnp.linalg.norm(R, axis=0) / bnorm
 
     matvecs = 0
@@ -110,6 +119,10 @@ def solve_refined(
             R = B64 - op64.matmat(X)
             relres = jnp.linalg.norm(R, axis=0) / bnorm
         matvecs += 1
+        if checkpoint_path is not None:
+            from blockcg_tpu.utils.checkpoint import save_checkpoint
+
+            save_checkpoint(checkpoint_path, X, iteration=cycles)
         if verbose:
             print(f"[refine] cycle {cycles}: max relres = {float(jnp.max(relres)):.3e}")
         if bool(jnp.max(relres) <= tol):

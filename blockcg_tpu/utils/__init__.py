@@ -1,0 +1,18 @@
+from blockcg_tpu.utils.metrics import (
+    SolveRecord,
+    convergence_history,
+    log_jsonl,
+    profile_trace,
+    timed_solve,
+)
+from blockcg_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+__all__ = [
+    "SolveRecord",
+    "convergence_history",
+    "log_jsonl",
+    "profile_trace",
+    "timed_solve",
+    "load_checkpoint",
+    "save_checkpoint",
+]

@@ -67,6 +67,30 @@ def test_refined_bcg_inner():
     assert res.max() <= 1e-10
 
 
+def test_refined_checkpoint_resume(tmp_path):
+    """Kill-and-resume: a fresh call with the same checkpoint path warm-starts
+    from the saved X and needs fewer cycles (SURVEY.md §6)."""
+    shape = (10, 10, 10)
+    op = laplacian_dia(shape, dtype=jnp.float32)
+    a = laplacian_scipy(shape)
+    B = random_block(op.n, 4, seed=9)
+    ck = str(tmp_path / "solve.npz")
+    # "crashed" run: only 1 cycle allowed
+    X1, info1 = solve_refined(
+        op, jnp.asarray(B), tol=1e-10, inner_tol=1e-4, max_cycles=1,
+        checkpoint_path=ck,
+    )
+    assert not bool(info1.converged.all())
+    # resumed run finishes
+    X2, info2 = solve_refined(
+        op, jnp.asarray(B), tol=1e-10, inner_tol=1e-4, checkpoint_path=ck
+    )
+    assert bool(info2.converged.all())
+    assert int(info2.iterations) < 4
+    res = np.linalg.norm(a @ np.asarray(X2) - B, axis=0) / np.linalg.norm(B, axis=0)
+    assert res.max() <= 1e-10
+
+
 def test_op_astype():
     op = laplacian_dia((8, 8), dtype=jnp.float32)
     op64 = op_astype(op, jnp.float64)
