@@ -36,27 +36,52 @@ def _timed_loop(compiled, x, n_ignored):
     return time.time() - t0
 
 
-def measure_apply(op, Xt, n1=4, n2=36, trials=2):
-    """Seconds per operator apply (differenced chained loops)."""
-    times = []
-    for n in (n1, n2):
-        def loop(o, v):
+def measure_apply(op, Xt, lengths=(4, 20, 36), trials=3):
+    """Seconds per operator apply.
+
+    Times jitted fori_loops of N chained applies for several N and fits the
+    marginal cost (least-squares slope of best-of-trials times vs N), which
+    cancels the per-execution fixed overhead of this sandbox's TPU tunnel
+    (~30 ms dispatch+fetch). Retries once if noise produces a non-positive
+    slope; falls back to the longest loop's average.
+    """
+    compiled = {}
+    for n in lengths:
+        def loop(o, v, n=n):
             return jax.lax.fori_loop(
                 0, n,
                 lambda i, u: jax.lax.optimization_barrier(o.matmat_t(u) * 0.05),
                 v, unroll=False,
             )
-        compiled = jax.jit(loop).lower(op, Xt).compile()
-        best = float("inf")
-        for t in range(trials):
-            xs = Xt * (1.0 + 1e-6 * (t + 1))
-            _ = float(jnp.sum(xs))  # materialize input
-            t0 = time.time()
-            y = compiled(op, xs)
-            _ = float(jnp.sum(y))
-            best = min(best, time.time() - t0)
-        times.append(best)
-    return (times[1] - times[0]) / (n2 - n1)
+        compiled[n] = jax.jit(loop).lower(op, Xt).compile()
+
+    def run_once(round_id):
+        best = {}
+        for n in lengths:
+            b = float("inf")
+            for t in range(trials):
+                xs = Xt * (1.0 + 1e-6 * (round_id * trials + t + 1))
+                _ = float(jnp.sum(xs))  # materialize input
+                t0 = time.time()
+                y = compiled[n](op, xs)
+                _ = float(jnp.sum(y))
+                b = min(b, time.time() - t0)
+            best[n] = b
+        xs_ = [float(n) for n in lengths]
+        ys = [best[n] for n in lengths]
+        xbar = sum(xs_) / len(xs_)
+        ybar = sum(ys) / len(ys)
+        denom = sum((x - xbar) ** 2 for x in xs_)
+        slope = sum((x - xbar) * (y - ybar) for x, y in zip(xs_, ys)) / denom
+        return slope, best
+
+    slope, best = run_once(0)
+    if slope <= 0:
+        slope, best = run_once(1)
+    if slope <= 0:  # tunnel noise won; use a conservative upper bound
+        nmax = max(lengths)
+        slope = best[nmax] / nmax
+    return slope
 
 
 def main():

@@ -3,6 +3,7 @@ from blockcg_tpu.operators.csr import CSROperator, ELLOperator
 from blockcg_tpu.operators.dia import DIAOperator
 from blockcg_tpu.operators.bsr import BSROperator
 from blockcg_tpu.operators.bdia import BlockDIAOperator
+from blockcg_tpu.operators.cbdia import ConstBlockDIAOperator
 from blockcg_tpu.operators.tiled import TiledOperator
 from blockcg_tpu.operators.dense import DenseOperator
 
@@ -14,6 +15,7 @@ __all__ = [
     "DIAOperator",
     "BSROperator",
     "BlockDIAOperator",
+    "ConstBlockDIAOperator",
     "TiledOperator",
     "DenseOperator",
 ]

@@ -64,6 +64,22 @@ class MatmatMixin:
         """(n,) -> (n,) single-vector apply via the lanes-major path."""
         return self.matmat_t(x[None, :])[0]
 
+    # Internal field layout hooks. Solvers carry their lanes-major block
+    # state in whatever view the operator's kernels want — for block-spin
+    # operators that is (k, bs, ns): reshaping (k, bs*ns) <-> (k, bs, ns) at
+    # an XLA boundary splits/merges the lane dimension, a physical relayout
+    # copy of the whole block per apply (measured ~2.5x on the 32^4 Dirac
+    # config). Converting once at solve entry/exit makes the hot loop
+    # relayout-free. Default: flat (k, n) is already internal.
+
+    def to_internal(self, Xt):
+        """Lanes-major (k, n) -> the operator's internal field view."""
+        return Xt
+
+    def from_internal(self, Xf):
+        """Internal field view -> lanes-major (k, n)."""
+        return Xf
+
 
 def astype(op, dtype):
     """Cast an operator pytree's float arrays to ``dtype`` (indices kept).

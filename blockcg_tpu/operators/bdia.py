@@ -59,11 +59,20 @@ class BlockDIAOperator(MatmatMixin):
     def dtype(self):
         return self.blocks.dtype
 
+    def to_internal(self, Xt: jax.Array) -> jax.Array:
+        return Xt.reshape(Xt.shape[0], self.bs, self.ns)
+
+    def from_internal(self, Xv: jax.Array) -> jax.Array:
+        return Xv.reshape(Xv.shape[0], self.n)
+
     def matmat_t(self, Xt: jax.Array) -> jax.Array:
+        """Apply to a lanes-major block: flat (k, n) or internal (k, bs, ns)."""
         import os
 
         from blockcg_tpu.ops import block_stencil
 
+        flat = Xt.ndim == 2
+        Xv = self.to_internal(Xt) if flat else Xt
         if (
             jax.default_backend() == "tpu"
             and self.dtype == jnp.float32  # kernel is f32; f64 (emulated)
@@ -71,20 +80,27 @@ class BlockDIAOperator(MatmatMixin):
             and not os.environ.get("BLOCKCG_NO_PALLAS")
             and block_stencil.available(self.ns, Xt.shape[0], self.bs, self.offsets)
         ):
-            return block_stencil.block_stencil_spmm_t(self.blocks, self.offsets, Xt)
-        return self._matmat_t_xla(Xt)
+            Yv = block_stencil.block_stencil_spmm_t(self.blocks, self.offsets, Xv)
+        else:
+            Yv = self._matmat_v_xla(Xv)
+        return self.from_internal(Yv) if flat else Yv
 
     def _matmat_t_xla(self, Xt: jax.Array) -> jax.Array:
+        return self.from_internal(self._matmat_v_xla(self.to_internal(Xt)))
+
+    def _matmat_v_xla(self, Xv: jax.Array) -> jax.Array:
         # Toroidal semantics (match the Pallas kernel): site = (s + o) mod ns.
-        k = Xt.shape[0]
+        k = Xv.shape[0]
         bs, ns = self.bs, self.ns
-        Xv = Xt.reshape(k, bs, ns)
-        Yv = jnp.zeros((k, bs, ns), dtype=Xt.dtype)
+        Yv = jnp.zeros((k, bs, ns), dtype=Xv.dtype)
         for d, o in enumerate(self.offsets):  # static unroll
             src = Xv if o == 0 else jnp.roll(Xv, -o, axis=2)
             # Y[k, a, i] += sum_b blocks[d, a, b, i] * src[k, b, i]
-            Yv = Yv + jnp.einsum("abi,kbi->kai", self.blocks[d], src)
-        return Yv.reshape(k, self.n)
+            Yv = Yv + jnp.einsum(
+                "abi,kbi->kai", self.blocks[d], src,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        return Yv
 
 
 jax.tree_util.register_dataclass(

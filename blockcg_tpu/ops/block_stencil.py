@@ -93,12 +93,14 @@ def block_stencil_spmm_t(
     Args:
       blocks: (noff, bs, bs, ns) per-site block diagonals.
       offsets: static site offsets.
-      Xt: (k, bs*ns) lanes-major RHS block, spin-major flat rows.
+      Xt: (k, bs, ns) internal field view (preferred — no relayout), or flat
+        (k, bs*ns) spin-major rows.
 
     Returns:
-      Yt: (k, bs*ns).
+      Yt, shaped like Xt.
     """
     noff, bs, _, ns = blocks.shape
+    flat = Xt.ndim == 2
     k = Xt.shape[0]
     p = plan(ns, k, bs, offsets)
     if p is None:
@@ -112,7 +114,7 @@ def block_stencil_spmm_t(
     order = [offsets.index(o) for o in p.near + p.far]
     blocks_ord = blocks[jnp.asarray(order)] if order != list(range(noff)) else blocks
     diags2d = blocks_ord.reshape(noff * bs * bs, ns)
-    Xv = Xt.reshape(k, bs, ns)
+    Xv = Xt.reshape(k, bs, ns) if flat else Xt
 
     in_specs = [
         pl.BlockSpec((noff * bs * bs, R), lambda i: (0, i), memory_space=pltpu.VMEM)
@@ -170,7 +172,7 @@ def block_stencil_spmm_t(
         ),
         interpret=interpret,
     )(diags2d, *x_args)
-    return Yv.reshape(k, bs * ns)
+    return Yv.reshape(k, bs * ns) if flat else Yv
 
 
 def available(n_sites: int, k: int, bs: int, offsets: tuple[int, ...]) -> bool:

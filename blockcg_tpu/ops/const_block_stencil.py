@@ -1,0 +1,279 @@
+"""Pallas TPU constant-hop block-stencil SpMM — T-K1 fast path for lattice
+operators with site-independent hopping blocks (north-star config 4;
+reference R1, SURVEY.md §3.1).
+
+Design points vs the general block-stencil kernel (ops/block_stencil.py):
+
+1. **MXU spin mixing.** The general kernel is VPU-bound: one scalar FMA per
+   nonzero hop entry per offset (~230 terms for the 4D Dirac-like operator)
+   saturates the vector unit. Here site offsets are grouped by identical hop
+   matrix (a periodic hop and its wraparound diagonal share one — emitted so
+   by problems/dirac.py); each group's masked windows sum into one row-block
+   of a VMEM operand stack ``stack[(g, b)] = sum_members mask * window``,
+   and a single matmul per tile
+
+       Y (bs*kp, R) = W (bs*kp, G*bs*kp) @ stack (G*bs*kp, R)
+
+   does all the spin mixing on the MXU. The weights
+   ``W[a*kp+i, (g*bs+b)*kp+j] = (i==j) * H_g[a][b]`` are built at trace time
+   from the compile-time hop scalars: hop values never touch HBM (the
+   weights block is fetched once), and only 0/1 boundary masks stream
+   (4 B/site per masked diagonal).
+
+2. **Native (k, bs, ns) I/O.** Reshaping (k, bs*ns) <-> (k, bs, ns) at the
+   XLA boundary splits/merges the lane dimension — a physical relayout copy
+   of the whole block per apply (measured ~2.5x total on the 32^4 config).
+   The kernel takes the 3D field view directly; solvers keep their state in
+   it end-to-end (operators/base.py ``to_internal``).
+
+Windowing (near halo + far aligned windows, toroidal semantics) is shared
+with the scalar stencil planner (ops/stencil.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from blockcg_tpu.ops.stencil import plan as _plan
+
+
+def plan(n_sites: int, k: int, bs: int, offsets: tuple[int, ...], nmask: int):
+    return _plan(n_sites, k, offsets, sublanes=bs, coeff_rows=nmask)
+
+
+def _group_offsets(hops: tuple, mask_slot: tuple[int, ...]):
+    """Group ordered diagonal indices by identical hop matrix."""
+    order: list[tuple] = []
+    index: dict[tuple, int] = {}
+    members: list[list[tuple[int, int]]] = []
+    for d, h in enumerate(hops):
+        g = index.get(h)
+        if g is None:
+            index[h] = g = len(order)
+            order.append(h)
+            members.append([])
+        members[g].append((d, mask_slot[d]))
+    return tuple(zip(order, map(tuple, members)))
+
+
+def _kernel(near, far, H, bs, k, kp, groups, nmask, precision, *refs):
+    nf = len(far)
+    i = 0
+    masks_ref = None
+    if nmask > 0:
+        masks_ref = refs[0]
+        i = 1
+    wt_ref = refs[i]
+    i += 1
+    if H > 0:
+        xprev, xcur, xnext = refs[i], refs[i + 1], refs[i + 2]
+        i += 3
+    else:
+        xcur = refs[i]
+        i += 1
+    far_refs = refs[i : i + nf]
+    y_ref = refs[i + nf]
+    w_ref = refs[i + nf + 1]
+    s_ref = refs[i + nf + 2]
+    R = y_ref.shape[2]
+    W = R + 2 * H  # near-window width inside scratch; far windows follow
+
+    # Stage X windows (near halo'd + far) per spin plane.
+    for b in range(bs):
+        if H > 0:
+            w_ref[b, :, :H] = xprev[:, b, :]
+            w_ref[b, :, H : H + R] = xcur[:, b, :]
+            w_ref[b, :, H + R : W] = xnext[:, b, :]
+        else:
+            w_ref[b, :, :R] = xcur[:, b, :]
+        for fi in range(nf):
+            w_ref[b, :, W + fi * R : W + (fi + 1) * R] = far_refs[fi][:, b, :]
+
+    lo_of = {}
+    fi = 0
+    for d, o in enumerate(near + far):
+        if d < len(near):
+            lo_of[d] = H + o
+        else:
+            lo_of[d] = W + fi * R
+            fi += 1
+
+    # Operand stack: one (kp, R) row-block per (group, spin-in).
+    zpad = jnp.zeros((kp - k, R), dtype=y_ref.dtype) if kp > k else None
+    for g, (_, mem) in enumerate(groups):
+        for b in range(bs):
+            val = None
+            for d, ms in mem:
+                lo = lo_of[d]
+                piece = w_ref[b, :, lo : lo + R]
+                if ms >= 0:
+                    piece = masks_ref[ms, :].reshape(1, R) * piece
+                val = piece if val is None else val + piece
+            row = (g * bs + b) * kp
+            s_ref[row : row + k, :] = val
+            if zpad is not None:
+                # Dead padding rows must be exactly zero: the MXU contracts
+                # over every operand row and 0 * garbage(NaN) would poison
+                # live outputs.
+                s_ref[row + k : row + kp, :] = zpad
+
+    # One MXU matmul per tile: (bs*kp, G*bs*kp) @ (G*bs*kp, R).
+    acc = jax.lax.dot_general(
+        wt_ref[:],
+        s_ref[:],
+        (((1,), (0,)), ((), ())),
+        precision=precision,
+        preferred_element_type=y_ref.dtype,
+    )
+    for a in range(bs):
+        y_ref[:, a, :] = acc[a * kp : a * kp + k, :]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("hops", "offsets", "mask_slot", "interpret", "precision")
+)
+def const_block_stencil_spmm_t(
+    hops: tuple,
+    offsets: tuple[int, ...],
+    mask_slot: tuple[int, ...],
+    masks: jax.Array | None,
+    Xt: jax.Array,
+    *,
+    interpret: bool = False,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+) -> jax.Array:
+    """Lanes-major constant-hop block-stencil SpMM.
+
+    Args:
+      hops: static nested tuple, ``hops[d][a][b]`` — constant bs x bs block
+        per site-offset (compile-time scalars).
+      offsets: static site offsets (toroidal: column site = (s + o) mod ns).
+      mask_slot: static per-offset row into ``masks`` (-1 = unmasked).
+      masks: (nmask, ns) 0/1 row-site gates, or None if all slots are -1.
+      Xt: (k, bs, ns) internal field view (preferred — no relayout), or flat
+        (k, bs*ns) spin-major rows.
+
+    Returns:
+      Yt, shaped like Xt.
+    """
+    bs = len(hops[0])
+    flat = Xt.ndim == 2
+    k = Xt.shape[0]
+    ns = (Xt.shape[1] // bs) if flat else Xt.shape[2]
+    nmask = 0 if masks is None else masks.shape[0]
+    p = plan(ns, k, bs, offsets, nmask)
+    if p is None:
+        raise ValueError(
+            f"no const-block-stencil plan for ns={ns}, k={k}, bs={bs}, "
+            f"offsets={offsets}"
+        )
+    R, H = p.R, p.H
+    nb = ns // R
+    nh = ns // H if H else 1
+    kp = -(-k // 8) * 8  # pad k to a sublane tile
+
+    order = [offsets.index(o) for o in p.near + p.far]
+    hops_ord = tuple(hops[j] for j in order)
+    mslot_ord = tuple(mask_slot[j] for j in order)
+    groups = _group_offsets(hops_ord, mslot_ord)
+    G = len(groups)
+
+    # Weights: block row a, block column (g, b) is H_g[a][b] * I_kp.
+    wt = np.zeros((bs * kp, G * bs * kp), dtype=np.float32)
+    eye = np.eye(kp, dtype=np.float32)
+    for g, (h, _) in enumerate(groups):
+        for a in range(bs):
+            for b in range(bs):
+                if h[a][b] != 0.0:
+                    wt[
+                        a * kp : (a + 1) * kp,
+                        (g * bs + b) * kp : (g * bs + b + 1) * kp,
+                    ] = h[a][b] * eye
+    wt = jnp.asarray(wt, dtype=Xt.dtype)
+
+    in_specs = []
+    args = []
+    if nmask > 0:
+        in_specs.append(
+            pl.BlockSpec((nmask, R), lambda i: (0, i), memory_space=pltpu.VMEM)
+        )
+        args.append(masks)
+    # Weights: constant block (index map pinned to (0, 0) — fetched once).
+    in_specs.append(
+        pl.BlockSpec(wt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    )
+    args.append(wt)
+    Xv = Xt.reshape(k, bs, ns) if flat else Xt
+    if H > 0:
+        in_specs += [
+            pl.BlockSpec(
+                (k, bs, H),
+                lambda i: (0, 0, (i * (R // H) - 1) % nh),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((k, bs, R), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (k, bs, H),
+                lambda i: (0, 0, ((i + 1) * (R // H)) % nh),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        args += [Xv, Xv, Xv]
+    else:
+        in_specs.append(
+            pl.BlockSpec((k, bs, R), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+        )
+        args.append(Xv)
+    for o in p.far:
+        m = o // R
+        in_specs.append(
+            pl.BlockSpec(
+                (k, bs, R),
+                functools.partial(lambda m, i: (0, 0, (i + m) % nb), m),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        args.append(Xv)
+
+    kernel = functools.partial(
+        _kernel, p.near, p.far, H, bs, k, kp, groups, nmask, precision
+    )
+    noff = len(offsets)
+    terms = sum(
+        1 for d in range(noff) for a in range(bs) for b in range(bs)
+        if hops[d][a][b] != 0.0
+    )
+    flops = 2 * terms * k * ns
+    bytes_accessed = 4 * (k * bs * ns * p.x_reads + nmask * ns + k * bs * ns)
+    scratch = [
+        pltpu.VMEM((bs, k, (R + 2 * H) + len(p.far) * R), Xt.dtype),
+        pltpu.VMEM((G * bs * kp, R), Xt.dtype),
+    ]
+
+    Yv = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (k, bs, R), lambda i: (0, 0, i), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((k, bs, ns), Xt.dtype),
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=int(bytes_accessed), transcendentals=0
+        ),
+        interpret=interpret,
+    )(*args)
+    return Yv.reshape(k, bs * ns) if flat else Yv
+
+
+def available(
+    n_sites: int, k: int, bs: int, offsets: tuple[int, ...], nmask: int
+) -> bool:
+    return plan(n_sites, k, bs, offsets, nmask) is not None

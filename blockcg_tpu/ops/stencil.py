@@ -58,12 +58,18 @@ class StencilPlan:
 
 
 def plan(
-    n: int, k: int, offsets: tuple[int, ...], sublanes: int = 1
+    n: int,
+    k: int,
+    offsets: tuple[int, ...],
+    sublanes: int = 1,
+    coeff_rows: int | None = None,
 ) -> StencilPlan | None:
     """Choose (R, H, near/far split) minimizing X traffic under VMEM.
 
     ``sublanes`` scales the VMEM estimate for the block-stencil variant
-    (fields carry a bs-sized sublane dim padded to 8).
+    (fields carry a bs-sized sublane dim padded to 8). ``coeff_rows``
+    overrides the number of coefficient rows streamed per tile (the
+    const-block variant streams only boundary masks, not full diagonals).
     """
     if n % 128 != 0 or n < 256:
         return None
@@ -72,6 +78,7 @@ def plan(
     pad8 = -(-bs // 8) * 8  # sublane tile padding of the bs dim
     ksub = max(k, 8) if bs == 1 else max(k, 1) * pad8
 
+    crows = ndiag * bs * bs if coeff_rows is None else coeff_rows
     best: StencilPlan | None = None
     best_traffic = None
     H = 0
@@ -88,7 +95,7 @@ def plan(
                         2 * win + win  # in-blocks (x2) + scratch
                         + 2 * len(far) * ksub * R
                         + 2 * ksub * R  # out
-                        + 2 * ndiag * bs * bs * R  # diags (2D-reshaped, no pad)
+                        + 2 * max(crows, 8) * R  # coeff rows (2D, no pad)
                     )
                     if vmem <= _VMEM_BUDGET:
                         traffic = 1.0 + (2 * H + len(far) * R) / R

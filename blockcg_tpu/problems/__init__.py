@@ -7,6 +7,7 @@ from blockcg_tpu.problems.laplacian import (
 from blockcg_tpu.problems.dirac import (
     bdia_scipy,
     dirac_bdia,
+    dirac_cbdia,
     dirac_bell,
     dirac_scipy,
 )
@@ -20,6 +21,7 @@ __all__ = [
     "laplacian_scipy",
     "bdia_scipy",
     "dirac_bdia",
+    "dirac_cbdia",
     "dirac_bell",
     "dirac_scipy",
     "random_spd",

@@ -104,6 +104,73 @@ def dirac_bdia(
     return op
 
 
+def dirac_cbdia(
+    L: int, m: float = 0.5, bc: str = "periodic", dtype=jnp.float32, seed: int = 7
+):
+    """Build the operator as a ConstBlockDIAOperator (spin-major rows).
+
+    Same matrix as ``dirac_bdia`` (unit-tested equivalence) in the
+    constant-hop container: hop blocks are compile-time scalars, only the
+    per-axis boundary masks stream from HBM — the fast path for the
+    translation-invariant config-4 operator (SURVEY.md R1/T-K1).
+    """
+    from blockcg_tpu.operators.cbdia import ConstBlockDIAOperator
+
+    if bc not in ("periodic", "open"):
+        raise ValueError(f"bc must be 'periodic' or 'open', got {bc!r}")
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+    H = hopping_matrices(seed).astype(np_dtype)
+    ns = L**_NDIM
+    coords, strides = _coords(ns, L)
+
+    def tup(block: np.ndarray) -> tuple:
+        return tuple(tuple(float(v) for v in row) for row in block)
+
+    offsets: list[int] = [0]
+    hops: list[tuple] = [tup((m * m + 2.0 * _NDIM) * np.eye(BS, dtype=np_dtype))]
+    mask_slot: list[int] = [-1]
+    masks: list[np.ndarray] = []
+
+    def add(o: int, block: np.ndarray, mask: np.ndarray | None):
+        offsets.append(o)
+        hops.append(tup(block))
+        if mask is None:
+            mask_slot.append(-1)
+        else:
+            mask_slot.append(len(masks))
+            masks.append(mask.astype(np_dtype))
+
+    for ax in range(_NDIM):
+        st = strides[ax]
+        c = coords[ax]
+        if bc == "periodic" and ax == 0:
+            # Slowest axis: flat-index wraparound IS the lattice wraparound
+            # (toroidal BlockDIA/stencil semantics) — unmasked diagonals.
+            add(st, -H[ax], None)
+            add(-st, -H[ax].T, None)
+            continue
+        add(st, -H[ax], c < L - 1)
+        add(-st, -H[ax].T, c > 0)
+        if bc == "periodic":
+            add(-(L - 1) * st, -H[ax], c == L - 1)
+            add((L - 1) * st, -H[ax].T, c == 0)
+
+    op = ConstBlockDIAOperator(
+        masks=jnp.asarray(np.stack(masks)) if masks else None,
+        hops=tuple(hops),
+        offsets=tuple(offsets),
+        mask_slot=tuple(mask_slot),
+        num_sites=ns,
+    )
+    nnz = 0
+    for d in range(len(offsets)):
+        nz = int(np.count_nonzero(np.asarray(hops[d])))
+        rows = ns if mask_slot[d] < 0 else int(masks[mask_slot[d]].sum())
+        nnz += nz * rows
+    object.__setattr__(op, "_nnz", nnz)
+    return op
+
+
 def bdia_scipy(op: BlockDIAOperator):
     """Generic BlockDIAOperator -> scipy CSR (small problems; test oracle)."""
     import scipy.sparse as sp

@@ -90,7 +90,8 @@ def solve_bcg(
     """
     if B.ndim == 1:
         raise ValueError("solve_bcg expects an (n, k) block; use solve_cg for k=1")
-    Bt = B.T
-    X0t = jnp.zeros_like(Bt) if X0 is None else X0.T
+    # State in the operator's internal field view (see solve_sbcgrq).
+    Bt = op.to_internal(B.T)
+    X0t = jnp.zeros_like(Bt) if X0 is None else op.to_internal(X0.T)
     Xt, info = _bcg_impl(op, Bt, X0t, tol, max_iter, axis_name, record_history)
-    return Xt.T, info
+    return op.from_internal(Xt).T, info

@@ -31,22 +31,33 @@ def psum_if(x, axis_name: str | None):
 
 
 def mm(a, b):
-    """Small-by-large matmul at full f32 precision (MXU, 6-pass)."""
-    return jnp.matmul(a, b, precision=HIGHEST, preferred_element_type=a.dtype)
+    """Small k x k times field matmul at full f32 precision (MXU, 6-pass).
+
+    ``b`` is any lanes-major field ``(k, ...)`` — flat (k, n) or the block
+    operators' native (k, bs, ns) view (kept 3D end-to-end: reshaping the
+    lane dim at an XLA boundary is a physical relayout copy of the block)."""
+    return jnp.tensordot(
+        a, b, axes=(1, 0), precision=HIGHEST, preferred_element_type=a.dtype
+    )
+
+
+def _field_dims(Ut: jax.Array) -> tuple[int, ...]:
+    return tuple(range(1, Ut.ndim))
 
 
 def gram_t(Ut: jax.Array, Vt: jax.Array, axis_name: str | None = None) -> jax.Array:
-    """Gram block ``U^T V`` (k x k) from lanes-major operands (k, n)."""
+    """Gram block ``U^T V`` (k x k) from lanes-major fields (k, ...)."""
+    dims = _field_dims(Ut)
     G = lax.dot_general(
-        Ut, Vt, (((1,), (1,)), ((), ())), precision=HIGHEST,
+        Ut, Vt, ((dims, dims), ((), ())), precision=HIGHEST,
         preferred_element_type=Ut.dtype,
     )
     return psum_if(G, axis_name)
 
 
 def row_norms2_t(Ut: jax.Array, axis_name: str | None = None) -> jax.Array:
-    """Squared column norms of U, i.e. row norms of Ut (k, n) -> (k,)."""
-    s = jnp.sum(Ut * Ut, axis=1)
+    """Squared column norms of U, i.e. row norms of a field (k, ...) -> (k,)."""
+    s = jnp.sum(Ut * Ut, axis=_field_dims(Ut))
     return psum_if(s, axis_name)
 
 
@@ -94,7 +105,7 @@ def _cholqr_once_t(Vt: jax.Array, axis_name: str | None):
     """
     nrm2 = row_norms2_t(Vt, axis_name)
     d = lax.rsqrt(jnp.maximum(nrm2, jnp.finfo(Vt.dtype).tiny))
-    Vs = Vt * d[:, None]
+    Vs = Vt * d.reshape(d.shape + (1,) * (Vt.ndim - 1))
     G = gram_t(Vs, Vs, axis_name)
     L = safe_cholesky(G)  # G = L L^T, so R_s = L^T
     Rinv_s = tri_inverse_upper(L.T)

@@ -137,10 +137,12 @@ def solve_sbcgrq(
     """Solve ``A X = B`` (A SPD, B (n, k)) by stabilized block CG (SBCGrQ)."""
     if B.ndim == 1:
         raise ValueError("solve_sbcgrq expects an (n, k) block; use solve_cg for k=1")
-    Bt = B.T
-    X0t = jnp.zeros_like(Bt) if X0 is None else X0.T
+    # Solver state lives in the operator's internal field view (e.g.
+    # (k, bs, ns) for block operators) — converted once here, not per apply.
+    Bt = op.to_internal(B.T)
+    X0t = jnp.zeros_like(Bt) if X0 is None else op.to_internal(X0.T)
     Xt, info = _sbcgrq_impl(
         op, Bt, X0t, tol, max_iter, qr_passes, replace_every, axis_name,
         record_history,
     )
-    return Xt.T, info
+    return op.from_internal(Xt).T, info
