@@ -36,14 +36,15 @@ def _timed_loop(compiled, x, n_ignored):
     return time.time() - t0
 
 
-def measure_apply(op, Xt, lengths=(4, 20, 36), trials=3):
+def measure_apply(op, Xt, lengths=(8, 136, 264), trials=3):
     """Seconds per operator apply.
 
     Times jitted fori_loops of N chained applies for several N and fits the
     marginal cost (least-squares slope of best-of-trials times vs N), which
     cancels the per-execution fixed overhead of this sandbox's TPU tunnel
-    (~30 ms dispatch+fetch). Retries once if noise produces a non-positive
-    slope; falls back to the longest loop's average.
+    (~30 ms dispatch+fetch, with ±10 ms jitter — the loop lengths are chosen
+    so the marginal signal dwarfs that jitter). Retries once if noise
+    produces a non-positive slope; falls back to the longest loop's average.
     """
     compiled = {}
     for n in lengths:
@@ -99,10 +100,14 @@ def main():
     B = jnp.asarray(rng.standard_normal((op.n, 32)), dtype=jnp.float32)
     X, info = bc.solve_sbcgrq(op, B, tol=1e-6, max_iter=300)
     _ = int(info.iterations)  # warm/compile + force
-    t0 = time.time()
-    X, info = bc.solve_sbcgrq(op, B * 1.00001, tol=1e-6, max_iter=300)
-    iters = int(info.iterations)
-    solve_s = time.time() - t0
+    solve_s = float("inf")
+    for t in range(3):
+        bs_ = B * (1.0 + 1e-6 * (t + 1))
+        _ = float(jnp.sum(bs_))
+        t0 = time.time()
+        X, info = bc.solve_sbcgrq(op, bs_, tol=1e-6, max_iter=300)
+        iters = int(info.iterations)
+        solve_s = min(solve_s, time.time() - t0)
 
     print(json.dumps({
         "metric": "SpMM nnz/s per chip (config 3: 3D Laplacian 64^3, k=32, Pallas stencil)",

@@ -1,0 +1,306 @@
+"""Fused per-iteration block-update Pallas kernels (T-K2).
+
+Reference equivalent: R2/R3 composition (SURVEY.md §3.1) — Eigen evaluates
+``X += P*(alpha*S)`` etc. lazily in one pass; XLA does not: profiling the
+SBCGrQ iteration on the v5e showed the small-k Gram/update chain running at
+~150-340 GB/s with one HBM pass per primitive, dominating time-to-tol
+(~5.3 of 5.5 ms/iter on config 3). These kernels restore the one-pass
+structure and run at measured ~700-830 GB/s:
+
+- ``gram(U, V)``                     G = U V^T (lanes-major: fields are
+                                     (k, n) or (k, bs, ns); one read each)
+- ``mm_update(M, B, A)``             Y = M @ B [+ A]
+- ``mm_update_gram(M, B, A)``        Y = M @ B [+ A], G = Y Y^T — fuses the
+                                     SBCGrQ residual-direction update with
+                                     the CholQR Gram (whose diagonal also
+                                     supplies the equilibration norms, so
+                                     CholeskyQR needs NO separate norm pass)
+- ``qr_p_update(M2, Q1, rho, P)``    Q = M2 @ Q1 ; Pn = Q + rho @ P — the
+                                     fused second-QR-pass + search-direction
+                                     update (reads Q1, P once).
+
+All k x k coefficient matrices ride in VMEM blocks pinned to (0, 0) and the
+matmuls run on the MXU at HIGHEST (full f32) precision. Fields may be flat
+(k, n) or the block operators' native (k, bs, ns) view. Grid is 1-D over
+lane tiles; Gram results accumulate into the revisited (k, k) output block.
+
+Callers dispatch through ``available()`` and fall back to the jnp
+composition (solvers/common.py) on CPU / f64 / odd shapes.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+HIGHEST = jax.lax.Precision.HIGHEST
+
+_VMEM_BUDGET = 10 * 1024 * 1024
+_R_MAX = 16384
+
+
+def _field_dims(F):
+    """(k, bs, lanes) with bs=0 marking a flat 2D field."""
+    if F.ndim == 2:
+        return F.shape[0], 0, F.shape[1]
+    if F.ndim == 3:
+        return F.shape[0], F.shape[1], F.shape[2]
+    raise ValueError(f"field must be (k, n) or (k, bs, ns), got {F.shape}")
+
+
+def _pick_tile(k: int, bs: int, lanes: int, nfields: int) -> int | None:
+    """Largest lane tile R dividing ``lanes`` under the VMEM budget."""
+    if lanes % 128 != 0:
+        return None
+    sub = max(k, 8) if bs == 0 else k * max(bs, 8)  # padded sublane footprint
+    best = None
+    R = 128
+    while R <= min(lanes, _R_MAX):
+        if lanes % R == 0:
+            if 4 * 2 * nfields * sub * R <= _VMEM_BUDGET:
+                best = R
+        R *= 2
+    return best
+
+
+def _spec(k, bs, R):
+    if bs == 0:
+        return pl.BlockSpec((k, R), lambda i: (0, i), memory_space=pltpu.VMEM)
+    return pl.BlockSpec((k, bs, R), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+
+
+def _kk_spec(shape):
+    return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+
+
+def _dot_kk(m, x):
+    """(k, k) @ (k, R) on the MXU."""
+    return jax.lax.dot_general(
+        m, x, (((1,), (0,)), ((), ())), precision=HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _dot_gram(u, v):
+    """(k, R) x (k, R) -> (k, k), contracting lanes."""
+    return jax.lax.dot_general(
+        u, v, (((1,), (1,)), ((), ())), precision=HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _planes(ref, bs):
+    """Iterate (k, R) planes of a field ref value."""
+    if bs == 0:
+        yield ref[:]
+    else:
+        for b in range(bs):
+            yield ref[:, b, :]
+
+
+def _ok(*fields) -> bool:
+    import os
+
+    if jax.default_backend() != "tpu" and not os.environ.get("BLOCKCG_FUSED_INTERPRET"):
+        return False
+    if os.environ.get("BLOCKCG_NO_PALLAS"):
+        return False
+    return all(f.dtype == jnp.float32 for f in fields)
+
+
+# ------------------------------------------------------------------ gram --
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gram(U: jax.Array, V: jax.Array, *, interpret: bool = False) -> jax.Array:
+    """G = U V^T over the field dims: (k, ...) x (k, ...) -> (k, k)."""
+    k, bs, lanes = _field_dims(U)
+    R = _pick_tile(k, bs, lanes, 2)
+    nb = lanes // R
+
+    def kernel(u_ref, v_ref, o_ref):
+        i = pl.program_id(0)
+        g = None
+        for u, v in zip(_planes(u_ref, bs), _planes(v_ref, bs)):
+            t = _dot_gram(u, v)
+            g = t if g is None else g + t
+
+        @pl.when(i == 0)
+        def _():
+            o_ref[:, :] = g
+
+        @pl.when(i > 0)
+        def _():
+            o_ref[:, :] += g
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[_spec(k, bs, R), _spec(k, bs, R)],
+        out_specs=_kk_spec((k, k)),
+        out_shape=jax.ShapeDtypeStruct((k, k), jnp.float32),
+        interpret=interpret,
+    )(U, V)
+
+
+def gram_available(U) -> bool:
+    k, bs, lanes = _field_dims(U)
+    return _ok(U) and _pick_tile(k, bs, lanes, 2) is not None
+
+
+# ------------------------------------------------------------- mm_update --
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def mm_update(
+    M: jax.Array, B: jax.Array, A: jax.Array | None = None, *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Y = M @ B (+ A), fields (k, ...), M (k, k)."""
+    k, bs, lanes = _field_dims(B)
+    nf = 2 if A is None else 3
+    R = _pick_tile(k, bs, lanes, nf)
+    nb = lanes // R
+    has_a = A is not None
+
+    def kernel(m_ref, b_ref, *rest):
+        a_ref = rest[0] if has_a else None
+        y_ref = rest[1] if has_a else rest[0]
+        m = m_ref[:, :]
+        if bs == 0:
+            y = _dot_kk(m, b_ref[:])
+            y_ref[:] = y + a_ref[:] if has_a else y
+        else:
+            for b in range(bs):
+                y = _dot_kk(m, b_ref[:, b, :])
+                y_ref[:, b, :] = y + a_ref[:, b, :] if has_a else y
+
+    in_specs = [_kk_spec((k, k)), _spec(k, bs, R)]
+    args = [M, B]
+    if has_a:
+        in_specs.append(_spec(k, bs, R))
+        args.append(A)
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=_spec(k, bs, R),
+        out_shape=jax.ShapeDtypeStruct(B.shape, jnp.float32),
+        interpret=interpret,
+    )(*args)
+
+
+def mm_update_available(B, has_a: bool) -> bool:
+    k, bs, lanes = _field_dims(B)
+    return _ok(B) and _pick_tile(k, bs, lanes, 3 if has_a else 2) is not None
+
+
+# -------------------------------------------------------- mm_update_gram --
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def mm_update_gram(
+    M: jax.Array, B: jax.Array, A: jax.Array | None = None, *,
+    interpret: bool = False,
+):
+    """Y = M @ B (+ A);  G = Y Y^T — one pass over the fields."""
+    k, bs, lanes = _field_dims(B)
+    nf = 2 if A is None else 3
+    R = _pick_tile(k, bs, lanes, nf)
+    nb = lanes // R
+    has_a = A is not None
+
+    def kernel(m_ref, b_ref, *rest):
+        a_ref = rest[0] if has_a else None
+        y_ref = rest[1] if has_a else rest[0]
+        g_ref = rest[2] if has_a else rest[1]
+        i = pl.program_id(0)
+        m = m_ref[:, :]
+        g = None
+        for bi in range(max(bs, 1)):
+            if bs == 0:
+                y = _dot_kk(m, b_ref[:])
+                if has_a:
+                    y = y + a_ref[:]
+                y_ref[:] = y
+            else:
+                y = _dot_kk(m, b_ref[:, bi, :])
+                if has_a:
+                    y = y + a_ref[:, bi, :]
+                y_ref[:, bi, :] = y
+            t = _dot_gram(y, y)
+            g = t if g is None else g + t
+
+        @pl.when(i == 0)
+        def _():
+            g_ref[:, :] = g
+
+        @pl.when(i > 0)
+        def _():
+            g_ref[:, :] += g
+
+    in_specs = [_kk_spec((k, k)), _spec(k, bs, R)]
+    args = [M, B]
+    if has_a:
+        in_specs.append(_spec(k, bs, R))
+        args.append(A)
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=(_spec(k, bs, R), _kk_spec((k, k))),
+        out_shape=(
+            jax.ShapeDtypeStruct(B.shape, jnp.float32),
+            jax.ShapeDtypeStruct((k, k), jnp.float32),
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+# ---------------------------------------------------------- qr_p_update --
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def qr_p_update(
+    M2: jax.Array, Q1: jax.Array, rho: jax.Array, P: jax.Array, *,
+    interpret: bool = False,
+):
+    """Q = M2 @ Q1 ;  Pn = Q + rho @ P — fused (reads Q1, P once)."""
+    k, bs, lanes = _field_dims(Q1)
+    R = _pick_tile(k, bs, lanes, 4)
+    nb = lanes // R
+
+    def kernel(m2_ref, q1_ref, rho_ref, p_ref, q_ref, pn_ref):
+        m2 = m2_ref[:, :]
+        rh = rho_ref[:, :]
+        if bs == 0:
+            q = _dot_kk(m2, q1_ref[:])
+            q_ref[:] = q
+            pn_ref[:] = q + _dot_kk(rh, p_ref[:])
+        else:
+            for b in range(bs):
+                q = _dot_kk(m2, q1_ref[:, b, :])
+                q_ref[:, b, :] = q
+                pn_ref[:, b, :] = q + _dot_kk(rh, p_ref[:, b, :])
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[_kk_spec((k, k)), _spec(k, bs, R), _kk_spec((k, k)),
+                  _spec(k, bs, R)],
+        out_specs=(_spec(k, bs, R), _spec(k, bs, R)),
+        out_shape=(
+            jax.ShapeDtypeStruct(Q1.shape, jnp.float32),
+            jax.ShapeDtypeStruct(P.shape, jnp.float32),
+        ),
+        interpret=interpret,
+    )(M2, Q1, rho, P)
+
+
+def qr_p_update_available(Q1) -> bool:
+    k, bs, lanes = _field_dims(Q1)
+    return _ok(Q1) and _pick_tile(k, bs, lanes, 4) is not None

@@ -20,8 +20,9 @@ from jax import lax
 from blockcg_tpu.types import SolverInfo
 from blockcg_tpu.solvers.common import (
     chol_solve_spd,
-    gram_t,
-    mm,
+    f_gram,
+    f_mm_update,
+    f_mm_update_gram,
     row_norms2_t,
 )
 
@@ -36,7 +37,7 @@ def _bcg_impl(op, Bt, X0t, tol, max_iter, axis_name, record_history):
     tol2 = jnp.asarray(tol, dtype) ** 2 * bnorm2
 
     R0t = Bt - op.matmat_t(X0t)
-    S0 = gram_t(R0t, R0t, axis_name)
+    S0 = f_gram(R0t, R0t, axis_name)
     hist0 = jnp.full((max_iter,), jnp.nan, dtype) if record_history else None
 
     def cond(state):
@@ -46,13 +47,14 @@ def _bcg_impl(op, Bt, X0t, tol, max_iter, axis_name, record_history):
     def body(state):
         Xt, Rt, Pt, S, it, hist = state
         Zt = op.matmat_t(Pt)
-        M = gram_t(Pt, Zt, axis_name)  # P^T A P
+        M = f_gram(Pt, Zt, axis_name)  # P^T A P
         alpha = chol_solve_spd(M, S)  # M alpha = S
-        Xt = Xt + mm(alpha.T, Pt)
-        Rt = Rt - mm(alpha.T, Zt)
-        S_new = gram_t(Rt, Rt, axis_name)
+        # Fused one-pass updates (T-K2): the residual update also emits the
+        # next Gram S' = R R^T in the same pass.
+        Xt = f_mm_update(alpha.T, Pt, Xt)
+        Rt, S_new = f_mm_update_gram(-alpha.T, Zt, Rt, axis_name)
         beta = chol_solve_spd(S, S_new)  # S beta = S'
-        Pt = Rt + mm(beta.T, Pt)
+        Pt = f_mm_update(beta.T, Pt, Rt)
         if hist is not None:
             hist = hist.at[it].set(jnp.sqrt(jnp.max(jnp.diag(S_new) / bnorm2)))
         return (Xt, Rt, Pt, S_new, it + 1, hist)

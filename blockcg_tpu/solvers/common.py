@@ -130,6 +130,96 @@ def cholqr_t(Vt: jax.Array, passes: int = 2, axis_name: str | None = None):
     return Qt, R
 
 
+# ------------------------------------------------ fused-kernel dispatch ----
+#
+# One-HBM-pass Pallas kernels for the per-iteration block updates (T-K2,
+# ops/fused.py); these wrappers fall back to the jnp composition on CPU /
+# f64 / shapes the kernels don't tile. ``axis_name`` psums ride on the tiny
+# k x k results, outside the kernels.
+
+
+def f_gram(Ut, Vt, axis_name: str | None = None):
+    from blockcg_tpu.ops import fused
+
+    if fused.gram_available(Ut):
+        return psum_if(fused.gram(Ut, Vt), axis_name)
+    return gram_t(Ut, Vt, axis_name)
+
+
+def f_mm_update(M, Bt, At=None):
+    """M @ B (+ A) in one pass."""
+    from blockcg_tpu.ops import fused
+
+    if fused.mm_update_available(Bt, At is not None):
+        return fused.mm_update(M, Bt, At)
+    Y = mm(M, Bt)
+    return Y if At is None else Y + At
+
+
+def f_mm_update_gram(M, Bt, At=None, axis_name: str | None = None):
+    """(Y = M @ B (+ A), G = Y Y^T) in one pass."""
+    from blockcg_tpu.ops import fused
+
+    if fused.mm_update_available(Bt, At is not None):
+        Y, G = fused.mm_update_gram(M, Bt, At)
+        return Y, psum_if(G, axis_name)
+    Y = mm(M, Bt)
+    if At is not None:
+        Y = Y + At
+    return Y, gram_t(Y, Y, axis_name)
+
+
+def f_qr_p_update(M2, Q1t, rho, Pt):
+    """(Q = M2 @ Q1, Pn = Q + rho @ P) in one pass."""
+    from blockcg_tpu.ops import fused
+
+    if fused.qr_p_update_available(Q1t):
+        return fused.qr_p_update(M2, Q1t, rho, Pt)
+    Qt = mm(M2, Q1t)
+    return Qt, Qt + mm(rho, Pt)
+
+
+def kk_mm(a, b):
+    """Tiny k x k @ k x k product at full precision."""
+    return jnp.matmul(a, b, precision=HIGHEST, preferred_element_type=a.dtype)
+
+
+def qr_factors_from_gram(G):
+    """One equilibrated CholeskyQR pass from a precomputed Gram ``G = V V^T``
+    (lanes-major): returns (M1, R1) with ``Q = M1 @ V`` and ``V = Q R1``.
+
+    The equilibration norms are ``diag(G)`` — no separate norm pass. Same
+    math as ``_cholqr_once_t`` (which recomputes the Gram from V)."""
+    d = lax.rsqrt(jnp.maximum(jnp.diagonal(G), jnp.finfo(G.dtype).tiny))
+    G1 = G * d[:, None] * d[None, :]
+    L = safe_cholesky(G1)
+    Rinv_s = tri_inverse_upper(L.T)
+    M1 = Rinv_s.T * d[None, :]
+    R1 = L.T / d[None, :]
+    return M1, R1
+
+
+def cholqr_fused_t(Vt, passes: int = 2, axis_name: str | None = None,
+                   Gv=None):
+    """Thin QR via CholeskyQR(2) built on the fused one-pass kernels.
+
+    Optionally takes a precomputed ``Gv = V V^T`` (e.g. from the fused
+    residual-direction update), saving the initial Gram pass entirely.
+    Returns (Qt, R): V = Q R. Used by the hot SBCGrQ loop; the standalone
+    ``cholqr_t`` remains for generic callers."""
+    G = f_gram(Vt, Vt, axis_name) if Gv is None else Gv
+    Wt = Vt
+    rho = None
+    for p in range(passes):
+        Mi, Ri = qr_factors_from_gram(G)
+        rho = Ri if rho is None else kk_mm(Ri, rho)
+        if p < passes - 1:
+            Wt, G = f_mm_update_gram(Mi, Wt, None, axis_name)
+        else:
+            Wt = f_mm_update(Mi, Wt)
+    return Wt, rho
+
+
 # ------------------------------------------------------ (n, k) wrappers ----
 
 

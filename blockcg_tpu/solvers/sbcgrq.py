@@ -40,9 +40,13 @@ from jax import lax
 from blockcg_tpu.types import SolverInfo
 from blockcg_tpu.solvers.common import (
     chol_inverse_spd,
-    cholqr_t,
-    gram_t,
-    mm,
+    cholqr_fused_t,
+    f_gram,
+    f_mm_update,
+    f_mm_update_gram,
+    f_qr_p_update,
+    kk_mm,
+    qr_factors_from_gram,
     row_norms2_t,
 )
 
@@ -68,7 +72,7 @@ def _sbcgrq_impl(
     def fresh_qs(Xt):
         """True residual, re-factorized: one extra SpMM + thin QR."""
         Rt = Bt - op.matmat_t(Xt)
-        Qt, S = cholqr_t(Rt, passes=qr_passes, axis_name=axis_name)
+        Qt, S = cholqr_fused_t(Rt, passes=qr_passes, axis_name=axis_name)
         return Qt, S
 
     Q0t, S0 = fresh_qs(X0t)
@@ -85,13 +89,22 @@ def _sbcgrq_impl(
     def body(state):
         Xt, Qt, S, Pt, it, mv, hist = state
         Zt = op.matmat_t(Pt)
-        M = gram_t(Pt, Zt, axis_name)  # P^T A P (Gram of Q-directions)
+        M = f_gram(Pt, Zt, axis_name)  # P^T A P (Gram of Q-directions)
         alpha = chol_inverse_spd(M)  # symmetric
-        Xt = Xt + mm(S.T, mm(alpha, Pt))
-        Vt = Qt - mm(alpha, Zt)
-        Qt, rho = cholqr_t(Vt, passes=qr_passes, axis_name=axis_name)
-        S = mm(rho, S)
-        Pt = Qt + mm(rho, Pt)
+        # Every (n, k)-sized step below is a fused one-HBM-pass kernel
+        # (T-K2): the V update also emits V V^T, whose diagonal carries the
+        # CholQR equilibration norms — the QR needs no extra field passes.
+        Xt = f_mm_update(kk_mm(S.T, alpha), Pt, Xt)
+        Vt, G = f_mm_update_gram(-alpha, Zt, Qt, axis_name)
+        Wt, rho = Vt, None
+        for p in range(qr_passes):
+            Mi, Ri = qr_factors_from_gram(G)
+            rho = Ri if rho is None else kk_mm(Ri, rho)
+            if p < qr_passes - 1:
+                Wt, G = f_mm_update_gram(Mi, Wt, None, axis_name)
+        # Final QR pass fused with the search-direction update.
+        Qt, Pt = f_qr_p_update(Mi, Wt, rho, Pt)
+        S = kk_mm(rho, S)
         mv = mv + 1
 
         if replace_every > 0:

@@ -1,0 +1,102 @@
+"""Fused per-iteration kernel tests (T-K2, ops/fused.py) — interpret mode."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from blockcg_tpu.ops import fused
+from blockcg_tpu.solvers.common import (
+    cholqr_fused_t,
+    cholqr_t,
+    qr_factors_from_gram,
+    gram_t,
+)
+
+
+def _field(shape, seed):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.standard_normal(shape), dtype=jnp.float32)
+
+
+def _kk(k, seed):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.standard_normal((k, k)), dtype=jnp.float32)
+
+
+@pytest.mark.parametrize("shape", [(8, 1024), (6, 4, 512), (12, 4, 256)])
+def test_gram(shape):
+    U, V = _field(shape, 0), _field(shape, 1)
+    G = fused.gram(U, V, interpret=True)
+    k = shape[0]
+    want = np.asarray(U, np.float64).reshape(k, -1) @ np.asarray(
+        V, np.float64).reshape(k, -1).T
+    np.testing.assert_allclose(np.asarray(G), want, rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("shape", [(8, 1024), (6, 4, 512)])
+@pytest.mark.parametrize("with_a", [False, True])
+def test_mm_update(shape, with_a):
+    k = shape[0]
+    M, B = _kk(k, 2), _field(shape, 3)
+    A = _field(shape, 4) if with_a else None
+    Y = fused.mm_update(M, B, A, interpret=True)
+    want = np.tensordot(np.asarray(M, np.float64), np.asarray(B, np.float64),
+                        axes=(1, 0))
+    if with_a:
+        want = want + np.asarray(A, np.float64)
+    np.testing.assert_allclose(np.asarray(Y), want, rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("shape", [(8, 1024), (6, 4, 512)])
+@pytest.mark.parametrize("with_a", [False, True])
+def test_mm_update_gram(shape, with_a):
+    k = shape[0]
+    M, B = _kk(k, 5), _field(shape, 6)
+    A = _field(shape, 7) if with_a else None
+    Y, G = fused.mm_update_gram(M, B, A, interpret=True)
+    want = np.tensordot(np.asarray(M, np.float64), np.asarray(B, np.float64),
+                        axes=(1, 0))
+    if with_a:
+        want = want + np.asarray(A, np.float64)
+    np.testing.assert_allclose(np.asarray(Y), want, rtol=1e-5, atol=1e-4)
+    wantG = want.reshape(k, -1) @ want.reshape(k, -1).T
+    np.testing.assert_allclose(np.asarray(G), wantG, rtol=1e-4, atol=1e-2)
+
+
+@pytest.mark.parametrize("shape", [(8, 1024), (6, 4, 512)])
+def test_qr_p_update(shape):
+    k = shape[0]
+    M2, rho = _kk(k, 8), _kk(k, 9)
+    Q1, P = _field(shape, 10), _field(shape, 11)
+    Q, Pn = fused.qr_p_update(M2, Q1, rho, P, interpret=True)
+    wq = np.tensordot(np.asarray(M2, np.float64), np.asarray(Q1, np.float64),
+                      axes=(1, 0))
+    wp = wq + np.tensordot(np.asarray(rho, np.float64),
+                           np.asarray(P, np.float64), axes=(1, 0))
+    np.testing.assert_allclose(np.asarray(Q), wq, rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(Pn), wp, rtol=1e-5, atol=1e-4)
+
+
+def test_qr_factors_from_gram_matches_cholqr():
+    """qr_factors_from_gram(V V^T) must reproduce _cholqr_once_t's factors."""
+    Vt = _field((6, 2048), 12)
+    G = gram_t(Vt, Vt)
+    M1, R1 = qr_factors_from_gram(G)
+    Qt = jnp.tensordot(M1, Vt, axes=(1, 0))
+    # V = Q R and Q orthonormal (single f32 pass: modest tolerance)
+    rec = np.tensordot(np.asarray(Qt, np.float64), np.asarray(R1, np.float64),
+                       axes=(0, 0)).T
+    np.testing.assert_allclose(rec, np.asarray(Vt), rtol=1e-3, atol=1e-3)
+    QQ = np.asarray(Qt, np.float64) @ np.asarray(Qt, np.float64).T
+    assert np.abs(QQ - np.eye(6)).max() < 1e-2
+
+
+def test_cholqr_fused_matches_cholqr_t():
+    """Fallback path of cholqr_fused_t == cholqr_t (same math, CPU)."""
+    Vt = _field((6, 2048), 13)
+    Q1, R1 = cholqr_fused_t(Vt, passes=2)
+    Q2, R2 = cholqr_t(Vt, passes=2)
+    np.testing.assert_allclose(np.asarray(Q1), np.asarray(Q2), rtol=2e-4,
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(R1), np.asarray(R2), rtol=2e-4,
+                               atol=2e-3)
