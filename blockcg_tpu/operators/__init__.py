@@ -6,6 +6,7 @@ from blockcg_tpu.operators.bdia import BlockDIAOperator
 from blockcg_tpu.operators.cbdia import ConstBlockDIAOperator
 from blockcg_tpu.operators.tiled import TiledOperator
 from blockcg_tpu.operators.dense import DenseOperator
+from blockcg_tpu.operators.realify import RealifiedHermitianOperator, realify
 
 __all__ = [
     "LinearOperator",
@@ -18,4 +19,6 @@ __all__ = [
     "ConstBlockDIAOperator",
     "TiledOperator",
     "DenseOperator",
+    "RealifiedHermitianOperator",
+    "realify",
 ]

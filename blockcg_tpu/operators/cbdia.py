@@ -80,7 +80,8 @@ class ConstBlockDIAOperator(MatmatMixin):
             and Xt.dtype == jnp.float32
             and (self.masks is None or self.masks.dtype == jnp.float32)
             and not os.environ.get("BLOCKCG_NO_PALLAS")
-            and cbs.available(self.ns, Xt.shape[0], self.bs, self.offsets, nmask)
+            and cbs.available(self.ns, Xt.shape[0], self.bs, self.offsets, nmask,
+                              groups=cbs.n_groups(self.hops))
         ):
             Yv = cbs.const_block_stencil_spmm_t(
                 self.hops, self.offsets, self.mask_slot, self.masks, Xv
@@ -114,7 +115,18 @@ class ConstBlockDIAOperator(MatmatMixin):
         import numpy as np
 
         bs, ns = self.bs, self.ns
-        dtype = np.float32 if self.masks is None else np.dtype(self.masks.dtype.name)
+        cplx = any(
+            isinstance(v, complex) and v.imag != 0.0
+            for h in self.hops for row in h for v in row
+        )
+        if self.masks is None:
+            dtype = np.complex64 if cplx else np.float32
+        else:
+            mdt = np.dtype(self.masks.dtype.name)
+            if cplx:
+                dtype = np.complex64 if mdt == np.float32 else np.complex128
+            else:
+                dtype = mdt
         masks_np = None if self.masks is None else np.asarray(jax.device_get(self.masks))
         blocks = np.empty((len(self.offsets), bs, bs, ns), dtype=dtype)
         for d in range(len(self.offsets)):

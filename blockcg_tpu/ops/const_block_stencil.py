@@ -43,8 +43,29 @@ from jax.experimental.pallas import tpu as pltpu
 from blockcg_tpu.ops.stencil import plan as _plan
 
 
-def plan(n_sites: int, k: int, bs: int, offsets: tuple[int, ...], nmask: int):
-    return _plan(n_sites, k, offsets, sublanes=bs, coeff_rows=nmask)
+def n_groups(hops: tuple) -> int:
+    return len(set(hops))
+
+
+def plan(
+    n_sites: int,
+    k: int,
+    bs: int,
+    offsets: tuple[int, ...],
+    nmask: int,
+    groups: int | None = None,
+):
+    """Plan windowing, accounting for this kernel's VMEM operand stack.
+
+    The (G*bs*kp, R) stack scratch scales with R; it is modeled through the
+    generic planner's coefficient-rows term (which budgets 2*rows*R floats —
+    the stack is single-buffered, so half its rows are charged)."""
+    kp = -(-k // 8) * 8
+    g = groups if groups is not None else len(offsets)  # worst case
+    stack_rows = -(-(g * bs * kp) // 2)
+    return _plan(
+        n_sites, k, offsets, sublanes=bs, coeff_rows=nmask + stack_rows
+    )
 
 
 def _group_offsets(hops: tuple, mask_slot: tuple[int, ...]):
@@ -167,7 +188,7 @@ def const_block_stencil_spmm_t(
     k = Xt.shape[0]
     ns = (Xt.shape[1] // bs) if flat else Xt.shape[2]
     nmask = 0 if masks is None else masks.shape[0]
-    p = plan(ns, k, bs, offsets, nmask)
+    p = plan(ns, k, bs, offsets, nmask, groups=n_groups(hops))
     if p is None:
         raise ValueError(
             f"no const-block-stencil plan for ns={ns}, k={k}, bs={bs}, "
@@ -274,6 +295,11 @@ def const_block_stencil_spmm_t(
 
 
 def available(
-    n_sites: int, k: int, bs: int, offsets: tuple[int, ...], nmask: int
+    n_sites: int,
+    k: int,
+    bs: int,
+    offsets: tuple[int, ...],
+    nmask: int,
+    groups: int | None = None,
 ) -> bool:
-    return plan(n_sites, k, bs, offsets, nmask) is not None
+    return plan(n_sites, k, bs, offsets, nmask, groups=groups) is not None

@@ -32,16 +32,35 @@ BS = 4  # spin-block size
 _NDIM = 4
 
 
-def hopping_matrices(seed: int = 7) -> np.ndarray:
-    """Four fixed symmetric 4x4 matrices with unit spectral norm, (4, 4, 4)."""
+def hopping_matrices(seed: int = 7, hermitian: bool = False) -> np.ndarray:
+    """Four fixed 4x4 hopping matrices with unit spectral norm, (4, 4, 4).
+
+    ``hermitian=False``: real symmetric (the default real SPD operator).
+    ``hermitian=True``: complex Hermitian — the complex (lattice-QCD-like)
+    flavor; the operator built from them is Hermitian positive-definite."""
     rng = np.random.default_rng(seed)
     hs = []
     for _ in range(_NDIM):
-        g = rng.standard_normal((BS, BS))
-        h = 0.5 * (g + g.T)
+        if hermitian:
+            g = rng.standard_normal((BS, BS)) + 1j * rng.standard_normal((BS, BS))
+            h = 0.5 * (g + g.conj().T)
+        else:
+            g = rng.standard_normal((BS, BS))
+            h = 0.5 * (g + g.T)
         h = h / np.abs(np.linalg.eigvalsh(h)).max()
         hs.append(h)
     return np.stack(hs)
+
+
+def _host_aware_asarray(x: np.ndarray):
+    """Device-put; complex arrays pin to CPU when the default backend has no
+    complex support (e.g. this sandbox's axon TPU tunnel). Complex operators
+    are the reference/oracle path — the TPU path is operators.realify."""
+    import jax
+
+    if np.iscomplexobj(x) and jax.default_backend() not in ("cpu",):
+        return jax.device_put(x, jax.local_devices(backend="cpu")[0])
+    return jnp.asarray(x)
 
 
 def _coords(ns: int, L: int) -> list[np.ndarray]:
@@ -57,7 +76,8 @@ def dirac_bdia(
     if bc not in ("periodic", "open"):
         raise ValueError(f"bc must be 'periodic' or 'open', got {bc!r}")
     np_dtype = np.dtype(jnp.dtype(dtype).name)
-    H = hopping_matrices(seed).astype(np_dtype)
+    cplx = np.issubdtype(np_dtype, np.complexfloating)
+    H = hopping_matrices(seed, hermitian=cplx).astype(np_dtype)
     ns = L**_NDIM
     coords, strides = _coords(ns, L)
 
@@ -82,24 +102,24 @@ def dirac_bdia(
             offsets.append(st)
             blocks.append(masked(-H[ax], np.ones(ns, bool)))
             offsets.append(-st)
-            blocks.append(masked(-H[ax].T, np.ones(ns, bool)))
+            blocks.append(masked(-H[ax].conj().T, np.ones(ns, bool)))
             continue
         # +mu hop (interior rows)
         offsets.append(st)
         blocks.append(masked(-H[ax], c < L - 1))
         # -mu hop
         offsets.append(-st)
-        blocks.append(masked(-H[ax].T, c > 0))
+        blocks.append(masked(-H[ax].conj().T, c > 0))
         if bc == "periodic":
             # +mu wrap: rows with c == L-1 couple to site s - (L-1)*st
             offsets.append(-(L - 1) * st)
             blocks.append(masked(-H[ax], c == L - 1))
             # -mu wrap: rows with c == 0 couple to site s + (L-1)*st
             offsets.append((L - 1) * st)
-            blocks.append(masked(-H[ax].T, c == 0))
+            blocks.append(masked(-H[ax].conj().T, c == 0))
 
     blk = np.stack(blocks)  # (noff, bs, bs, ns)
-    op = BlockDIAOperator(blocks=jnp.asarray(blk), offsets=tuple(offsets))
+    op = BlockDIAOperator(blocks=_host_aware_asarray(blk), offsets=tuple(offsets))
     object.__setattr__(op, "_nnz", int(np.count_nonzero(blk)))
     return op
 
@@ -119,12 +139,19 @@ def dirac_cbdia(
     if bc not in ("periodic", "open"):
         raise ValueError(f"bc must be 'periodic' or 'open', got {bc!r}")
     np_dtype = np.dtype(jnp.dtype(dtype).name)
-    H = hopping_matrices(seed).astype(np_dtype)
+    cplx = np.issubdtype(np_dtype, np.complexfloating)
+    H = hopping_matrices(seed, hermitian=cplx).astype(np_dtype)
     ns = L**_NDIM
     coords, strides = _coords(ns, L)
+    scal = complex if cplx else float
+    # Boundary masks are always real 0/1 gates.
+    mask_dtype = (
+        np_dtype if not cplx
+        else np.float32 if np_dtype == np.complex64 else np.float64
+    )
 
     def tup(block: np.ndarray) -> tuple:
-        return tuple(tuple(float(v) for v in row) for row in block)
+        return tuple(tuple(scal(v) for v in row) for row in block)
 
     offsets: list[int] = [0]
     hops: list[tuple] = [tup((m * m + 2.0 * _NDIM) * np.eye(BS, dtype=np_dtype))]
@@ -138,7 +165,7 @@ def dirac_cbdia(
             mask_slot.append(-1)
         else:
             mask_slot.append(len(masks))
-            masks.append(mask.astype(np_dtype))
+            masks.append(mask.astype(mask_dtype))
 
     for ax in range(_NDIM):
         st = strides[ax]
@@ -147,13 +174,13 @@ def dirac_cbdia(
             # Slowest axis: flat-index wraparound IS the lattice wraparound
             # (toroidal BlockDIA/stencil semantics) — unmasked diagonals.
             add(st, -H[ax], None)
-            add(-st, -H[ax].T, None)
+            add(-st, -H[ax].conj().T, None)
             continue
         add(st, -H[ax], c < L - 1)
-        add(-st, -H[ax].T, c > 0)
+        add(-st, -H[ax].conj().T, c > 0)
         if bc == "periodic":
             add(-(L - 1) * st, -H[ax], c == L - 1)
-            add((L - 1) * st, -H[ax].T, c == 0)
+            add((L - 1) * st, -H[ax].conj().T, c == 0)
 
     op = ConstBlockDIAOperator(
         masks=jnp.asarray(np.stack(masks)) if masks else None,
@@ -177,7 +204,12 @@ def bdia_scipy(op: BlockDIAOperator):
 
     bs, ns = op.bs, op.ns
     n = bs * ns
-    blocks = np.asarray(op.blocks, dtype=np.float64)
+    import jax
+
+    blocks = np.asarray(jax.device_get(op.blocks))
+    blocks = blocks.astype(
+        np.complex128 if np.iscomplexobj(blocks) else np.float64
+    )
     rows, cols, data = [], [], []
     s = np.arange(ns)
     for d, o in enumerate(op.offsets):
@@ -200,7 +232,8 @@ def dirac_bell(
 ) -> BSROperator:
     """Build the operator as a BSROperator (block-ELL, site-major rows)."""
     np_dtype = np.dtype(jnp.dtype(dtype).name)
-    H = hopping_matrices(seed).astype(np_dtype)
+    cplx = np.issubdtype(np_dtype, np.complexfloating)
+    H = hopping_matrices(seed, hermitian=cplx).astype(np_dtype)
     n_sites = L**_NDIM
     wb = 1 + 2 * _NDIM
 
@@ -229,10 +262,10 @@ def dirac_bell(
         cols[:, slot] = up
         vals[:, slot] = np.where(up_mask[:, None, None], -H[ax], 0.0)
         cols[:, slot + 1] = dn
-        vals[:, slot + 1] = np.where(dn_mask[:, None, None], -H[ax].T, 0.0)
+        vals[:, slot + 1] = np.where(dn_mask[:, None, None], -H[ax].conj().T, 0.0)
         slot += 2
 
-    op = BSROperator(vals=jnp.asarray(vals), cols=jnp.asarray(cols))
+    op = BSROperator(vals=_host_aware_asarray(vals), cols=jnp.asarray(cols))
     object.__setattr__(op, "_nnz", int(np.count_nonzero(vals)))
     return op
 

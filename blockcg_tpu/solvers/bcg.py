@@ -32,17 +32,19 @@ from blockcg_tpu.solvers.common import (
 )
 def _bcg_impl(op, Bt, X0t, tol, max_iter, axis_name, record_history):
     dtype = Bt.dtype
+    rdtype = jnp.real(Bt).dtype
     bnorm2 = row_norms2_t(Bt, axis_name)
-    bnorm2 = jnp.where(bnorm2 > 0, bnorm2, jnp.asarray(1.0, dtype))
-    tol2 = jnp.asarray(tol, dtype) ** 2 * bnorm2
+    bnorm2 = jnp.where(bnorm2 > 0, bnorm2, jnp.asarray(1.0, rdtype))
+    tol2 = jnp.asarray(tol, rdtype) ** 2 * bnorm2
 
     R0t = Bt - op.matmat_t(X0t)
     S0 = f_gram(R0t, R0t, axis_name)
-    hist0 = jnp.full((max_iter,), jnp.nan, dtype) if record_history else None
+    hist0 = jnp.full((max_iter,), jnp.nan, rdtype) if record_history else None
 
     def cond(state):
         _, _, _, S, it, _ = state
-        return jnp.logical_and(it < max_iter, jnp.any(jnp.diag(S) > tol2))
+        sd = jnp.real(jnp.diag(S))  # S = R^H R: diagonal is real
+        return jnp.logical_and(it < max_iter, jnp.any(sd > tol2))
 
     def body(state):
         Xt, Rt, Pt, S, it, hist = state
@@ -56,13 +58,15 @@ def _bcg_impl(op, Bt, X0t, tol, max_iter, axis_name, record_history):
         beta = chol_solve_spd(S, S_new)  # S beta = S'
         Pt = f_mm_update(beta.T, Pt, Rt)
         if hist is not None:
-            hist = hist.at[it].set(jnp.sqrt(jnp.max(jnp.diag(S_new) / bnorm2)))
+            hist = hist.at[it].set(
+                jnp.sqrt(jnp.max(jnp.real(jnp.diag(S_new)) / bnorm2))
+            )
         return (Xt, Rt, Pt, S_new, it + 1, hist)
 
     Xt, Rt, Pt, S, it, hist = lax.while_loop(
         cond, body, (X0t, R0t, R0t, S0, jnp.int32(0), hist0)
     )
-    relres = jnp.sqrt(jnp.diag(S) / bnorm2)
+    relres = jnp.sqrt(jnp.real(jnp.diag(S)) / bnorm2)
     info = SolverInfo(
         iterations=it,
         relres=relres,

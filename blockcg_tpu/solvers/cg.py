@@ -20,7 +20,9 @@ from blockcg_tpu.solvers.common import psum_if
 
 
 def _vdot(u, v, axis_name):
-    return psum_if(jnp.vdot(u, v), axis_name)
+    """Conjugating inner product; real part (exact for the CG quantities
+    r^H r and p^H A p, which are real for Hermitian A)."""
+    return psum_if(jnp.real(jnp.vdot(u, v)), axis_name)
 
 
 @functools.partial(

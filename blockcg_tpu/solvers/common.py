@@ -46,18 +46,21 @@ def _field_dims(Ut: jax.Array) -> tuple[int, ...]:
 
 
 def gram_t(Ut: jax.Array, Vt: jax.Array, axis_name: str | None = None) -> jax.Array:
-    """Gram block ``U^T V`` (k x k) from lanes-major fields (k, ...)."""
+    """Gram block ``U^H V`` (k x k) from lanes-major fields (k, ...).
+
+    Conjugate-correct: for complex Hermitian systems this is the sesquilinear
+    Gram; ``jnp.conj`` is a no-op on real dtypes."""
     dims = _field_dims(Ut)
     G = lax.dot_general(
-        Ut, Vt, ((dims, dims), ((), ())), precision=HIGHEST,
+        jnp.conj(Ut), Vt, ((dims, dims), ((), ())), precision=HIGHEST,
         preferred_element_type=Ut.dtype,
     )
     return psum_if(G, axis_name)
 
 
 def row_norms2_t(Ut: jax.Array, axis_name: str | None = None) -> jax.Array:
-    """Squared column norms of U, i.e. row norms of a field (k, ...) -> (k,)."""
-    s = jnp.sum(Ut * Ut, axis=_field_dims(Ut))
+    """Squared column norms of U (real), from a field (k, ...) -> (k,)."""
+    s = jnp.sum(jnp.real(Ut * jnp.conj(Ut)), axis=_field_dims(Ut))
     return psum_if(s, axis_name)
 
 
@@ -71,7 +74,9 @@ def safe_cholesky(G: jax.Array) -> jax.Array:
     L = jnp.linalg.cholesky(G)
     k = G.shape[0]
     eps = jnp.finfo(G.dtype).eps
-    jitter = (jnp.trace(G) / k) * eps * 32.0 + jnp.finfo(G.dtype).tiny
+    jitter = (jnp.real(jnp.trace(G)) / k) * eps * 32.0 + jnp.finfo(
+        jnp.real(G).dtype
+    ).tiny
     L2 = jnp.linalg.cholesky(G + jitter * jnp.eye(k, dtype=G.dtype))
     bad = jnp.any(jnp.isnan(L))
     return jnp.where(bad, L2, L)
@@ -81,7 +86,7 @@ def chol_solve_spd(M: jax.Array, B: jax.Array) -> jax.Array:
     """Solve ``M X = B`` for SPD k x k ``M`` via Cholesky."""
     L = safe_cholesky(M)
     Y = jax.scipy.linalg.solve_triangular(L, B, lower=True)
-    return jax.scipy.linalg.solve_triangular(L.T, Y, lower=False)
+    return jax.scipy.linalg.solve_triangular(L.conj().T, Y, lower=False)
 
 
 def chol_inverse_spd(M: jax.Array) -> jax.Array:
@@ -104,14 +109,16 @@ def _cholqr_once_t(Vt: jax.Array, axis_name: str | None):
     (Qt, R). R includes the un-equilibration (triangular x diagonal).
     """
     nrm2 = row_norms2_t(Vt, axis_name)
-    d = lax.rsqrt(jnp.maximum(nrm2, jnp.finfo(Vt.dtype).tiny))
+    d = lax.rsqrt(jnp.maximum(nrm2, jnp.finfo(nrm2.dtype).tiny)).astype(
+        jnp.real(Vt).dtype
+    )
     Vs = Vt * d.reshape(d.shape + (1,) * (Vt.ndim - 1))
     G = gram_t(Vs, Vs, axis_name)
-    L = safe_cholesky(G)  # G = L L^T, so R_s = L^T
-    Rinv_s = tri_inverse_upper(L.T)
+    L = safe_cholesky(G)  # G = L L^H, so R_s = L^H
+    Rinv_s = tri_inverse_upper(L.conj().T)
     # Q = Vs R_s^{-1}  ->  Qt = R_s^{-T} Vs_t = Rinv_s^T @ Vs
     Qt = mm(Rinv_s.T, Vs)
-    R = L.T / d[None, :]  # L^T @ diag(1/d): un-equilibrate the columns
+    R = L.conj().T / d[None, :]  # R_s @ diag(1/d): un-equilibrate the columns
     return Qt, R
 
 
@@ -190,12 +197,13 @@ def qr_factors_from_gram(G):
 
     The equilibration norms are ``diag(G)`` — no separate norm pass. Same
     math as ``_cholqr_once_t`` (which recomputes the Gram from V)."""
-    d = lax.rsqrt(jnp.maximum(jnp.diagonal(G), jnp.finfo(G.dtype).tiny))
+    dg = jnp.real(jnp.diagonal(G))
+    d = lax.rsqrt(jnp.maximum(dg, jnp.finfo(dg.dtype).tiny))
     G1 = G * d[:, None] * d[None, :]
     L = safe_cholesky(G1)
-    Rinv_s = tri_inverse_upper(L.T)
+    Rinv_s = tri_inverse_upper(L.conj().T)
     M1 = Rinv_s.T * d[None, :]
-    R1 = L.T / d[None, :]
+    R1 = L.conj().T / d[None, :]
     return M1, R1
 
 

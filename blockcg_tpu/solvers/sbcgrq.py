@@ -64,10 +64,10 @@ from blockcg_tpu.solvers.common import (
 def _sbcgrq_impl(
     op, Bt, X0t, tol, max_iter, qr_passes, replace_every, axis_name, record_history
 ):
-    dtype = Bt.dtype
+    rdtype = jnp.real(Bt).dtype
     bnorm = jnp.sqrt(row_norms2_t(Bt, axis_name))
-    bnorm = jnp.where(bnorm > 0, bnorm, jnp.asarray(1.0, dtype))
-    tol_arr = jnp.asarray(tol, dtype)
+    bnorm = jnp.where(bnorm > 0, bnorm, jnp.asarray(1.0, rdtype))
+    tol_arr = jnp.asarray(tol, rdtype)
 
     def fresh_qs(Xt):
         """True residual, re-factorized: one extra SpMM + thin QR."""
@@ -76,11 +76,11 @@ def _sbcgrq_impl(
         return Qt, S
 
     Q0t, S0 = fresh_qs(X0t)
-    hist0 = jnp.full((max_iter,), jnp.nan, dtype) if record_history else None
+    hist0 = jnp.full((max_iter,), jnp.nan, rdtype) if record_history else None
 
     def relres_of(S):
         # R = Q S with orthonormal Q: per-RHS residual norm = ||S e_j||.
-        return jnp.sqrt(jnp.sum(S * S, axis=0)) / bnorm
+        return jnp.sqrt(jnp.sum(jnp.real(S * jnp.conj(S)), axis=0)) / bnorm
 
     def cond(state):
         _, _, S, _, it, _, _ = state
@@ -89,21 +89,27 @@ def _sbcgrq_impl(
     def body(state):
         Xt, Qt, S, Pt, it, mv, hist = state
         Zt = op.matmat_t(Pt)
-        M = f_gram(Pt, Zt, axis_name)  # P^T A P (Gram of Q-directions)
-        alpha = chol_inverse_spd(M)  # symmetric
+        M = f_gram(Pt, Zt, axis_name)  # P^H A P (Gram of Q-directions)
+        alpha = chol_inverse_spd(M)  # Hermitian
+        # Lanes-major transposed recurrence: the column-world updates
+        # X += P(alpha S) and V = Q - Z alpha transpose to
+        # Xt += S^T alpha^T Pt and Vt = Qt - alpha^T Zt, and alpha^T =
+        # conj(alpha) for the Hermitian inverse (no-op when real).
         # Every (n, k)-sized step below is a fused one-HBM-pass kernel
-        # (T-K2): the V update also emits V V^T, whose diagonal carries the
+        # (T-K2): the V update also emits V V^H, whose diagonal carries the
         # CholQR equilibration norms — the QR needs no extra field passes.
-        Xt = f_mm_update(kk_mm(S.T, alpha), Pt, Xt)
-        Vt, G = f_mm_update_gram(-alpha, Zt, Qt, axis_name)
+        alpha_t = jnp.conj(alpha)
+        Xt = f_mm_update(kk_mm(S.T, alpha_t), Pt, Xt)
+        Vt, G = f_mm_update_gram(-alpha_t, Zt, Qt, axis_name)
         Wt, rho = Vt, None
         for p in range(qr_passes):
             Mi, Ri = qr_factors_from_gram(G)
             rho = Ri if rho is None else kk_mm(Ri, rho)
             if p < qr_passes - 1:
                 Wt, G = f_mm_update_gram(Mi, Wt, None, axis_name)
-        # Final QR pass fused with the search-direction update.
-        Qt, Pt = f_qr_p_update(Mi, Wt, rho, Pt)
+        # Final QR pass fused with the search-direction update. Column-world
+        # P = Q + P rho^H transposes to Pt = Qt + conj(rho) Pt.
+        Qt, Pt = f_qr_p_update(Mi, Wt, jnp.conj(rho), Pt)
         S = kk_mm(rho, S)
         mv = mv + 1
 
