@@ -40,9 +40,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# VMEM budget for planning (bytes); real VMEM is ~16 MB, double buffering
-# needs headroom.
-_VMEM_BUDGET = 10 * 1024 * 1024
+# VMEM budget for planning (bytes); the scoped VMEM limit is 16 MB and the
+# model below already includes double-buffering factors (validated against
+# compile-time OOMs: the realified bs=8 Dirac plan models 12.2 MB and
+# allocates ~14.4 MB scoped — keep ~3 MB modeling slack).
+_VMEM_BUDGET = 13 * 1024 * 1024
 
 
 @dataclasses.dataclass(frozen=True)

@@ -86,9 +86,13 @@ def test_const_plan_dirac32_traffic():
     offs = [0, strides[0], -strides[0]]
     for st in strides[1:]:
         offs += [st, -st, -(L - 1) * st, (L - 1) * st]
-    p = plan(L**4, 12, 4, tuple(offs), nmask=12)
+    # Real symmetric hops dedup to 5 groups (diag + 4 axes); the complex
+    # realified operator (bs=8, conj-transposed hops distinct) gives 9.
+    p = plan(L**4, 12, 4, tuple(offs), nmask=12, groups=5)
     assert p is not None
     assert p.x_reads <= 8.0
+    p8 = plan(L**4, 12, 8, tuple(offs), nmask=12, groups=9)
+    assert p8 is not None
 
 
 def test_cbdia_solve_sbcgrq():
