@@ -30,9 +30,12 @@ from blockcg_tpu.operators import (
 from blockcg_tpu.solvers import (
     solve_cg,
     solve_bcg,
+    solve_bcgdq,
+    solve_bcgrq,
     solve_sbcgrq,
     solve_refined,
     solve_shifted_cg,
+    solve_shifted_sbcgrq,
 )
 
 __version__ = "0.1.0"
@@ -47,7 +50,10 @@ __all__ = [
     "DenseOperator",
     "solve_cg",
     "solve_bcg",
+    "solve_bcgdq",
+    "solve_bcgrq",
     "solve_sbcgrq",
     "solve_refined",
     "solve_shifted_cg",
+    "solve_shifted_sbcgrq",
 ]
