@@ -25,7 +25,7 @@ import numpy as np
 def _scaled_preset(name: str, scale: float, dtype):
     import jax.numpy as jnp
 
-    from blockcg_tpu.problems import laplacian_dia, dirac_bdia
+    from blockcg_tpu.problems import laplacian_dia, dirac_cbdia
 
     def rhs(n, k, seed=42):
         rng = np.random.default_rng(seed)
@@ -44,7 +44,7 @@ def _scaled_preset(name: str, scale: float, dtype):
         op = laplacian_dia((dim(64),) * 3, dtype=dtype)
         return op, rhs(op.n, 32), "sbcgrq"
     if name == "dirac_32":
-        op = dirac_bdia(dim(32, lo=4), m=0.5, dtype=dtype)
+        op = dirac_cbdia(dim(32, lo=4), m=0.5, dtype=dtype)
         return op, rhs(op.n, 12), "sbcgrq"
     if name == "sbcgrq_3d_256":
         op = laplacian_dia((dim(256),) * 3, dtype=dtype)

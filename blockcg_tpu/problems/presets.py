@@ -11,7 +11,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from blockcg_tpu.problems.laplacian import laplacian_dia, laplacian_ell
-from blockcg_tpu.problems.dirac import dirac_bdia
+from blockcg_tpu.problems.dirac import dirac_cbdia
 
 
 def _rhs(n: int, k: int, dtype, seed: int = 42):
@@ -41,10 +41,11 @@ def config3_sbcgrq_3d_64(dtype=jnp.float32):
 def config4_dirac_32(dtype=jnp.float32, L: int = 32):
     """4x4-block lattice-Dirac-like SPD operator on L^4 (default 32^4), 12 RHS.
 
-    Uses the BlockDIA container (block-stencil Pallas kernel); the same
-    matrix is also constructible as generic BSR via problems.dirac_bell.
+    Uses the ConstBlockDIA container (constant-hop MXU Pallas kernel); the
+    same matrix is also constructible as general BlockDIA (dirac_bdia) or
+    generic BSR (dirac_bell).
     """
-    op = dirac_bdia(L, m=0.5, dtype=dtype)
+    op = dirac_cbdia(L, m=0.5, dtype=dtype)
     return op, _rhs(op.n, 12, dtype), {"solver": "sbcgrq", "name": f"dirac_{L}"}
 
 
