@@ -46,12 +46,20 @@ def measure_apply(op, Xt, lengths=(8, 136, 264), trials=3):
     so the marginal signal dwarfs that jitter). Retries once if noise
     produces a non-positive slope; falls back to the longest loop's average.
     """
+    def nudge(u):
+        # Tiny in-place mutation (128 lanes) so chained applies can't be
+        # cached/hoisted, without a full-array pass per iteration (a *0.05
+        # barrier multiply costs an extra read+write of the whole block —
+        # ~20% on the fastest kernels).
+        idx = (slice(None),) * (u.ndim - 1) + (slice(0, 128),)
+        return u.at[idx].multiply(0.5)
+
     compiled = {}
     for n in lengths:
         def loop(o, v, n=n):
             return jax.lax.fori_loop(
                 0, n,
-                lambda i, u: jax.lax.optimization_barrier(o.matmat_t(u) * 0.05),
+                lambda i, u: jax.lax.optimization_barrier(nudge(o.matmat_t(u))),
                 v, unroll=False,
             )
         compiled[n] = jax.jit(loop).lower(op, Xt).compile()

@@ -33,6 +33,11 @@ class ConstBlockDIAOperator(MatmatMixin):
     offsets: tuple[int, ...]
     mask_slot: tuple[int, ...]
     num_sites: int
+    # Slab-routable diagonals (see detect_slabs): static entries
+    # (d, g, nblocks, dst_mul, dst_off, src_shift). These diagonals are
+    # excluded from the main stencil kernel (freeing its tile planner from
+    # their far windows) and accumulated by the tiny slab kernel instead.
+    slabs: tuple = ()
 
     @property
     def bs(self) -> int:
@@ -66,7 +71,17 @@ class ConstBlockDIAOperator(MatmatMixin):
     def from_internal(self, Xv: jax.Array) -> jax.Array:
         return Xv.reshape(Xv.shape[0], self.n)
 
-    def matmat_t(self, Xt: jax.Array) -> jax.Array:
+    def _main_statics(self):
+        """Main-kernel diagonals: all minus the slab-routed ones."""
+        drop = {e[0] for e in self.slabs}
+        keep = [d for d in range(len(self.offsets)) if d not in drop]
+        return (
+            tuple(self.hops[d] for d in keep),
+            tuple(self.offsets[d] for d in keep),
+            tuple(self.mask_slot[d] for d in keep),
+        )
+
+    def matmat_t(self, Xt: jax.Array, interpret: bool = False) -> jax.Array:
         """Apply to a lanes-major block: flat (k, n) or internal (k, bs, ns)."""
         import os
 
@@ -75,17 +90,23 @@ class ConstBlockDIAOperator(MatmatMixin):
         flat = Xt.ndim == 2
         Xv = self.to_internal(Xt) if flat else Xt
         nmask = 0 if self.masks is None else self.masks.shape[0]
+        hops_m, offs_m, mslot_m = self._main_statics()
         if (
-            jax.default_backend() == "tpu"
+            (interpret or (jax.default_backend() == "tpu"
+                           and not os.environ.get("BLOCKCG_NO_PALLAS")))
             and Xt.dtype == jnp.float32
             and (self.masks is None or self.masks.dtype == jnp.float32)
-            and not os.environ.get("BLOCKCG_NO_PALLAS")
-            and cbs.available(self.ns, Xt.shape[0], self.bs, self.offsets, nmask,
-                              groups=cbs.n_groups(self.hops))
+            and cbs.available(self.ns, Xt.shape[0], self.bs, offs_m, nmask,
+                              groups=cbs.n_groups(hops_m))
         ):
             Yv = cbs.const_block_stencil_spmm_t(
-                self.hops, self.offsets, self.mask_slot, self.masks, Xv
+                hops_m, offs_m, mslot_m, self.masks, Xv, interpret=interpret
             )
+            for d, g, nblocks, dst_mul, dst_off, src_shift in self.slabs:
+                Yv = cbs.slab_block_accumulate(
+                    self.hops[d], g, nblocks, dst_mul, dst_off, src_shift,
+                    Xv, Yv, interpret=interpret,
+                )
         else:
             Yv = self._matmat_v_xla(Xv)
         return self.from_internal(Yv) if flat else Yv
@@ -145,5 +166,56 @@ class ConstBlockDIAOperator(MatmatMixin):
 jax.tree_util.register_dataclass(
     ConstBlockDIAOperator,
     data_fields=["masks"],
-    meta_fields=["hops", "offsets", "mask_slot", "num_sites"],
+    meta_fields=["hops", "offsets", "mask_slot", "num_sites", "slabs"],
 )
+
+
+def detect_slabs(op: ConstBlockDIAOperator, max_frac: float = 0.25):
+    """Identify slab-routable diagonals and return an operator that applies
+    them through the slab-accumulate kernel.
+
+    A diagonal qualifies when its 0/1 mask support is a union of full
+    g-aligned site blocks (g | offset) at a regular stride covering at most
+    ``max_frac`` of the sites — e.g. the periodic-wrap diagonals of lattice
+    operators, which otherwise pin the main kernel's tile size through
+    their far windows (SURVEY.md §8 hard part 3 territory)."""
+    import dataclasses as _dc
+
+    import numpy as np
+
+    if op.masks is None:
+        return op
+    masks_np = np.asarray(jax.device_get(op.masks))
+    ns = op.num_sites
+    slabs = []
+    for d, o in enumerate(op.offsets):
+        ms = op.mask_slot[d]
+        if ms < 0:
+            continue
+        m = masks_np[ms]
+        if not np.all((m == 0) | (m == 1)):
+            continue
+        for g in (4096, 2048, 1024, 512, 256):
+            if ns % g or o % g:
+                continue
+            rows = m.reshape(-1, g).sum(axis=1)
+            if not np.all((rows == 0) | (rows == g)):
+                continue
+            blks = np.where(rows == g)[0]
+            if len(blks) == 0 or len(blks) * g > max_frac * ns:
+                break  # smaller g cannot reduce the covered fraction
+            if len(blks) > 1:
+                strides = np.diff(blks)
+                if not np.all(strides == strides[0]):
+                    continue
+                mul = int(strides[0])
+            else:
+                mul = 1
+            slabs.append((d, g, len(blks), mul, int(blks[0]), o // g))
+            break
+    if not slabs:
+        return op
+    out = _dc.replace(op, slabs=tuple(slabs))
+    if hasattr(op, "_nnz"):
+        object.__setattr__(out, "_nnz", op._nnz)
+    return out

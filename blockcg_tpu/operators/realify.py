@@ -162,6 +162,7 @@ def realify(op) -> RealifiedHermitianOperator:
             offsets=op.offsets,
             mask_slot=op.mask_slot,
             num_sites=op.num_sites,
+            slabs=op.slabs,  # same diagonals/sites; doubled hops ride along
         )
         cdtype = jnp.complex64 if rdt == jnp.float32 else jnp.complex128
         w = RealifiedHermitianOperator(

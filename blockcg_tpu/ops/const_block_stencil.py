@@ -83,7 +83,8 @@ def _group_offsets(hops: tuple, mask_slot: tuple[int, ...]):
     return tuple(zip(order, map(tuple, members)))
 
 
-def _kernel(near, far, H, bs, k, kp, groups, nmask, precision, *refs):
+def _kernel(near, far, H, bs, k, kp, groups, nmask, precision, interpret,
+            *refs):
     nf = len(far)
     i = 0
     masks_ref = None
@@ -103,46 +104,59 @@ def _kernel(near, far, H, bs, k, kp, groups, nmask, precision, *refs):
     w_ref = refs[i + nf + 1]
     s_ref = refs[i + nf + 2]
     R = y_ref.shape[2]
-    W = R + 2 * H  # near-window width inside scratch; far windows follow
 
-    # Stage X windows (near halo'd + far) per spin plane.
-    for b in range(bs):
-        if H > 0:
+    # Stage ONLY the misaligned near window [prev H | cur R | next H] — the
+    # aligned pieces (o = 0, far windows) read their input refs directly,
+    # halving the staging copies vs a stage-everything scratch.
+    if H > 0:
+        for b in range(bs):
             w_ref[b, :, :H] = xprev[:, b, :]
             w_ref[b, :, H : H + R] = xcur[:, b, :]
-            w_ref[b, :, H + R : W] = xnext[:, b, :]
-        else:
-            w_ref[b, :, :R] = xcur[:, b, :]
-        for fi in range(nf):
-            w_ref[b, :, W + fi * R : W + (fi + 1) * R] = far_refs[fi][:, b, :]
+            w_ref[b, :, H + R :] = xnext[:, b, :]
 
-    lo_of = {}
+    fi_of = {}
     fi = 0
-    for d, o in enumerate(near + far):
+    for d in range(len(near), len(near) + nf):
+        fi_of[d] = fi
+        fi += 1
+
+    def piece_of(d, o, b):
         if d < len(near):
-            lo_of[d] = H + o
+            if o == 0:
+                return xcur[:, b, :]
+            return w_ref[b, :, H + o : H + o + R]
+        return far_refs[fi_of[d]][:, b, :]
+
+    # Dead stack padding rows must be exactly zero (the MXU contracts over
+    # every operand row; 0 * garbage(NaN) would poison live outputs). The
+    # stack scratch persists across sequential grid steps on TPU, so zero
+    # them once; interpret mode gives no such guarantee — zero every step.
+    if kp > k:
+        zpad = jnp.zeros((kp - k, R), dtype=y_ref.dtype)
+
+        def zero_dead_rows():
+            for g in range(len(groups)):
+                for b in range(bs):
+                    row = (g * bs + b) * kp
+                    s_ref[row + k : row + kp, :] = zpad
+
+        if interpret:
+            zero_dead_rows()
         else:
-            lo_of[d] = W + fi * R
-            fi += 1
+            pl.when(pl.program_id(0) == 0)(zero_dead_rows)
 
     # Operand stack: one (kp, R) row-block per (group, spin-in).
-    zpad = jnp.zeros((kp - k, R), dtype=y_ref.dtype) if kp > k else None
+    offs = near + far
     for g, (_, mem) in enumerate(groups):
         for b in range(bs):
             val = None
             for d, ms in mem:
-                lo = lo_of[d]
-                piece = w_ref[b, :, lo : lo + R]
+                piece = piece_of(d, offs[d], b)
                 if ms >= 0:
                     piece = masks_ref[ms, :].reshape(1, R) * piece
                 val = piece if val is None else val + piece
             row = (g * bs + b) * kp
             s_ref[row : row + k, :] = val
-            if zpad is not None:
-                # Dead padding rows must be exactly zero: the MXU contracts
-                # over every operand row and 0 * garbage(NaN) would poison
-                # live outputs.
-                s_ref[row + k : row + kp, :] = zpad
 
     # One MXU matmul per tile: (bs*kp, G*bs*kp) @ (G*bs*kp, R).
     acc = jax.lax.dot_general(
@@ -263,7 +277,8 @@ def const_block_stencil_spmm_t(
         args.append(Xv)
 
     kernel = functools.partial(
-        _kernel, p.near, p.far, H, bs, k, kp, groups, nmask, precision
+        _kernel, p.near, p.far, H, bs, k, kp, groups, nmask, precision,
+        interpret,
     )
     noff = len(offsets)
     terms = sum(
@@ -273,7 +288,7 @@ def const_block_stencil_spmm_t(
     flops = 2 * terms * k * ns
     bytes_accessed = 4 * (k * bs * ns * p.x_reads + nmask * ns + k * bs * ns)
     scratch = [
-        pltpu.VMEM((bs, k, (R + 2 * H) + len(p.far) * R), Xt.dtype),
+        pltpu.VMEM((bs, k, R + 2 * H if H > 0 else 1), Xt.dtype),
         pltpu.VMEM((G * bs * kp, R), Xt.dtype),
     ]
 
@@ -303,3 +318,71 @@ def available(
     groups: int | None = None,
 ) -> bool:
     return plan(n_sites, k, bs, offsets, nmask, groups=groups) is not None
+
+
+# ----------------------------------------------------------- slab kernel --
+#
+# Wraparound diagonals of periodic lattice operators touch only boundary
+# rows — e.g. the z-wrap of the 4D Dirac operator hits 1/L of all sites, in
+# full g-aligned blocks at a regular stride. Routed through the main kernel
+# they force far-window fetches on EVERY tile (their offsets pin the tile
+# size); split out, the main kernel's planner is free to grow R (x_reads
+# 7 -> 4 on config 4) and this kernel adds the wrap contribution touching
+# only the boundary slabs, accumulating in place via input-output aliasing.
+
+
+def _slab_kernel(hop, bs, g, src_mul, src_off, y_in_ref, x_ref, y_ref):
+    k = y_ref.shape[0]
+    acc = [y_in_ref[:, a, :] for a in range(bs)]
+    for b in range(bs):
+        w = x_ref[:, b, :]
+        for a in range(bs):
+            if hop[a][b] != 0.0:
+                acc[a] = acc[a] + hop[a][b] * w
+    for a in range(bs):
+        y_ref[:, a, :] = acc[a]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("hop", "g", "nblocks", "dst_mul", "dst_off", "src_shift",
+                     "interpret"),
+)
+def slab_block_accumulate(
+    hop: tuple,
+    g: int,
+    nblocks: int,
+    dst_mul: int,
+    dst_off: int,
+    src_shift: int,
+    Xv: jax.Array,
+    Yv: jax.Array,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Y[dst slabs] += hop @ X[dst slabs + offset], in place (Y aliased).
+
+    Destination slab j (j < nblocks) covers sites
+    [(dst_mul*j + dst_off)*g, ...+g); the source sits ``src_shift`` g-blocks
+    away (toroidal). hop is a static bs x bs tuple of scalars."""
+    k, bs, ns = Xv.shape
+    nb = ns // g
+
+    def dst(j):
+        return (dst_mul * j + dst_off) % nb
+
+    return pl.pallas_call(
+        functools.partial(_slab_kernel, hop, bs, g, dst_mul, dst_off),
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((k, bs, g), lambda j: (0, 0, dst(j)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, bs, g), lambda j: (0, 0, (dst(j) + src_shift) % nb),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k, bs, g), lambda j: (0, 0, dst(j)),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(Yv.shape, Yv.dtype),
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )(Yv, Xv)

@@ -195,7 +195,11 @@ def dirac_cbdia(
         rows = ns if mask_slot[d] < 0 else int(masks[mask_slot[d]].sum())
         nnz += nz * rows
     object.__setattr__(op, "_nnz", nnz)
-    return op
+    # Route wrap diagonals (slab-aligned boundary support) through the slab
+    # kernel — frees the main kernel's tile planner from their far windows.
+    from blockcg_tpu.operators.cbdia import detect_slabs
+
+    return detect_slabs(op)
 
 
 def bdia_scipy(op: BlockDIAOperator):
