@@ -386,3 +386,42 @@ def slab_block_accumulate(
         input_output_aliases={0: 0},
         interpret=interpret,
     )(Yv, Xv)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("hop", "g", "nblocks", "dst_base", "src_base", "interpret"),
+)
+def slab_block_accumulate_from(
+    hop: tuple,
+    g: int,
+    nblocks: int,
+    dst_base: int,
+    src_base: int,
+    Src: jax.Array,
+    Yv: jax.Array,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Y[g-blocks dst_base + j] += hop @ Src[g-blocks src_base + j], in place.
+
+    Like ``slab_block_accumulate`` but the source is a SEPARATE array — used
+    for the distributed boundary corrections, where the source slab is a
+    received halo buffer (parallel/dist_ops.py)."""
+    k, bs, _ = Src.shape
+
+    return pl.pallas_call(
+        functools.partial(_slab_kernel, hop, bs, g, 1, dst_base),
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((k, bs, g), lambda j: (0, 0, dst_base + j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, bs, g), lambda j: (0, 0, src_base + j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((k, bs, g), lambda j: (0, 0, dst_base + j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(Yv.shape, Yv.dtype),
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )(Yv, Src)

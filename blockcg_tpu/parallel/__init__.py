@@ -5,8 +5,10 @@ from blockcg_tpu.parallel.halo import ring_halos
 from blockcg_tpu.parallel.dist_ops import (
     DistDIAOperator,
     DistBlockDIAOperator,
+    DistConstBlockDIAOperator,
     partition_dia,
     partition_bdia,
+    partition_cbdia,
     to_dist_order,
     from_dist_order,
 )
@@ -21,8 +23,10 @@ __all__ = [
     "ring_halos",
     "DistDIAOperator",
     "DistBlockDIAOperator",
+    "DistConstBlockDIAOperator",
     "partition_dia",
     "partition_bdia",
+    "partition_cbdia",
     "to_dist_order",
     "from_dist_order",
     "row_mesh",

@@ -42,6 +42,20 @@ def _info_specs(record_history: bool):
     )
 
 
+def _field_pspec(dop, axis):
+    fp = getattr(dop, "field_pspec", None)
+    return fp() if fp is not None else P(None, axis)
+
+
+def _put_field(dop, B, mesh, axis):
+    """Global (n, k) RHS -> lanes-major internal field, sharded on sites."""
+    Bt = B.T
+    to_int = getattr(dop, "to_internal", None)
+    if to_int is not None:
+        Bt = to_int(Bt)
+    return jax.device_put(Bt, NamedSharding(mesh, _field_pspec(dop, axis)))
+
+
 def solve_sbcgrq_dist(
     dop,
     B: jax.Array,
@@ -56,7 +70,7 @@ def solve_sbcgrq_dist(
     """Row-sharded SBCGrQ. ``dop`` is a Dist*Operator from parallel.dist_ops;
     ``B`` is (n, k) in the operator's distributed row ordering."""
     axis = dop.axis_name
-    Bt = jax.device_put(B.T, NamedSharding(mesh, P(None, axis)))
+    Bt = _put_field(dop, B, mesh, axis)
 
     def body(op, bt):
         x0 = jnp.zeros_like(bt)
@@ -69,11 +83,18 @@ def solve_sbcgrq_dist(
     fn = shard_map(
         body,
         mesh=mesh,
-        in_specs=(dop.in_specs(), P(None, axis)),
-        out_specs=(P(None, axis), _info_specs(record_history)),
+        in_specs=(dop.in_specs(), _field_pspec(dop, axis)),
+        out_specs=(_field_pspec(dop, axis), _info_specs(record_history)),
         check_vma=False,
     )
     Xt, info = jax.jit(fn)(dop, Bt)
+    if Xt.ndim == 3:
+        # Merging (bs, ns@rows) lanes is not expressible as a sharded
+        # reshape; gather once at the API boundary (the caller wants X).
+        import numpy as np
+
+        Xn = np.asarray(jax.device_get(Xt))
+        return jnp.asarray(Xn.reshape(Xn.shape[0], -1)).T, info
     return Xt.T, info
 
 

@@ -248,6 +248,216 @@ def partition_bdia(
     )
 
 
+@dataclasses.dataclass
+class DistConstBlockDIAOperator(MatmatMixin):
+    """Site-sharded constant-hop BlockDIA operator — the distributed form of
+    the config-4 fast path (ConstBlockDIAOperator).
+
+    Sharding is a plain contiguous split of the site axis of the native
+    (k, bs, ns) field view — NO row reordering (unlike DistBlockDIAOperator's
+    flat layout). ``local`` is a ConstBlockDIAOperator over the local shard:
+    its masks have cross-shard slots zeroed and its slab routing is
+    re-detected locally. Crossing diagonals (required: unmasked, with
+    g | offset — the lattice t-hops; partition_cbdia raises otherwise) are
+    applied as halo-sourced slab kernels after a ring exchange of the
+    bw-site edge slabs, so the local const kernel keeps its full speed and
+    the correction touches only boundary blocks.
+    """
+
+    local: object  # ConstBlockDIAOperator (local shard)
+    # crossing corrections: (d_hop_index, o, g, nblocks) per crossing diag
+    crossings: tuple
+    bw: int
+    g: int
+    axis_name: str
+
+    @property
+    def bs(self) -> int:
+        return self.local.bs
+
+    @property
+    def dtype(self):
+        return self.local.dtype
+
+    def to_internal(self, Xt: jax.Array) -> jax.Array:
+        return Xt.reshape(Xt.shape[0], self.bs, Xt.shape[1] // self.bs)
+
+    def from_internal(self, Xv: jax.Array) -> jax.Array:
+        return Xv.reshape(Xv.shape[0], Xv.shape[1] * Xv.shape[2])
+
+    def matmat_t(self, Xt: jax.Array) -> jax.Array:
+        """Xt: (k, bs, ns_l) local internal field (or flat (k, bs*ns_l))."""
+        import os
+
+        from blockcg_tpu.ops import const_block_stencil as cbs
+        from blockcg_tpu.parallel.halo import ring_halos
+
+        flat = Xt.ndim == 2
+        Xv = self.to_internal(Xt) if flat else Xt
+        halo_l, halo_r = ring_halos(Xv, self.bw, self.axis_name)
+        # Interior: full-speed local const kernel (independent of halos —
+        # XLA overlaps it with the ppermute).
+        Yv = self.local.matmat_t(Xv)
+        ns_l = Xv.shape[2]
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and Xv.dtype == jnp.float32
+            and not os.environ.get("BLOCKCG_NO_PALLAS")
+        )
+        for d, o, g, nblocks in self.crossings:
+            hop = self.local.hops[d]
+            if o > 0:
+                # rows [ns_l - o, ns_l) <- neighbor's first o sites
+                dst0, src = ns_l - o, halo_r
+                src0 = 0
+            else:
+                # rows [0, -o) <- left neighbor's last -o sites
+                dst0, src = 0, halo_l
+                src0 = self.bw + o  # halo holds bw sites; take the last -o
+            if use_pallas:
+                Yv = cbs.slab_block_accumulate_from(
+                    hop, g, nblocks, dst0 // g, src0 // g, src, Yv
+                )
+            else:
+                h = jnp.asarray(hop, dtype=Xv.dtype)
+                w = src[:, :, src0 : src0 + abs(o)]
+                contrib = jnp.einsum(
+                    "ab,kbi->kai", h, w, precision=jax.lax.Precision.HIGHEST
+                )
+                Yv = Yv.at[:, :, dst0 : dst0 + abs(o)].add(contrib)
+        return self.from_internal(Yv) if flat else Yv
+
+    def in_specs(self):
+        from jax.sharding import PartitionSpec as P
+
+        import dataclasses as _dc
+
+        local_spec = _dc.replace(
+            self.local,
+            masks=None if self.local.masks is None else P(None, self.axis_name),
+        )
+        return DistConstBlockDIAOperator(
+            local=local_spec,
+            crossings=self.crossings,
+            bw=self.bw,
+            g=self.g,
+            axis_name=self.axis_name,
+        )
+
+    def field_pspec(self):
+        from jax.sharding import PartitionSpec as P
+
+        return P(None, None, self.axis_name)
+
+
+jax.tree_util.register_dataclass(
+    DistConstBlockDIAOperator,
+    data_fields=["local"],
+    meta_fields=["crossings", "bw", "g", "axis_name"],
+)
+
+
+def partition_cbdia(op, D: int, axis_name: str = "rows", g: int | None = None):
+    """Partition a ConstBlockDIAOperator over D site-contiguous shards.
+
+    Requirements: D | ns; every diagonal that crosses a shard boundary must
+    be unmasked with g | offset and |offset| <= ns/D (the lattice t-hops) —
+    masked crossing diagonals would need per-row boundary coefficients;
+    build those operators with partition_bdia instead.
+    """
+    from blockcg_tpu.operators.cbdia import ConstBlockDIAOperator, detect_slabs
+
+    ns = op.num_sites
+    if ns % D:
+        raise ValueError(f"ns={ns} not divisible by D={D}")
+    ns_l = ns // D
+    masks_np = (
+        None if op.masks is None else np.asarray(jax.device_get(op.masks))
+    )
+    j = np.arange(ns) % ns_l
+
+    new_masks: list[np.ndarray] = []
+    new_slot: list[int] = []
+    crossings = []
+    dtype = np.float32 if masks_np is None else masks_np.dtype
+    for d, o in enumerate(op.offsets):
+        ms = op.mask_slot[d]
+        crosses = (j + o < 0) | (j + o >= ns_l)
+        base = np.ones(ns, dtype=dtype) if ms < 0 else masks_np[ms]
+        # Effective crossing = rows whose (masked) coupling actually leaves
+        # the shard. Lattice hops masked off at their own axis boundary
+        # often "cross" only where the mask is already zero.
+        eff = crosses & (base != 0)
+        if not eff.any():
+            if ms < 0 and not crosses.any():
+                new_slot.append(-1)
+            else:
+                interior = np.where(crosses, 0.0, base).astype(dtype)
+                new_slot.append(len(new_masks))
+                new_masks.append(interior)
+            continue
+        # Crossing diagonal: local part masked off at the boundary...
+        interior = np.where(crosses, 0.0, base).astype(dtype)
+        new_slot.append(len(new_masks))
+        new_masks.append(interior)
+        # ...and a halo-sourced boundary correction, valid only when the
+        # coupled rows are the full contiguous edge slab in EVERY shard.
+        edge = (j >= ns_l - o) if o > 0 else (j < -o)
+        if not np.array_equal(eff, edge):
+            raise ValueError(
+                f"offset {o}: masked crossing diagonal — use partition_bdia"
+            )
+        gg = g
+        if gg is None:
+            gg = 256
+            while gg * 2 <= 4096 and o % (gg * 2) == 0 and ns_l % (gg * 2) == 0:
+                gg *= 2
+        if o % gg or ns_l % gg or abs(o) > ns_l:
+            raise ValueError(
+                f"offset {o}: not slab-alignable (g={gg}) — use partition_bdia"
+            )
+        crossings.append((d, o, gg, abs(o) // gg))
+
+    if not crossings:
+        raise ValueError("no crossing diagonals; use the operator directly")
+    g_all = min(c[2] for c in crossings)
+    crossings = tuple(
+        (d, o, g_all, abs(o) // g_all) for (d, o, gg, nb) in crossings
+    )
+    bw = max(abs(c[1]) for c in crossings)
+
+    # num_sites is the LOCAL shard length: the operator is only applied
+    # inside shard_map, where its mask arrays carry the local slice.
+    local = ConstBlockDIAOperator(
+        masks=jnp.asarray(np.stack(new_masks)) if new_masks else None,
+        hops=op.hops,
+        offsets=op.offsets,
+        mask_slot=tuple(new_slot),
+        num_sites=ns_l,
+    )
+    # Re-detect slab routing against the LOCAL shard length: the detector
+    # must see the per-shard mask pattern, which is identical across shards
+    # (lattice structure) — use the first shard's slice.
+    local_probe = ConstBlockDIAOperator(
+        masks=None if not new_masks else jnp.asarray(
+            np.stack([m[:ns_l] for m in new_masks])
+        ),
+        hops=op.hops,
+        offsets=op.offsets,
+        mask_slot=tuple(new_slot),
+        num_sites=ns_l,
+    )
+    probed = detect_slabs(local_probe)
+    object.__setattr__(local, "slabs", probed.slabs)
+    return DistConstBlockDIAOperator(
+        local=local,
+        crossings=crossings,
+        bw=bw,
+        g=g_all,
+        axis_name=axis_name,
+    )
+
+
 def to_dist_order(X: np.ndarray, bs: int, D: int) -> np.ndarray:
     """Reorder an (n, k) block from global spin-major rows (a*ns + s) to the
     distributed ordering (shard-major, spin, site-within-shard)."""

@@ -1,0 +1,77 @@
+"""Distributed const-hop block operator (partition_cbdia) on the fake mesh."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+import blockcg_tpu as bc
+from blockcg_tpu.problems import dirac_cbdia, dirac_bdia
+from blockcg_tpu.problems.dirac import bdia_scipy
+from blockcg_tpu.parallel import partition_cbdia, row_mesh, solve_sbcgrq_dist
+
+try:
+    shard_map = jax.shard_map
+except AttributeError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+D = 8
+
+
+def _op(L=8):
+    return dirac_cbdia(L, m=0.5, bc="periodic", dtype=jnp.float32)
+
+
+def test_partition_cbdia_structure():
+    op = _op()
+    dop = partition_cbdia(op, D)
+    # only the toroidal t-hops cross site-contiguous shard boundaries
+    offs = sorted(op.offsets[c[0]] for c in dop.crossings)
+    st = 8**3
+    assert offs == [-st, st]
+    assert dop.local.num_sites == op.num_sites // D
+
+
+def test_dist_cbdia_apply_matches_global():
+    op = _op()
+    dop = partition_cbdia(op, D)
+    mesh = row_mesh(D)
+    rng = np.random.default_rng(0)
+    k = 5
+    Xv = jnp.asarray(rng.standard_normal((k, op.bs, op.ns)), dtype=jnp.float32)
+    Xs = jax.device_put(Xv, jax.NamedSharding(mesh, P(None, None, "rows")))
+
+    fn = shard_map(
+        lambda o, x: o.matmat_t(x),
+        mesh=mesh,
+        in_specs=(dop.in_specs(), P(None, None, "rows")),
+        out_specs=P(None, None, "rows"),
+        check_vma=False,
+    )
+    got = np.asarray(jax.jit(fn)(dop, Xs))
+    want = np.asarray(op.matmat_t(Xv))
+    err = np.abs(got - want).max() / np.abs(want).max()
+    assert err < 1e-6
+
+
+def test_dist_cbdia_solve_matches_single_device():
+    op = _op()
+    dop = partition_cbdia(op, D)
+    mesh = row_mesh(D)
+    rng = np.random.default_rng(1)
+    B = jnp.asarray(rng.standard_normal((op.n, 4)), dtype=jnp.float32)
+    Xd, info_d = solve_sbcgrq_dist(dop, B, mesh, tol=1e-5, max_iter=200)
+    Xs, info_s = bc.solve_sbcgrq(op, B, tol=1e-5, max_iter=200)
+    assert abs(int(info_d.iterations) - int(info_s.iterations)) <= 2
+    a = bdia_scipy(dirac_bdia(8, m=0.5, bc="periodic", dtype=jnp.float64))
+    R = np.asarray(B, np.float64) - a @ np.asarray(Xd, np.float64)
+    rel = (np.linalg.norm(R, axis=0) / np.linalg.norm(np.asarray(B, np.float64), axis=0)).max()
+    assert rel < 1e-4
+
+
+def test_partition_cbdia_rejects_masked_crossing():
+    op = dirac_cbdia(8, m=0.5, bc="open", dtype=jnp.float32)
+    # open bc: the t-hops are masked (c0 boundaries) AND cross -> reject
+    with pytest.raises(ValueError):
+        partition_cbdia(op, D)
