@@ -123,9 +123,14 @@ def solve_refined(
             from blockcg_tpu.utils.checkpoint import save_checkpoint
 
             save_checkpoint(checkpoint_path, X, iteration=cycles)
-        if verbose:
-            print(f"[refine] cycle {cycles}: max relres = {float(jnp.max(relres)):.3e}")
-        if bool(jnp.max(relres) <= tol):
+        with jax.enable_x64(True):
+            done = bool(jnp.max(relres) <= tol)
+            if verbose:
+                print(
+                    f"[refine] cycle {cycles}: max relres = "
+                    f"{float(jnp.max(relres)):.3e}"
+                )
+        if done:
             break
 
     with jax.enable_x64(True):
