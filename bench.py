@@ -95,7 +95,7 @@ def measure_apply(op, Xt, lengths=(8, 136, 264), trials=3):
 
 def main():
     import blockcg_tpu as bc
-    from blockcg_tpu.problems import laplacian_dia
+    from blockcg_tpu.problems import dirac_cbdia, laplacian_dia
 
     op = laplacian_dia((64, 64, 64), dtype=jnp.float32)
     rng = np.random.default_rng(0)
@@ -103,6 +103,13 @@ def main():
 
     dt = measure_apply(op, Xt)
     nnzs = op.nnz / dt
+
+    # Config 4 (Dirac 32^4, k=12) SpMM as an extra data point.
+    op4 = dirac_cbdia(32, m=0.5, dtype=jnp.float32)
+    X4 = op4.to_internal(
+        jnp.asarray(rng.standard_normal((12, op4.n)), dtype=jnp.float32)
+    )
+    dt4 = measure_apply(op4, X4)
 
     # SBCGrQ time-to-tol on the same config (32 RHS, tol 1e-6).
     B = jnp.asarray(rng.standard_normal((op.n, 32)), dtype=jnp.float32)
@@ -126,6 +133,7 @@ def main():
         "sbcgrq_time_to_tol_s": round(solve_s, 3),
         "sbcgrq_iters": iters,
         "sbcgrq_max_relres": float(jnp.max(info.relres)),
+        "dirac32_gnnzs": round(op4.nnz / dt4 / 1e9, 3),
         "device": str(jax.devices()[0]),
     }))
 
