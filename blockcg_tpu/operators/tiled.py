@@ -46,7 +46,10 @@ class TiledOperator(MatmatMixin):
         return self.tiles.dtype
 
     @classmethod
-    def from_scipy(cls, a, dtype=jnp.float32, force_numpy: bool = False):
+    def from_scipy(
+        cls, a, dtype=jnp.float32, force_numpy: bool = False,
+        max_pad_bytes: int = 8 << 30,
+    ):
         from blockcg_tpu.native import tilize_csr
 
         a = a.tocsr()
@@ -58,6 +61,23 @@ class TiledOperator(MatmatMixin):
             npad = T - n % T
             a = sp.block_diag([a, sp.eye(npad)], format="csr")
             n = a.shape[0]
+        # The tile format targets block-dense sparsity: estimate the padded
+        # footprint first — truly scattered matrices (one nnz per 128x128
+        # tile) would blow up memory by ~16000x. Use CSR/ELL (XLA gather
+        # path) for those; TPU hardware gathers span only 128 lanes, so no
+        # Pallas fast path exists for arbitrary scatter.
+        row_t = np.asarray(a.indices) // T  # within-row tile ids per nnz
+        indptr = np.asarray(a.indptr)
+        rtile = np.repeat(np.arange(n, dtype=np.int64) // T, np.diff(indptr))
+        ntiles_est = len(set(zip(rtile.tolist(), row_t.tolist())))
+        pad_bytes = ntiles_est * T * T * 4
+        if pad_bytes > max_pad_bytes:
+            raise ValueError(
+                f"matrix too scattered for the {T}x{T} tile format: "
+                f"{ntiles_est} tiles = {pad_bytes/2**30:.1f} GiB padded "
+                f"(fill {a.nnz/(ntiles_est*T*T):.2%}); use CSROperator/"
+                f"ELLOperator instead"
+            )
         tiles, rt, ct, first = tilize_csr(
             a, T, force_numpy=force_numpy, dtype=np.dtype(jnp.dtype(dtype).name)
         )
