@@ -56,6 +56,28 @@ def _put_field(dop, B, mesh, axis):
     return jax.device_put(Bt, NamedSharding(mesh, _field_pspec(dop, axis)))
 
 
+# shard_map closures are rebuilt per call; without caching every solve call
+# would recompile (5-100 s through this sandbox's remote-compile tunnel —
+# measured 200x the device time of the solve itself). Key on everything the
+# closure bakes in: mesh, operator structure, solver statics and tol.
+_SHARD_FN_CACHE: dict = {}
+
+
+def _cached_jit(key, make):
+    fn = _SHARD_FN_CACHE.get(key)
+    if fn is None:
+        fn = _SHARD_FN_CACHE[key] = jax.jit(make())
+    return fn
+
+
+def _dop_key(dop, mesh):
+    return (
+        mesh,
+        jax.tree_util.tree_structure(dop),
+        str(_field_pspec(dop, dop.axis_name)),
+    )
+
+
 def solve_sbcgrq_dist(
     dop,
     B: jax.Array,
@@ -80,14 +102,16 @@ def solve_sbcgrq_dist(
             axis_name=axis, record_history=record_history,
         )
 
-    fn = shard_map(
+    key = ("sbcgrq", _dop_key(dop, mesh), float(tol), max_iter, qr_passes,
+           replace_every, record_history)
+    fn = _cached_jit(key, lambda: shard_map(
         body,
         mesh=mesh,
         in_specs=(dop.in_specs(), _field_pspec(dop, axis)),
         out_specs=(_field_pspec(dop, axis), _info_specs(record_history)),
         check_vma=False,
-    )
-    Xt, info = jax.jit(fn)(dop, Bt)
+    ))
+    Xt, info = fn(dop, Bt)
     if Xt.ndim == 3:
         # Merging (bs, ns@rows) lanes is not expressible as a sharded
         # reshape; gather once at the API boundary (the caller wants X).
@@ -117,14 +141,15 @@ def solve_bcg_dist(
             record_history=record_history,
         )
 
-    fn = shard_map(
+    key = ("bcg", _dop_key(dop, mesh), float(tol), max_iter, record_history)
+    fn = _cached_jit(key, lambda: shard_map(
         body,
         mesh=mesh,
         in_specs=(dop.in_specs(), P(None, axis)),
         out_specs=(P(None, axis), _info_specs(record_history)),
         check_vma=False,
-    )
-    Xt, info = jax.jit(fn)(dop, Bt)
+    ))
+    Xt, info = fn(dop, Bt)
     return Xt.T, info
 
 
@@ -147,11 +172,12 @@ def solve_cg_dist(
             record_history=record_history,
         )
 
-    fn = shard_map(
+    key = ("cg", _dop_key(dop, mesh), float(tol), max_iter, record_history)
+    fn = _cached_jit(key, lambda: shard_map(
         body,
         mesh=mesh,
         in_specs=(dop.in_specs(), P(axis)),
         out_specs=(P(axis), _info_specs(record_history)),
         check_vma=False,
-    )
-    return jax.jit(fn)(dop, bl)
+    ))
+    return fn(dop, bl)

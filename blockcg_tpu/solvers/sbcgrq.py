@@ -16,10 +16,13 @@ Invariant (unit-tested): ``B - A X == Q S`` at every iteration. Convergence
 monitoring (T-C4) is free: per-RHS residual norms are the column norms of the
 k x k ``S`` because Q has orthonormal columns — no (n,k) reduction needed.
 
-Internal layout is lanes-major (k, n) (see solvers/common.py); transposed
-recurrence, using alpha = alpha^T (it is an SPD inverse):
+Internal layout is lanes-major (see solvers/common.py) in the operator's
+field view — flat (k, n) or (k, bs, ns) for block operators. Transposed
+recurrence (alpha^T = conj(alpha): it is a Hermitian inverse; rho^{H,T} =
+conj(rho)):
 
-    Xt += S^T alpha Pt ;  Vt = Qt - alpha Zt ;  Pt = Qt + rho Pt
+    Xt += S^T conj(alpha) Pt ;  Vt = Qt - conj(alpha) Zt
+    Pt  = Qt + conj(rho) Pt
 
 The thin QR is distributed CholeskyQR2 (T-C3): the only cross-device traffic
 per iteration is one halo exchange inside ``op`` plus two k x k psums

@@ -57,7 +57,6 @@ from blockcg_tpu.types import SolverInfo
 from blockcg_tpu.solvers.common import (
     HIGHEST,
     chol_inverse_spd,
-    chol_solve_spd,
     cholqr_fused_t,
     f_gram,
     f_mm_update_gram,
@@ -91,9 +90,6 @@ def _shifted_sbcgrq_impl(op, Bt, sigmas, tol, max_iter, qr_passes, axis_name):
     tol_arr = jnp.asarray(tol, rdtype)
 
     Q0t, S0 = cholqr_fused_t(Bt, passes=qr_passes, axis_name=axis_name)
-
-    def batch_chol_solve(Delta, Z):
-        return jax.vmap(chol_solve_spd)(Delta, Z)
 
     def relres_of(coef):
         # coef: (nshift, k, k) = rho_{i+1} M_i Delta_i^{-1} z_i
