@@ -66,10 +66,10 @@ class TiledOperator(MatmatMixin):
         # tile) would blow up memory by ~16000x. Use CSR/ELL (XLA gather
         # path) for those; TPU hardware gathers span only 128 lanes, so no
         # Pallas fast path exists for arbitrary scatter.
-        row_t = np.asarray(a.indices) // T  # within-row tile ids per nnz
+        col_t = np.asarray(a.indices).astype(np.int64) // T
         indptr = np.asarray(a.indptr)
         rtile = np.repeat(np.arange(n, dtype=np.int64) // T, np.diff(indptr))
-        ntiles_est = len(set(zip(rtile.tolist(), row_t.tolist())))
+        ntiles_est = int(np.unique(rtile * (n // T) + col_t).size)
         pad_bytes = ntiles_est * T * T * 4
         if pad_bytes > max_pad_bytes:
             raise ValueError(

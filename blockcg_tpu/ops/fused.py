@@ -102,10 +102,16 @@ def _planes(ref, bs):
             yield ref[:, b, :]
 
 
+def _env_interpret() -> bool:
+    import os
+
+    return bool(os.environ.get("BLOCKCG_FUSED_INTERPRET"))
+
+
 def _ok(*fields) -> bool:
     import os
 
-    if jax.default_backend() != "tpu" and not os.environ.get("BLOCKCG_FUSED_INTERPRET"):
+    if jax.default_backend() != "tpu" and not _env_interpret():
         return False
     if os.environ.get("BLOCKCG_NO_PALLAS"):
         return False
@@ -118,6 +124,7 @@ def _ok(*fields) -> bool:
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def gram(U: jax.Array, V: jax.Array, *, interpret: bool = False) -> jax.Array:
     """G = U V^T over the field dims: (k, ...) x (k, ...) -> (k, k)."""
+    interpret = interpret or _env_interpret()
     k, bs, lanes = _field_dims(U)
     R = _pick_tile(k, bs, lanes, 2)
     nb = lanes // R
@@ -161,6 +168,7 @@ def mm_update(
     interpret: bool = False,
 ) -> jax.Array:
     """Y = M @ B (+ A), fields (k, ...), M (k, k)."""
+    interpret = interpret or _env_interpret()
     k, bs, lanes = _field_dims(B)
     nf = 2 if A is None else 3
     R = _pick_tile(k, bs, lanes, nf)
@@ -208,6 +216,7 @@ def mm_update_gram(
     interpret: bool = False,
 ):
     """Y = M @ B (+ A);  G = Y Y^T — one pass over the fields."""
+    interpret = interpret or _env_interpret()
     k, bs, lanes = _field_dims(B)
     nf = 2 if A is None else 3
     R = _pick_tile(k, bs, lanes, nf)
@@ -270,6 +279,7 @@ def qr_p_update(
     interpret: bool = False,
 ):
     """Q = M2 @ Q1 ;  Pn = Q + rho @ P — fused (reads Q1, P once)."""
+    interpret = interpret or _env_interpret()
     k, bs, lanes = _field_dims(Q1)
     R = _pick_tile(k, bs, lanes, 4)
     nb = lanes // R

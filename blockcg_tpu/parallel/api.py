@@ -112,14 +112,32 @@ def solve_sbcgrq_dist(
         check_vma=False,
     ))
     Xt, info = fn(dop, Bt)
-    if Xt.ndim == 3:
-        # Merging (bs, ns@rows) lanes is not expressible as a sharded
-        # reshape; gather once at the API boundary (the caller wants X).
-        import numpy as np
+    return _field_result(dop, mesh, Xt), info
 
-        Xn = np.asarray(jax.device_get(Xt))
-        return jnp.asarray(Xn.reshape(Xn.shape[0], -1)).T, info
-    return Xt.T, info
+
+def _field_result(dop, mesh, Xt):
+    """Return X as (n, k). A 3D block field needs its (bs, ns@rows) lanes
+    merged — not expressible as a sharded reshape, so single-process runs
+    gather once at the API boundary. Multi-process (pod) runs cannot gather;
+    the result comes back in DISTRIBUTED row order (shard-major, spin,
+    site — convert with parallel.from_dist_order)."""
+    if Xt.ndim != 3:
+        return Xt.T
+    if jax.process_count() > 1:
+        axis = dop.axis_name
+        key = ("flatten", _dop_key(dop, mesh))
+        fn = _cached_jit(key, lambda: shard_map(
+            lambda x: x.reshape(x.shape[0], -1),
+            mesh=mesh,
+            in_specs=(_field_pspec(dop, axis),),
+            out_specs=P(None, axis),
+            check_vma=False,
+        ))
+        return fn(Xt).T
+    import numpy as np
+
+    Xn = np.asarray(jax.device_get(Xt))
+    return jnp.asarray(Xn.reshape(Xn.shape[0], -1)).T
 
 
 def solve_bcg_dist(
@@ -132,7 +150,7 @@ def solve_bcg_dist(
     record_history: bool = False,
 ) -> tuple[jax.Array, SolverInfo]:
     axis = dop.axis_name
-    Bt = jax.device_put(B.T, NamedSharding(mesh, P(None, axis)))
+    Bt = _put_field(dop, B, mesh, axis)
 
     def body(op, bt):
         x0 = jnp.zeros_like(bt)
@@ -145,12 +163,12 @@ def solve_bcg_dist(
     fn = _cached_jit(key, lambda: shard_map(
         body,
         mesh=mesh,
-        in_specs=(dop.in_specs(), P(None, axis)),
-        out_specs=(P(None, axis), _info_specs(record_history)),
+        in_specs=(dop.in_specs(), _field_pspec(dop, axis)),
+        out_specs=(_field_pspec(dop, axis), _info_specs(record_history)),
         check_vma=False,
     ))
     Xt, info = fn(dop, Bt)
-    return Xt.T, info
+    return _field_result(dop, mesh, Xt), info
 
 
 def solve_cg_dist(
@@ -163,6 +181,12 @@ def solve_cg_dist(
     record_history: bool = False,
 ) -> tuple[jax.Array, SolverInfo]:
     axis = dop.axis_name
+    if str(_field_pspec(dop, axis)) != str(P(None, axis)):
+        raise TypeError(
+            "solve_cg_dist supports flat row-sharded operators only; block "
+            "operators (3D field view) go through solve_bcg_dist/"
+            "solve_sbcgrq_dist"
+        )
     bl = jax.device_put(b, NamedSharding(mesh, P(axis)))
 
     def body(op, bv):

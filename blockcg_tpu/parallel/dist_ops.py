@@ -435,20 +435,27 @@ def partition_cbdia(op, D: int, axis_name: str = "rows", g: int | None = None):
         mask_slot=tuple(new_slot),
         num_sites=ns_l,
     )
-    # Re-detect slab routing against the LOCAL shard length: the detector
-    # must see the per-shard mask pattern, which is identical across shards
-    # (lattice structure) — use the first shard's slice.
-    local_probe = ConstBlockDIAOperator(
-        masks=None if not new_masks else jnp.asarray(
-            np.stack([m[:ns_l] for m in new_masks])
-        ),
-        hops=op.hops,
-        offsets=op.offsets,
-        mask_slot=tuple(new_slot),
-        num_sites=ns_l,
+    # Re-detect slab routing against the LOCAL shard length. The detector
+    # sees shard 0's mask slice and the routing is applied as STATIC block
+    # indices on every shard — only valid when the per-shard mask pattern is
+    # identical across shards (true for lattice operators whenever the
+    # shard length is a multiple of the mask period). Verify, else skip the
+    # slab fast path (masks stream through the main kernel instead).
+    shard_periodic = all(
+        np.array_equal(m.reshape(D, ns_l), np.broadcast_to(
+            m.reshape(D, ns_l)[0], (D, ns_l)))
+        for m in new_masks
     )
-    probed = detect_slabs(local_probe)
-    object.__setattr__(local, "slabs", probed.slabs)
+    if shard_periodic and new_masks:
+        local_probe = ConstBlockDIAOperator(
+            masks=jnp.asarray(np.stack([m[:ns_l] for m in new_masks])),
+            hops=op.hops,
+            offsets=op.offsets,
+            mask_slot=tuple(new_slot),
+            num_sites=ns_l,
+        )
+        probed = detect_slabs(local_probe)
+        object.__setattr__(local, "slabs", probed.slabs)
     return DistConstBlockDIAOperator(
         local=local,
         crossings=crossings,

@@ -80,10 +80,12 @@ def _bcgdq_impl(op, Bt, X0t, tol, max_iter, qr_passes, axis_name,
         h = f_gram(Zt, Rt, axis_name)       # Z^H R
         beta = -chol_solve_spd(M, h)
         Vt, Gv = f_mm_update_gram(beta.T, Wt, Rt, axis_name)
-        for _ in range(qr_passes):
+        for p in range(qr_passes):
             M1, _ = qr_factors_from_gram(Gv)
-            Wt_new, Gv = f_mm_update_gram(M1, Vt, None, axis_name)
-            Vt = Wt_new
+            if p < qr_passes - 1:
+                Vt, Gv = f_mm_update_gram(M1, Vt, None, axis_name)
+            else:  # last pass needs no Gram
+                Vt = f_mm_update(M1, Vt)
         Wt = Vt
         if hist is not None:
             hist = hist.at[it].set(
@@ -119,6 +121,8 @@ def solve_bcgdq(
     """Solve ``A X = B`` by block CG with QR'd directions (Dubrulle BCGdQ)."""
     if B.ndim == 1:
         raise ValueError("solve_bcgdq expects an (n, k) block; use solve_cg")
+    if qr_passes < 1:
+        raise ValueError("qr_passes must be >= 1")
     Bt = op.to_internal(B.T)
     X0t = jnp.zeros_like(Bt) if X0 is None else op.to_internal(X0.T)
     Xt, info = _bcgdq_impl(

@@ -215,6 +215,8 @@ def cholqr_fused_t(Vt, passes: int = 2, axis_name: str | None = None,
     residual-direction update), saving the initial Gram pass entirely.
     Returns (Qt, R): V = Q R. Used by the hot SBCGrQ loop; the standalone
     ``cholqr_t`` remains for generic callers."""
+    if passes < 1:
+        raise ValueError("passes must be >= 1")
     G = f_gram(Vt, Vt, axis_name) if Gv is None else Gv
     Wt = Vt
     rho = None

@@ -159,6 +159,8 @@ def solve_sbcgrq(
     """Solve ``A X = B`` (A SPD, B (n, k)) by stabilized block CG (SBCGrQ)."""
     if B.ndim == 1:
         raise ValueError("solve_sbcgrq expects an (n, k) block; use solve_cg for k=1")
+    if qr_passes < 1:
+        raise ValueError("qr_passes must be >= 1")
     # Solver state lives in the operator's internal field view (e.g.
     # (k, bs, ns) for block operators) — converted once here, not per apply.
     Bt = op.to_internal(B.T)

@@ -161,7 +161,7 @@ def _shifted_sbcgrq_impl(op, Bt, sigmas, tol, max_iter, qr_passes, axis_name):
         iterations=it,
         relres=rel,
         converged=rel <= tol_arr,
-        matvecs=it + 1,
+        matvecs=it,  # Q_0 comes from QR of B directly: no setup apply
         history=None,
     )
     return Xs, info
@@ -191,6 +191,8 @@ def solve_shifted_sbcgrq(
     """
     if B.ndim == 1:
         raise ValueError("solve_shifted_sbcgrq expects an (n, k) block")
+    if qr_passes < 1:
+        raise ValueError("qr_passes must be >= 1")
     sig = jnp.atleast_1d(jnp.asarray(sigmas))
     Bt = op.to_internal(B.T)
     Xs, info = _shifted_sbcgrq_impl(
