@@ -11,6 +11,13 @@ from blockcg_tpu.problems.dirac import (
     dirac_bell,
     dirac_scipy,
 )
+from blockcg_tpu.problems.dirac_eo import (
+    EOContext,
+    dirac_eo,
+    eo_assemble,
+    eo_split,
+    solve_dirac_eo,
+)
 from blockcg_tpu.problems.random_spd import random_spd, random_block
 from blockcg_tpu.problems.presets import PRESETS
 
@@ -24,6 +31,11 @@ __all__ = [
     "dirac_cbdia",
     "dirac_bell",
     "dirac_scipy",
+    "EOContext",
+    "dirac_eo",
+    "eo_assemble",
+    "eo_split",
+    "solve_dirac_eo",
     "random_spd",
     "random_block",
     "PRESETS",

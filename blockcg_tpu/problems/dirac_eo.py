@@ -1,0 +1,310 @@
+"""Even-odd (red-black) Schur reduction of the lattice Dirac-like operator.
+
+The nearest-neighbor operator A = c I - H couples only opposite parities
+(reference R10 is an "even-odd-preconditioned Wilson"-shaped operator,
+SURVEY.md §1). This module builds the half-lattice parity hops H_eo / H_oe
+as ConstBlockDIAOperators — the structure (offsets + 0/1 masks per distinct
+half-index offset) is DERIVED automatically from the coordinate maps, so
+every fast path (const-hop MXU kernel, slab routing, distribution) applies
+— and wires them into operators.schur.SchurEvenOperator:
+
+    S_e x_e = b_e + H_eo b_o / c,   S_e = c I - H_eo H_oe / c   (half size)
+    x_o     = (b_o + H_oe x_e) / c
+
+Half-index convention: a site s = (t, z, y, x) of parity p has half-index
+h = s // 2 within its parity class; the half lattice is an (L, L, L, L/2)
+grid with strides (L^3/2, L^2/2, L/2, 1). Only x-hops depend on the row's
+x-parity q = (t + z + y + p) % 2 — the derivation below just computes every
+neighbor's half-index numerically and groups equal offsets into masked
+diagonals, so no case analysis is hand-maintained.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from blockcg_tpu.operators.cbdia import ConstBlockDIAOperator, detect_slabs
+from blockcg_tpu.operators.schur import SchurEvenOperator
+from blockcg_tpu.problems.dirac import BS, _NDIM, hopping_matrices
+
+__all__ = ["dirac_eo", "eo_split", "eo_assemble", "solve_dirac_eo", "EOContext"]
+
+
+def _half_coords(L: int, parity: int):
+    """Coordinates of the parity-class sites, indexed by half-index h."""
+    ns2 = L**_NDIM // 2
+    h = np.arange(ns2)
+    l3h, l2h, lh = L**3 // 2, L**2 // 2, L // 2
+    t = h // l3h
+    z = (h // l2h) % L
+    y = (h // lh) % L
+    xh = h % lh
+    q = (t + z + y + parity) % 2  # x-parity of the site
+    x = 2 * xh + q
+    return t, z, y, x
+
+
+def _half_index(L: int, t, z, y, x):
+    """Half-index of full-coordinate sites (whatever their parity)."""
+    s = ((t * L + z) * L + y) * L + x
+    return s // 2
+
+
+def _parity_hop(L: int, H: np.ndarray, target_parity: int, bc: str,
+                np_dtype) -> ConstBlockDIAOperator:
+    """Half-lattice hop: Y[target-parity rows] = sum_mu (H_mu X[.+mu]
+    + H_mu^H X[.-mu]) over the opposite-parity half field."""
+    ns2 = L**_NDIM // 2
+    t, z, y, x = _half_coords(L, target_parity)
+    coords = [t, z, y, x]
+
+    # (offset, block_key) -> accumulated mask
+    diag_masks: dict = {}
+    diag_blocks: dict = {}
+
+    def add(block: np.ndarray, hprime: np.ndarray, valid: np.ndarray):
+        off_vec = (hprime - np.arange(ns2)) % ns2
+        for off in np.unique(off_vec[valid]):
+            mask = valid & (off_vec == off)
+            soff = int(((off + ns2 // 2) % ns2) - ns2 // 2)  # near-zero rep
+            key = (soff, block.tobytes())
+            if key in diag_masks:
+                diag_masks[key] |= mask
+            else:
+                diag_masks[key] = mask
+                diag_blocks[key] = block
+
+    for ax in range(_NDIM):
+        for sgn, block in ((+1, H[ax]), (-1, H[ax].conj().T)):
+            nc = [c.copy() for c in coords]
+            nc[ax] = coords[ax] + sgn
+            wrap = (nc[ax] < 0) | (nc[ax] >= L)
+            nc[ax] = nc[ax] % L
+            hprime = _half_index(L, *nc)
+            valid = np.ones(ns2, bool) if bc == "periodic" else ~wrap
+            add(np.ascontiguousarray(block.astype(np_dtype)), hprime, valid)
+
+    cplx = np.issubdtype(np_dtype, np.complexfloating)
+    mask_dtype = (
+        np_dtype if not cplx
+        else np.float32 if np_dtype == np.complex64 else np.float64
+    )
+    scal = complex if cplx else float
+
+    offsets, hops, mask_slot, masks = [], [], [], []
+    for key in sorted(diag_masks, key=lambda kv: kv[0]):
+        soff, _ = key
+        block = diag_blocks[key]
+        mask = diag_masks[key]
+        offsets.append(soff)
+        hops.append(tuple(tuple(scal(v) for v in row) for row in block))
+        if mask.all():
+            mask_slot.append(-1)
+        else:
+            mask_slot.append(len(masks))
+            masks.append(mask.astype(mask_dtype))
+
+    op = ConstBlockDIAOperator(
+        masks=jnp.asarray(np.stack(masks)) if masks else None,
+        hops=tuple(hops),
+        offsets=tuple(offsets),
+        mask_slot=tuple(mask_slot),
+        num_sites=ns2,
+    )
+    nnz = 0
+    for d in range(len(offsets)):
+        nz = int(np.count_nonzero(np.asarray(hops[d])))
+        rows = ns2 if mask_slot[d] < 0 else int(masks[mask_slot[d]].sum())
+        nnz += nz * rows
+    object.__setattr__(op, "_nnz", nnz)
+    return detect_slabs(op)
+
+
+@dataclasses.dataclass
+class EOContext:
+    """Schur operator + the site permutations to split/assemble full fields."""
+
+    schur: SchurEvenOperator
+    hop_eo: ConstBlockDIAOperator
+    hop_oe: ConstBlockDIAOperator
+    c: float
+    even_sites: np.ndarray  # (ns/2,) full-lattice site index per half-index
+    odd_sites: np.ndarray
+    ns: int
+    bs: int
+
+    @property
+    def n(self) -> int:
+        return self.bs * self.ns
+
+
+def dirac_eo(
+    L: int, m: float = 0.5, bc: str = "periodic", dtype=jnp.float32,
+    seed: int = 7,
+) -> EOContext:
+    """Even-odd Schur form of the dirac_cbdia/dirac_bdia matrix."""
+    if L % 2:
+        raise ValueError("even-odd reduction needs even L")
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+    cplx = np.issubdtype(np_dtype, np.complexfloating)
+    H = hopping_matrices(seed, hermitian=cplx).astype(np_dtype)
+    c = float(m * m + 2.0 * _NDIM)
+    # A couples row s to col s+mu with -H_mu: the hop operators carry +H_mu.
+    hop_eo = _parity_hop(L, H, target_parity=0, bc=bc, np_dtype=np_dtype)
+    hop_oe = _parity_hop(L, H, target_parity=1, bc=bc, np_dtype=np_dtype)
+    schur = SchurEvenOperator(hop_eo=hop_eo, hop_oe=hop_oe, c=c)
+
+    te, ze, ye, xe = _half_coords(L, 0)
+    to, zo, yo, xo = _half_coords(L, 1)
+    even_sites = ((te * L + ze) * L + ye) * L + xe
+    odd_sites = ((to * L + zo) * L + yo) * L + xo
+    return EOContext(
+        schur=schur, hop_eo=hop_eo, hop_oe=hop_oe, c=c,
+        even_sites=even_sites, odd_sites=odd_sites,
+        ns=L**_NDIM, bs=BS,
+    )
+
+
+def _site_rows(sites: np.ndarray, ns: int, bs: int) -> np.ndarray:
+    """Spin-major full rows (a*ns + s) for the given sites, all spins."""
+    return (np.arange(bs)[:, None] * ns + sites[None, :]).reshape(-1)
+
+
+def _on_device(*arrays) -> bool:
+    """Device codec path: jax arrays whose dtype the backend supports.
+
+    (Complex dtypes stay on host unless the backend is CPU — this sandbox's
+    TPU tunnel implements no complex ops; host round-trips through the
+    tunnel cost seconds per 100 MB, so real fields must NOT take them.)"""
+    if not all(isinstance(a, jax.Array) for a in arrays):
+        return False
+    if any(jnp.issubdtype(a.dtype, jnp.complexfloating) for a in arrays):
+        return jax.default_backend() == "cpu"
+    return True
+
+
+def _q0(eo: EOContext) -> np.ndarray:
+    """x-parity of the EVEN site in each consecutive site pair {2h, 2h+1}."""
+    return (eo.even_sites % 2).astype(np.bool_)
+
+
+def _split_pairs(eo: EOContext, Bv, q):
+    """(bs, ns2, 2, k) pairs -> (even, odd) (bs, ns2, k) via masked select.
+
+    Site 2h + q0(h) is even: no gather needed — XLA's generic row
+    gather/scatter runs at ~1.7 GB/s on this hardware, the select at full
+    bandwidth."""
+    b0, b1 = Bv[..., 0, :], Bv[..., 1, :]
+    qe = q[None, :, None]
+    return jnp.where(qe, b1, b0), jnp.where(qe, b0, b1)
+
+
+def eo_split(eo: EOContext, B):
+    """Full (n, k) field -> (even, odd) half fields, spin-major rows."""
+    ns2 = eo.ns // 2
+    if _on_device(B):
+        k = B.shape[1]
+        Bv = B.reshape(eo.bs, ns2, 2, k)  # leading-dim split: no relayout
+        Be, Bo = _split_pairs(eo, Bv, jnp.asarray(_q0(eo)))
+        return Be.reshape(eo.bs * ns2, k), Bo.reshape(eo.bs * ns2, k)
+    Bn = np.asarray(jax.device_get(B))
+    return (
+        Bn[_site_rows(eo.even_sites, eo.ns, eo.bs)],
+        Bn[_site_rows(eo.odd_sites, eo.ns, eo.bs)],
+    )
+
+
+def eo_assemble(eo: EOContext, Xe, Xo):
+    """(even, odd) half fields -> full (n, k) field."""
+    ns2 = eo.ns // 2
+    if _on_device(Xe, Xo):
+        k = Xe.shape[1]
+        Ev = Xe.reshape(eo.bs, ns2, 1, k)
+        Ov = Xo.reshape(eo.bs, ns2, 1, k)
+        qe = jnp.asarray(_q0(eo))[None, :, None, None]
+        slot0 = jnp.where(qe, Ov, Ev)
+        slot1 = jnp.where(qe, Ev, Ov)
+        return jnp.concatenate([slot0, slot1], axis=2).reshape(eo.n, k)
+    re = _site_rows(eo.even_sites, eo.ns, eo.bs)
+    ro = _site_rows(eo.odd_sites, eo.ns, eo.bs)
+    Xe = np.asarray(jax.device_get(Xe))
+    Xo = np.asarray(jax.device_get(Xo))
+    out = np.empty((eo.n,) + Xe.shape[1:], dtype=Xe.dtype)
+    out[re] = Xe
+    out[ro] = Xo
+    return out
+
+
+_EO_PIPELINE_CACHE: dict = {}
+
+
+def solve_dirac_eo(eo: EOContext, B, solver=None, *, tol: float = 1e-6,
+                   max_iter: int = 1000, qr_passes: int = 2,
+                   replace_every: int = 0, **kwargs):
+    """Solve the FULL system A X = B through the half-size Schur system.
+
+    The default (SBCGrQ) path runs split -> rhs -> Schur solve ->
+    odd-reconstruction -> assemble as ONE jitted program (a chain of eager
+    dispatches costs ~0.1 s each through this sandbox's device tunnel).
+    Passing a custom ``solver(op, rhs, **kwargs) -> (X, info)`` uses the
+    composable eager path instead. Returns (X (n, k), info) — info reports
+    the Schur solve."""
+    from blockcg_tpu.solvers.sbcgrq import _sbcgrq_impl, solve_sbcgrq
+
+    if solver is not None or kwargs or not _on_device(jnp.asarray(B)):
+        solver = solver or solve_sbcgrq
+        be, bo = eo_split(eo, B)
+        be_j = jnp.asarray(be)
+        bo_j = jnp.asarray(bo)
+        # rhs_e = b_e + H_eo b_o / c (hop takes lanes-major (k, n) blocks)
+        rhs = be_j + eo.hop_eo.matmat_t(bo_j.T).T / eo.c
+        Xe, info = solver(eo.schur, rhs, tol=tol, max_iter=max_iter, **kwargs)
+        xo = (bo_j + eo.hop_oe.matmat_t(jnp.asarray(Xe).T).T) / eo.c
+        return eo_assemble(eo, jnp.asarray(Xe), xo), info
+
+    key = (
+        jax.tree_util.tree_structure(eo.schur),
+        max_iter, qr_passes, replace_every, eo.ns, eo.bs,
+    )
+    fn = _EO_PIPELINE_CACHE.get(key)
+    if fn is None:
+        import functools
+
+        ns2 = eo.ns // 2
+        bs = eo.bs
+
+        @functools.partial(
+            jax.jit,
+            static_argnames=("max_iter", "qr_passes", "replace_every"),
+        )
+        def fn(schur, q, B, tol, max_iter, qr_passes, replace_every):
+            c = jnp.asarray(schur.c, B.dtype)
+            k = B.shape[1]
+            Bv = B.reshape(bs, ns2, 2, k)
+            Be, Bo = _split_pairs(eo, Bv, q)
+            be_t = Be.reshape(bs * ns2, k).T
+            bo_t = Bo.reshape(bs * ns2, k).T
+            rhs_t = schur.to_internal(be_t + schur.hop_eo.matmat_t(bo_t) / c)
+            Xt, info = _sbcgrq_impl(
+                schur, rhs_t, jnp.zeros_like(rhs_t), tol, max_iter,
+                qr_passes, replace_every, None, False,
+            )
+            Xe_t = schur.from_internal(Xt)
+            Xo_t = (bo_t + schur.hop_oe.matmat_t(Xe_t)) / c
+            Ev = Xe_t.T.reshape(bs, ns2, 1, k)
+            Ov = Xo_t.T.reshape(bs, ns2, 1, k)
+            qe = q[None, :, None, None]
+            slot0 = jnp.where(qe, Ov, Ev)
+            slot1 = jnp.where(qe, Ev, Ov)
+            out = jnp.concatenate([slot0, slot1], axis=2).reshape(
+                bs * eo.ns, k
+            )
+            return out, info
+
+        _EO_PIPELINE_CACHE[key] = fn
+    return fn(eo.schur, jnp.asarray(_q0(eo)), jnp.asarray(B), tol,
+              max_iter, qr_passes, replace_every)

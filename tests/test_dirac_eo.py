@@ -1,0 +1,88 @@
+"""Even-odd Schur reduction tests (problems/dirac_eo.py, operators/schur.py)."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+import blockcg_tpu as bc
+from blockcg_tpu.problems import dirac_bdia, dirac_eo, eo_split, solve_dirac_eo
+from blockcg_tpu.problems.dirac import bdia_scipy
+from blockcg_tpu.problems.dirac_eo import _site_rows
+
+
+def _blocks_of_A(L, bc, dtype=jnp.float64):
+    """scipy A + even/odd full-row index arrays."""
+    a = bdia_scipy(dirac_bdia(L, m=0.5, bc=bc, dtype=dtype))
+    eo = dirac_eo(L, m=0.5, bc=bc, dtype=dtype)
+    er = _site_rows(eo.even_sites, eo.ns, eo.bs)
+    orr = _site_rows(eo.odd_sites, eo.ns, eo.bs)
+    return a, eo, er, orr
+
+
+@pytest.mark.parametrize("bc", ["periodic", "open"])
+@pytest.mark.parametrize("L", [4, 6])
+def test_parity_hops_match_A_blocks(bc, L):
+    a, eo, er, orr = _blocks_of_A(L, bc)
+    A = a.toarray()
+    # A = cI - H in even/odd ordering: off-diagonal blocks are -H_eo, -H_oe
+    H_eo = -A[np.ix_(er, orr)]
+    H_oe = -A[np.ix_(orr, er)]
+    rng = np.random.default_rng(0)
+    k = 3
+    Xo = rng.standard_normal((len(orr), k))
+    Xe = rng.standard_normal((len(er), k))
+    got_eo = np.asarray(eo.hop_eo.matmat_t(jnp.asarray(Xo.T))).T
+    got_oe = np.asarray(eo.hop_oe.matmat_t(jnp.asarray(Xe.T))).T
+    np.testing.assert_allclose(got_eo, H_eo @ Xo, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(got_oe, H_oe @ Xe, rtol=1e-12, atol=1e-12)
+    # diagonal blocks are c I
+    c = eo.c
+    np.testing.assert_allclose(A[np.ix_(er, er)], c * np.eye(len(er)),
+                               atol=1e-12)
+
+
+@pytest.mark.parametrize("bc", ["periodic", "open"])
+def test_eo_solve_matches_direct(bc):
+    L = 4
+    a, eo, er, orr = _blocks_of_A(L, bc)
+    rng = np.random.default_rng(1)
+    B = rng.standard_normal((eo.n, 4))
+    X, info = solve_dirac_eo(eo, B, tol=1e-11, max_iter=500)
+    Xd = np.linalg.solve(a.toarray(), B)
+    assert np.abs(X - Xd).max() / np.abs(Xd).max() < 1e-9
+
+
+def test_eo_halves_iterations():
+    """Schur solve converges in fewer iterations than the full solve."""
+    L = 6
+    op = dirac_bdia(L, m=0.25, dtype=jnp.float64)
+    eo = dirac_eo(L, m=0.25, dtype=jnp.float64)
+    rng = np.random.default_rng(2)
+    B = jnp.asarray(rng.standard_normal((op.n, 4)))
+    _, i_full = bc.solve_sbcgrq(op, B, tol=1e-8, max_iter=500)
+    _, i_eo = solve_dirac_eo(eo, B, tol=1e-8, max_iter=500)
+    assert int(i_eo.iterations) < int(i_full.iterations)
+
+
+def test_eo_complex():
+    L = 4
+    eo = dirac_eo(L, m=0.5, dtype=jnp.complex128)
+    a = bdia_scipy(dirac_bdia(L, m=0.5, dtype=jnp.complex128))
+    rng = np.random.default_rng(3)
+    B = rng.standard_normal((eo.n, 3)) + 1j * rng.standard_normal((eo.n, 3))
+    X, info = solve_dirac_eo(eo, jnp.asarray(B), tol=1e-10, max_iter=400)
+    R = B - a @ X
+    assert (np.linalg.norm(R, axis=0) / np.linalg.norm(B, axis=0)).max() < 1e-9
+
+
+def test_eo_f32_pallas_interpret():
+    """f32 path through the const kernels (interpret on CPU)."""
+    L = 4
+    eo = dirac_eo(L, m=0.5, dtype=jnp.float32)
+    a = bdia_scipy(dirac_bdia(L, m=0.5, dtype=jnp.float64))
+    rng = np.random.default_rng(4)
+    B = rng.standard_normal((eo.n, 4)).astype(np.float32)
+    X, info = solve_dirac_eo(eo, jnp.asarray(B), tol=1e-5, max_iter=300)
+    R = B.astype(np.float64) - a @ X.astype(np.float64)
+    rel = (np.linalg.norm(R, axis=0) / np.linalg.norm(B, axis=0)).max()
+    assert rel < 1e-4
