@@ -34,6 +34,7 @@ from blockcg_tpu.solvers import (
     solve_bcgrq,
     solve_sbcgrq,
     solve_refined,
+    solve_sbcgrq_cheb,
     solve_shifted_cg,
     solve_shifted_sbcgrq,
 )
@@ -54,6 +55,7 @@ __all__ = [
     "solve_bcgrq",
     "solve_sbcgrq",
     "solve_refined",
+    "solve_sbcgrq_cheb",
     "solve_shifted_cg",
     "solve_shifted_sbcgrq",
 ]

@@ -270,6 +270,59 @@ def mm_update_gram(
     )(*args)
 
 
+# ------------------------------------------------------------- cheb_step --
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def cheb_step(
+    R: jax.Array, Z: jax.Array, D: jax.Array, AZ: jax.Array,
+    c1, c2, *, interpret: bool = False,
+):
+    """One Chebyshev semi-iteration step, one pass over the fields:
+
+        D' = c1 D + c2 (R - AZ) ;  Z' = Z + D'
+
+    (operators/cheb.py). Reads 4 fields, writes 2 — the jnp composition
+    costs ~3 extra HBM passes."""
+    interpret = interpret or _env_interpret()
+    k, bs, lanes = _field_dims(R)
+    R_tile = _pick_tile(k, bs, lanes, 6)
+    nb = lanes // R_tile
+
+    def kernel(c_ref, r_ref, z_ref, d_ref, az_ref, zo_ref, do_ref):
+        c1v = c_ref[0, 0]
+        c2v = c_ref[0, 1]
+        if bs == 0:
+            dn = c1v * d_ref[:] + c2v * (r_ref[:] - az_ref[:])
+            do_ref[:] = dn
+            zo_ref[:] = z_ref[:] + dn
+        else:
+            for b in range(bs):
+                dn = c1v * d_ref[:, b, :] + c2v * (r_ref[:, b, :] - az_ref[:, b, :])
+                do_ref[:, b, :] = dn
+                zo_ref[:, b, :] = z_ref[:, b, :] + dn
+
+    cvec = jnp.stack([jnp.asarray(c1, jnp.float32),
+                      jnp.asarray(c2, jnp.float32)]).reshape(1, 2)
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[_kk_spec((1, 2)), _spec(k, bs, R_tile), _spec(k, bs, R_tile),
+                  _spec(k, bs, R_tile), _spec(k, bs, R_tile)],
+        out_specs=(_spec(k, bs, R_tile), _spec(k, bs, R_tile)),
+        out_shape=(
+            jax.ShapeDtypeStruct(R.shape, jnp.float32),
+            jax.ShapeDtypeStruct(R.shape, jnp.float32),
+        ),
+        interpret=interpret,
+    )(cvec, R, Z, D, AZ)
+
+
+def cheb_step_available(R) -> bool:
+    k, bs, lanes = _field_dims(R)
+    return _ok(R) and _pick_tile(k, bs, lanes, 6) is not None
+
+
 # ---------------------------------------------------------- qr_p_update --
 
 

@@ -6,6 +6,7 @@ from blockcg_tpu.solvers.sbcgrq import solve_sbcgrq
 # Dubrulle-ladder naming parity (BIT 41 (2001)): the reference README's
 # "BCGrQ" is the residual-QR member of the ladder — our SBCGrQ.
 solve_bcgrq = solve_sbcgrq
+from blockcg_tpu.solvers.poly import solve_sbcgrq_cheb
 from blockcg_tpu.solvers.refine import solve_refined
 from blockcg_tpu.solvers.shifted import solve_shifted_cg
 from blockcg_tpu.solvers.shifted_block import solve_shifted_sbcgrq
@@ -18,6 +19,7 @@ __all__ = [
     "solve_bcgrq",
     "solve_sbcgrq",
     "solve_refined",
+    "solve_sbcgrq_cheb",
     "solve_shifted_cg",
     "solve_shifted_sbcgrq",
     "cholqr",
