@@ -9,6 +9,7 @@ from blockcg_tpu.problems.dirac import (
     dirac_bdia,
     dirac_cbdia,
     dirac_bell,
+    dirac_gauged,
     dirac_scipy,
 )
 from blockcg_tpu.problems.dirac_eo import (
@@ -30,6 +31,7 @@ __all__ = [
     "dirac_bdia",
     "dirac_cbdia",
     "dirac_bell",
+    "dirac_gauged",
     "dirac_scipy",
     "EOContext",
     "dirac_eo",

@@ -202,6 +202,74 @@ def dirac_cbdia(
     return detect_slabs(op)
 
 
+def dirac_gauged(
+    L: int, m: float = 0.5, bc: str = "periodic", dtype=jnp.float32,
+    seed: int = 7, gauge_seed: int = 11,
+) -> BlockDIAOperator:
+    """Gauged (site-dependent link) flavor of the Dirac-like operator.
+
+    Real dtypes carry Z2 links (random +-1 per site and direction), complex
+    dtypes U(1) phases e^{i theta} — the hopping blocks become genuinely
+    site-dependent, as with a real gauge field, exercising the general
+    per-site block-stencil path (BlockDIAOperator) rather than the
+    constant-hop fast path. Hermiticity: A[x, x+mu] = -phi_mu(x) H_mu and
+    A[x+mu, x] = -conj(phi_mu(x)) H_mu^H; |phi| = 1 keeps the block-
+    Gershgorin SPD/HPD bound lambda_min >= m^2 intact."""
+    if bc not in ("periodic", "open"):
+        raise ValueError(f"bc must be 'periodic' or 'open', got {bc!r}")
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+    cplx = np.issubdtype(np_dtype, np.complexfloating)
+    H = hopping_matrices(seed, hermitian=cplx).astype(np_dtype)
+    ns = L**_NDIM
+    coords, strides = _coords(ns, L)
+    grng = np.random.default_rng(gauge_seed)
+    if cplx:
+        links = np.exp(2j * np.pi * grng.random((_NDIM, ns))).astype(np_dtype)
+    else:
+        links = grng.choice([-1.0, 1.0], size=(_NDIM, ns)).astype(np_dtype)
+
+    offsets: list[int] = [0]
+    blocks: list[np.ndarray] = []
+    diag = np.zeros((BS, BS, ns), dtype=np_dtype)
+    diag[:, :, :] = ((m * m + 2.0 * _NDIM) * np.eye(BS, dtype=np_dtype))[:, :, None]
+    blocks.append(diag)
+
+    def fielded(block: np.ndarray, phi: np.ndarray, mask: np.ndarray):
+        out = np.zeros((BS, BS, ns), dtype=np_dtype)
+        out[:, :, mask] = block[:, :, None] * phi[mask][None, None, :]
+        return out
+
+    s = np.arange(ns)
+    for ax in range(_NDIM):
+        st = strides[ax]
+        c = coords[ax]
+        phi = links[ax]  # link from site s toward +mu
+        # -mu coupling of row s uses the link anchored at the NEIGHBOR s-mu.
+        up = (s + st * np.where(c == L - 1, 1 - L, 1)) % ns
+        dn = (s + st * np.where(c == 0, L - 1, -1)) % ns
+        phi_dn = np.conj(links[ax][dn]) if cplx else links[ax][dn]
+        if bc == "periodic" and ax == 0:
+            offsets.append(st)
+            blocks.append(fielded(-H[ax], phi, np.ones(ns, bool)))
+            offsets.append(-st)
+            blocks.append(fielded(-H[ax].conj().T, phi_dn, np.ones(ns, bool)))
+            continue
+        offsets.append(st)
+        blocks.append(fielded(-H[ax], phi, c < L - 1))
+        offsets.append(-st)
+        blocks.append(fielded(-H[ax].conj().T, phi_dn, c > 0))
+        if bc == "periodic":
+            offsets.append(-(L - 1) * st)
+            blocks.append(fielded(-H[ax], phi, c == L - 1))
+            offsets.append((L - 1) * st)
+            blocks.append(fielded(-H[ax].conj().T, phi_dn, c == 0))
+
+    blk = np.stack(blocks)
+    op = BlockDIAOperator(blocks=_host_aware_asarray(blk), offsets=tuple(offsets))
+    object.__setattr__(op, "_nnz", int(np.count_nonzero(blk)))
+    return op
+
+
 def bdia_scipy(op: BlockDIAOperator):
     """Generic BlockDIAOperator -> scipy CSR (small problems; test oracle)."""
     import scipy.sparse as sp
