@@ -86,3 +86,32 @@ def test_eo_f32_pallas_interpret():
     R = B.astype(np.float64) - a @ X.astype(np.float64)
     rel = (np.linalg.norm(R, axis=0) / np.linalg.norm(B, axis=0)).max()
     assert rel < 1e-4
+
+
+def test_eo_inner_refinement_to_1e12():
+    """1e-12 on the lattice operator: f64-outer refinement with the even-odd
+    Schur solve as the f32 inner engine (composition of T-C5 and the EO
+    reduction)."""
+    import blockcg_tpu as bc
+
+    L, m = 4, 0.5
+    op = dirac_bdia(L, m=m, dtype=jnp.float32)  # f32 compute operator
+    eo = dirac_eo(L, m=m, dtype=jnp.float32)
+    a64 = bdia_scipy(dirac_bdia(L, m=m, dtype=jnp.float64))
+    rng = np.random.default_rng(7)
+    B = jnp.asarray(rng.standard_normal((op.n, 4)), dtype=jnp.float32)
+
+    def inner(o, r, t):
+        X, info = solve_dirac_eo(eo, r, tol=t, max_iter=300)
+        return jnp.asarray(X), info
+
+    # op64 must be the ORIGINAL f64 operator: the f32 compute operator's
+    # entries are rounded, and refinement converges to whatever operator
+    # evaluates the outer residual (see solve_refined docstring).
+    X, info = bc.solve_refined(op, B, tol=1e-12, inner_tol=1e-5,
+                               solve_fn=inner, max_cycles=6,
+                               op64=dirac_bdia(L, m=m, dtype=jnp.float64))
+    R = np.asarray(B, np.float64) - a64 @ np.asarray(X, np.float64)
+    rel = (np.linalg.norm(R, axis=0)
+           / np.linalg.norm(np.asarray(B, np.float64), axis=0)).max()
+    assert rel < 1e-12
