@@ -190,11 +190,12 @@ def solve_cg_dist(
     bl = jax.device_put(b, NamedSharding(mesh, P(axis)))
 
     def body(op, bv):
-        x0 = jnp.zeros_like(bv)
-        return _cg_impl(
-            op, bv, x0, tol, max_iter, axis_name=axis,
+        bf = bv[None, :]  # lanes-major single-row field (_cg_impl convention)
+        xf, info = _cg_impl(
+            op, bf, jnp.zeros_like(bf), tol, max_iter, axis_name=axis,
             record_history=record_history,
         )
+        return xf[0], info
 
     key = ("cg", _dop_key(dop, mesh), float(tol), max_iter, record_history)
     fn = _cached_jit(key, lambda: shard_map(

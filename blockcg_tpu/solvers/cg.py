@@ -25,16 +25,28 @@ def _vdot(u, v, axis_name):
     return psum_if(jnp.real(jnp.vdot(u, v)), axis_name)
 
 
+def _to_field(op, v):
+    """(n,) vector -> (1, ...) lanes-major internal field."""
+    return op.to_internal(v[None, :])
+
+
+def _from_field(op, f):
+    return op.from_internal(f)[0]
+
+
 @functools.partial(
     jax.jit, static_argnames=("max_iter", "axis_name", "record_history")
 )
 def _cg_impl(op, b, x0, tol, max_iter, axis_name, record_history):
+    """State is a lanes-major single-row field ``(1, ...)`` in the
+    operator's internal view (block operators would otherwise pay a lane-
+    relayout per apply through the (n,)-vector matvec path)."""
     dtype = b.dtype
     bnorm2 = _vdot(b, b, axis_name)
     bnorm2 = jnp.where(bnorm2 > 0, bnorm2, jnp.asarray(1.0, dtype))
     tol2 = jnp.asarray(tol, dtype) ** 2 * bnorm2
 
-    r0 = b - op.matvec(x0)
+    r0 = b - op.matmat_t(x0)
     rho0 = _vdot(r0, r0, axis_name)
     hist0 = (
         jnp.full((max_iter,), jnp.nan, dtype) if record_history else None
@@ -46,7 +58,7 @@ def _cg_impl(op, b, x0, tol, max_iter, axis_name, record_history):
 
     def body(state):
         x, r, p, rho, it, hist = state
-        z = op.matvec(p)
+        z = op.matmat_t(p)
         denom = _vdot(p, z, axis_name)
         alpha = rho / denom
         x = x + alpha * p
@@ -102,7 +114,8 @@ def solve_cg(
         b = b[:, 0]
         if x0 is not None:
             x0 = x0[:, 0]
-    if x0 is None:
-        x0 = jnp.zeros_like(b)
-    x, info = _cg_impl(op, b, x0, tol, max_iter, axis_name, record_history)
+    bf = _to_field(op, b)
+    x0f = jnp.zeros_like(bf) if x0 is None else _to_field(op, x0)
+    xf, info = _cg_impl(op, bf, x0f, tol, max_iter, axis_name, record_history)
+    x = _from_field(op, xf)
     return (x[:, None] if unsqueeze else x), info
