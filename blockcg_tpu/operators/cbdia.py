@@ -63,7 +63,13 @@ class ConstBlockDIAOperator(MatmatMixin):
 
     @property
     def dtype(self):
-        return jnp.float32 if self.masks is None else self.masks.dtype
+        mdt = jnp.float32 if self.masks is None else self.masks.dtype
+        if any(
+            isinstance(v, complex) and v.imag != 0.0
+            for h in self.hops for row in h for v in row
+        ):
+            return jnp.complex64 if mdt == jnp.float32 else jnp.complex128
+        return mdt
 
     def to_internal(self, Xt: jax.Array) -> jax.Array:
         return Xt.reshape(Xt.shape[0], self.bs, self.ns)

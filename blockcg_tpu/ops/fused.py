@@ -285,6 +285,9 @@ def cheb_step(
     (operators/cheb.py). Reads 4 fields, writes 2 — the jnp composition
     costs ~3 extra HBM passes."""
     interpret = interpret or _env_interpret()
+    if R.dtype != jnp.float32:
+        raise TypeError(f"cheb_step is f32-only (got {R.dtype}); gate via "
+                        "cheb_step_available")
     k, bs, lanes = _field_dims(R)
     R_tile = _pick_tile(k, bs, lanes, 6)
     nb = lanes // R_tile

@@ -149,6 +149,11 @@ def dirac_eo(
     """Even-odd Schur form of the dirac_cbdia/dirac_bdia matrix."""
     if L % 2:
         raise ValueError("even-odd reduction needs even L")
+    if L < 4:
+        # At L = 2 the +mu and -mu neighbors coincide; the diagonal grouping
+        # below would merge the two (equal) hop contributions instead of
+        # summing them — build the full operator instead.
+        raise ValueError("even-odd reduction needs L >= 4")
     np_dtype = np.dtype(jnp.dtype(dtype).name)
     cplx = np.issubdtype(np_dtype, np.complexfloating)
     H = hopping_matrices(seed, hermitian=cplx).astype(np_dtype)
@@ -192,7 +197,7 @@ def _q0(eo: EOContext) -> np.ndarray:
     return (eo.even_sites % 2).astype(np.bool_)
 
 
-def _split_pairs(eo: EOContext, Bv, q):
+def _split_pairs(Bv, q):
     """(bs, ns2, 2, k) pairs -> (even, odd) (bs, ns2, k) via masked select.
 
     Site 2h + q0(h) is even: no gather needed — XLA's generic row
@@ -203,13 +208,23 @@ def _split_pairs(eo: EOContext, Bv, q):
     return jnp.where(qe, b1, b0), jnp.where(qe, b0, b1)
 
 
+def _interleave_pairs(Ev, Ov, q):
+    """Inverse of _split_pairs: (bs, ns2, k) halves -> (bs, ns2, 2, k)."""
+    Ev = Ev[:, :, None, :]
+    Ov = Ov[:, :, None, :]
+    qe = q[None, :, None, None]
+    slot0 = jnp.where(qe, Ov, Ev)
+    slot1 = jnp.where(qe, Ev, Ov)
+    return jnp.concatenate([slot0, slot1], axis=2)
+
+
 def eo_split(eo: EOContext, B):
     """Full (n, k) field -> (even, odd) half fields, spin-major rows."""
     ns2 = eo.ns // 2
     if _on_device(B):
         k = B.shape[1]
         Bv = B.reshape(eo.bs, ns2, 2, k)  # leading-dim split: no relayout
-        Be, Bo = _split_pairs(eo, Bv, jnp.asarray(_q0(eo)))
+        Be, Bo = _split_pairs(Bv, jnp.asarray(_q0(eo)))
         return Be.reshape(eo.bs * ns2, k), Bo.reshape(eo.bs * ns2, k)
     Bn = np.asarray(jax.device_get(B))
     return (
@@ -223,12 +238,11 @@ def eo_assemble(eo: EOContext, Xe, Xo):
     ns2 = eo.ns // 2
     if _on_device(Xe, Xo):
         k = Xe.shape[1]
-        Ev = Xe.reshape(eo.bs, ns2, 1, k)
-        Ov = Xo.reshape(eo.bs, ns2, 1, k)
-        qe = jnp.asarray(_q0(eo))[None, :, None, None]
-        slot0 = jnp.where(qe, Ov, Ev)
-        slot1 = jnp.where(qe, Ev, Ov)
-        return jnp.concatenate([slot0, slot1], axis=2).reshape(eo.n, k)
+        out = _interleave_pairs(
+            Xe.reshape(eo.bs, ns2, k), Xo.reshape(eo.bs, ns2, k),
+            jnp.asarray(_q0(eo)),
+        )
+        return out.reshape(eo.n, k)
     re = _site_rows(eo.even_sites, eo.ns, eo.bs)
     ro = _site_rows(eo.odd_sites, eo.ns, eo.bs)
     Xe = np.asarray(jax.device_get(Xe))
@@ -256,7 +270,10 @@ def solve_dirac_eo(eo: EOContext, B, solver=None, *, tol: float = 1e-6,
     from blockcg_tpu.solvers.sbcgrq import _sbcgrq_impl, solve_sbcgrq
 
     if solver is not None or kwargs or not _on_device(jnp.asarray(B)):
-        solver = solver or solve_sbcgrq
+        if solver is None:
+            solver = solve_sbcgrq
+            kwargs = dict(kwargs, qr_passes=qr_passes,
+                          replace_every=replace_every)
         be, bo = eo_split(eo, B)
         be_j = jnp.asarray(be)
         bo_j = jnp.asarray(bo)
@@ -285,7 +302,7 @@ def solve_dirac_eo(eo: EOContext, B, solver=None, *, tol: float = 1e-6,
             c = jnp.asarray(schur.c, B.dtype)
             k = B.shape[1]
             Bv = B.reshape(bs, ns2, 2, k)
-            Be, Bo = _split_pairs(eo, Bv, q)
+            Be, Bo = _split_pairs(Bv, q)
             be_t = Be.reshape(bs * ns2, k).T
             bo_t = Bo.reshape(bs * ns2, k).T
             rhs_t = schur.to_internal(be_t + schur.hop_eo.matmat_t(bo_t) / c)
@@ -295,14 +312,9 @@ def solve_dirac_eo(eo: EOContext, B, solver=None, *, tol: float = 1e-6,
             )
             Xe_t = schur.from_internal(Xt)
             Xo_t = (bo_t + schur.hop_oe.matmat_t(Xe_t)) / c
-            Ev = Xe_t.T.reshape(bs, ns2, 1, k)
-            Ov = Xo_t.T.reshape(bs, ns2, 1, k)
-            qe = q[None, :, None, None]
-            slot0 = jnp.where(qe, Ov, Ev)
-            slot1 = jnp.where(qe, Ev, Ov)
-            out = jnp.concatenate([slot0, slot1], axis=2).reshape(
-                bs * eo.ns, k
-            )
+            out = _interleave_pairs(
+                Xe_t.T.reshape(bs, ns2, k), Xo_t.T.reshape(bs, ns2, k), q
+            ).reshape(bs * eo.ns, k)
             return out, info
 
         _EO_PIPELINE_CACHE[key] = fn

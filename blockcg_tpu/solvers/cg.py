@@ -2,8 +2,10 @@
 
 The iteration is a jitted ``lax.while_loop`` whose state lives entirely on
 device; with ``axis_name`` set the same body runs row-sharded under
-``shard_map`` (reductions psum, operator does its own halo exchange). The
-operator is applied through ``matvec`` (the lanes-major kernel path).
+``shard_map`` (reductions psum, operator does its own halo exchange). State
+is a lanes-major single-row field (1, ...) in the operator's internal view,
+applied through ``matmat_t`` (the kernel path — no per-apply relayout for
+block operators).
 """
 
 from __future__ import annotations

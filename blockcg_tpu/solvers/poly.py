@@ -37,7 +37,11 @@ from blockcg_tpu.operators.cheb import ChebyshevOperator, estimate_spectrum
 from blockcg_tpu.solvers.sbcgrq import _sbcgrq_impl
 from blockcg_tpu.solvers.common import row_norms2_t
 
-_SPECTRUM_CACHE: dict = {}
+import weakref
+
+# Keyed on the operator OBJECT (weakly): id()-keyed caches serve stale
+# spectra when CPython recycles ids of collected operators.
+_SPECTRUM_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 @functools.partial(
@@ -74,14 +78,25 @@ def solve_sbcgrq_cheb(
 
     Returns (X, info): info.relres is the TRUE relative residual;
     info.iterations sums inner iterations over outer cycles; info.matvecs
-    counts actual SpMMs."""
+    counts actual SpMMs (inner applies, rhs transforms, and outer
+    true-residual checks); info.history (if recorded) covers the LAST
+    cycle only."""
+    if max_cycles < 1:
+        raise ValueError("max_cycles must be >= 1")
     if spectrum is not None:
         lo = jnp.asarray(spectrum[0], jnp.float32)
         hi = jnp.asarray(spectrum[1], jnp.float32)
     else:
-        cached = _SPECTRUM_CACHE.get(id(op))
+        try:
+            cached = _SPECTRUM_CACHE.get(op)
+        except TypeError:  # non-weakrefable operator
+            cached = None
         if cached is None:
-            cached = _SPECTRUM_CACHE[id(op)] = estimate_spectrum(op)
+            cached = estimate_spectrum(op)
+            try:
+                _SPECTRUM_CACHE[op] = cached
+            except TypeError:
+                pass
         lo, hi = cached
     pop = ChebyshevOperator(base=op, lo=lo, hi=hi, degree=degree)
 
@@ -97,8 +112,9 @@ def solve_sbcgrq_cheb(
             pop, Bt, Xt, bnorm, tol, max_iter, qr_passes, record_history
         )
         iters += int(info.iterations)
-        # per cycle: 2 true-residual applies + degree SpMMs per inner apply
-        matvecs += 2 + int(info.matvecs) * degree
+        # per cycle: 2 true-residual applies + (degree - 1) SpMMs in the
+        # M*r rhs transform + degree SpMMs per inner preconditioned apply
+        matvecs += 2 + (degree - 1) + int(info.matvecs) * degree
         if bool(jnp.max(relres) <= tol):
             break
     info = SolverInfo(

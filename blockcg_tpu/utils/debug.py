@@ -35,6 +35,10 @@ class CheckedOperator(MatmatMixin):
         return self.base.shape
 
     @property
+    def n(self):
+        return self.base.shape[0]
+
+    @property
     def nnz(self):
         return self.base.nnz
 

@@ -12,8 +12,15 @@ initialized until first use, and XLA_FLAGS is read at CPU-client init).
 """
 
 import os
+import sys
+
+import pytest
 
 import jax
+
+# JAX tracing (Pallas index maps, nested jits) plus pytest's own frames can
+# exceed CPython's default 1000-frame limit on the TPU backend.
+sys.setrecursionlimit(10000)
 
 if not os.environ.get("BLOCKCG_TEST_TPU"):
     _flags = os.environ.get("XLA_FLAGS", "")
@@ -26,3 +33,34 @@ if not os.environ.get("BLOCKCG_TEST_TPU"):
 # f64 available for reference solvers / oracles; library code is
 # dtype-explicit so f32 paths are unaffected.
 jax.config.update("jax_enable_x64", True)
+
+
+def _backend_has_complex() -> bool:
+    if jax.default_backend() == "cpu":
+        return True
+    try:
+        import numpy as _np
+        import jax.numpy as _jnp
+
+        x = _jnp.asarray(_np.ones(8, _np.complex64))
+        jax.block_until_ready(x * 1j)
+        return True
+    except Exception:
+        return False
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "needs_complex: test requires complex dtypes on the default backend "
+        "(this sandbox's TPU tunnel implements no complex ops)",
+    )
+
+
+def pytest_collection_modifyitems(config, items):
+    if _backend_has_complex():
+        return
+    skip = pytest.mark.skip(reason="default backend has no complex support")
+    for item in items:
+        if item.get_closest_marker("needs_complex"):
+            item.add_marker(skip)

@@ -50,6 +50,7 @@ def test_bcgdq_rank_robustness():
     assert _relres(A, np.asarray(X, np.float64), B) < 1e-4
 
 
+@pytest.mark.needs_complex
 def test_bcgdq_complex():
     n, k = 128, 5
     A = random_hpd(n, delta=1.0, seed=5)

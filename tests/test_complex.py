@@ -12,6 +12,8 @@ import numpy as np
 import pytest
 import jax.numpy as jnp
 
+pytestmark = pytest.mark.needs_complex
+
 import blockcg_tpu as bc
 from blockcg_tpu.operators import DenseOperator, realify
 from blockcg_tpu.problems import dirac_bdia, dirac_cbdia

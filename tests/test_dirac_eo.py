@@ -64,6 +64,7 @@ def test_eo_halves_iterations():
     assert int(i_eo.iterations) < int(i_full.iterations)
 
 
+@pytest.mark.needs_complex
 def test_eo_complex():
     L = 4
     eo = dirac_eo(L, m=0.5, dtype=jnp.complex128)

@@ -1,6 +1,7 @@
 """Shifted block SBCGrQ tests (T-S4 block flavor, solvers/shifted_block.py)."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 import blockcg_tpu as bc
@@ -56,6 +57,7 @@ def test_shifted_sbcgrq_laplacian_f32():
                       sigmas, 1e-4)
 
 
+@pytest.mark.needs_complex
 def test_shifted_sbcgrq_complex():
     n, k = 128, 4
     A = random_hpd(n, delta=0.5, seed=4)
