@@ -58,6 +58,15 @@ def pytest_configure(config):
 
 
 def pytest_collection_modifyitems(config, items):
+    ndev = len(jax.devices())
+    if ndev < 8:
+        skip_mesh = pytest.mark.skip(
+            reason=f"needs the 8-device fake mesh (have {ndev})"
+        )
+        for item in items:
+            if item.fspath.basename in ("test_distributed.py",
+                                        "test_dist_cbdia.py"):
+                item.add_marker(skip_mesh)
     if _backend_has_complex():
         return
     skip = pytest.mark.skip(reason="default backend has no complex support")

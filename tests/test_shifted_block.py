@@ -80,3 +80,20 @@ def test_shifted_larger_sigma_converges_faster():
                                     max_iter=30)
     rel = np.asarray(info.relres).max(axis=1)
     assert rel[1] < rel[0]
+
+
+def test_shifted_block_k1_matches_scalar_shifted_cg():
+    """k = 1 block multi-shift vs Jegerlehner scalar multi-shift: same
+    solutions from two independent derivations (Lanczos LDL^H vs residual
+    collinearity)."""
+    op = laplacian_dia((32, 32), dtype=jnp.float64)
+    rng = np.random.default_rng(8)
+    b = jnp.asarray(rng.standard_normal(op.n))
+    sigmas = [0.0, 0.7, 2.5]
+    Xs, ib = solve_shifted_sbcgrq(op, b[:, None], sigmas, tol=1e-10,
+                                  max_iter=800)
+    xs, isc = bc.solve_shifted_cg(op, b, sigmas, tol=1e-10, max_iter=800)
+    for j in range(len(sigmas)):
+        # solve_shifted_cg returns (n, nshift); the block solver (nshift, n, k)
+        err = np.abs(np.asarray(Xs[j][:, 0]) - np.asarray(xs[:, j])).max()
+        assert err < 1e-7, (j, err)
