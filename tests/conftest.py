@@ -3,7 +3,14 @@
 All tests run on the CPU backend — deterministic, fast, and it provides the
 8-device fake mesh used by the distributed tests without TPU hardware.
 Pallas kernels run in interpret mode on CPU (handled by the kernels' own
-backend detection). Set BLOCKCG_TEST_TPU=1 to run the suite on a real chip.
+backend detection).
+
+BLOCKCG_TEST_TPU=1 runs the ON-CHIP SMOKE SUBSET on the real device: f32
+integration tests only (the _TPU_SMOKE whitelist below). The full suite
+cannot run there: this backend supports neither complex dtypes nor x64
+(Pallas lowering recurses infinitely with jax_enable_x64), and interpret-
+mode Pallas programs do not execute — all platform limits, exercised and
+documented 2026-08-16.
 
 Note: this sandbox pre-imports jax and sets JAX_PLATFORMS via a
 sitecustomize hook, so env vars alone don't stick — the backend must also be
@@ -22,31 +29,59 @@ import jax
 # exceed CPython's default 1000-frame limit on the TPU backend.
 sys.setrecursionlimit(10000)
 
-if not os.environ.get("BLOCKCG_TEST_TPU"):
+_TPU_RUN = bool(os.environ.get("BLOCKCG_TEST_TPU"))
+
+if not _TPU_RUN:
     _flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in _flags:
         os.environ["XLA_FLAGS"] = (
             _flags + " --xla_force_host_platform_device_count=8"
         ).strip()
     jax.config.update("jax_platforms", "cpu")
+    # f64 available for reference solvers / oracles; library code is
+    # dtype-explicit so f32 paths are unaffected. (NOT enabled on the TPU
+    # backend: x64 breaks Pallas lowering there.)
+    jax.config.update("jax_enable_x64", True)
 
-# f64 available for reference solvers / oracles; library code is
-# dtype-explicit so f32 paths are unaffected.
-jax.config.update("jax_enable_x64", True)
+
+# f32 integration tests that run on the real chip (see module docstring).
+_TPU_SMOKE = {
+    "test_cg_laplacian_f32_vs_scipy",
+    "test_cg_max_iter_cap",
+    "test_sbcgrq_f32_laplacian",
+    "test_sbcgrq_f32_dirac",
+    "test_cbdia_solve_sbcgrq",
+    "test_slab_solve_end_to_end",
+    "test_gauged_solve",
+    "test_bcgdq_rank_robustness",
+    "test_cheb_solve_matches_direct_and_cuts_iterations",
+    "test_golden_cg",
+    "test_golden_bcg_and_sbcgrq",
+    "test_golden_3d",
+    "test_repeat_solve_bitwise_identical",
+    "test_shifted_sbcgrq_laplacian_f32",
+    "test_eo_f32_pallas_interpret",
+}
 
 
 def _backend_has_complex() -> bool:
+    """Probe complex support in a SUBPROCESS: on this sandbox's tunnel a
+    failing complex op poisons the whole client (every later computation,
+    any dtype, errors UNIMPLEMENTED), so it must never run in-process."""
     if jax.default_backend() == "cpu":
         return True
-    try:
-        import numpy as _np
-        import jax.numpy as _jnp
+    import subprocess
+    import sys as _sys
 
-        x = _jnp.asarray(_np.ones(8, _np.complex64))
-        jax.block_until_ready(x * 1j)
-        return True
-    except Exception:
-        return False
+    r = subprocess.run(
+        [_sys.executable, "-c",
+         "import jax, numpy as np, jax.numpy as jnp;"
+         "x = jnp.asarray(np.ones(8, np.complex64)) * 1j;"
+         "jax.block_until_ready(x);"
+         "import numpy as _n; _n.asarray(x)"],
+        capture_output=True, timeout=300,
+    )
+    return r.returncode == 0
 
 
 def pytest_configure(config):
@@ -58,6 +93,15 @@ def pytest_configure(config):
 
 
 def pytest_collection_modifyitems(config, items):
+    if _TPU_RUN:
+        skip_tpu = pytest.mark.skip(
+            reason="not in the on-chip smoke subset (backend lacks x64/"
+                   "complex/interpret-Pallas; see conftest docstring)"
+        )
+        for item in items:
+            if (item.originalname not in _TPU_SMOKE
+                    and item.name not in _TPU_SMOKE):
+                item.add_marker(skip_tpu)
     ndev = len(jax.devices())
     if ndev < 8:
         skip_mesh = pytest.mark.skip(
