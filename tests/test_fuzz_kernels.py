@@ -1,0 +1,99 @@
+"""Property/fuzz tests: random structures through the Pallas kernels
+(interpret mode) vs dense oracles — exercises planner edge cases
+(near/far splits, toroidal wraps, mask patterns) beyond the hand-built
+problem generators."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from blockcg_tpu.ops.stencil import stencil_spmm_t, plan as splan
+from blockcg_tpu.ops.const_block_stencil import (
+    const_block_stencil_spmm_t,
+    plan as cplan,
+    n_groups,
+)
+
+
+def _dense_from_diags(n, offsets, diags):
+    a = np.zeros((n, n))
+    s = np.arange(n)
+    for d, o in enumerate(offsets):
+        a[s, (s + o) % n] += diags[d]  # toroidal semantics
+    return a
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_scalar_stencil(seed):
+    rng = np.random.default_rng(seed)
+    n = int(rng.choice([256, 512, 1024, 2048]))
+    k = int(rng.integers(1, 9))
+    noff = int(rng.integers(2, 9))
+    offsets = set([0])
+    while len(offsets) < noff:
+        mag = int(rng.choice([1, 2, 3, 7, 16, 64, n // 4, n // 2]))
+        offsets.add(int(rng.choice([-1, 1])) * mag)
+    offsets = tuple(sorted(offsets))
+    if splan(n, k, offsets) is None:
+        pytest.skip(f"no plan for n={n}, offsets={offsets}")
+    diags = rng.standard_normal((noff, n)).astype(np.float32)
+    a = _dense_from_diags(n, offsets, diags.astype(np.float64))
+    X = rng.standard_normal((n, k)).astype(np.float32)
+    Yt = stencil_spmm_t(jnp.asarray(diags), offsets, jnp.asarray(X.T),
+                        interpret=True)
+    want = a @ X
+    denom = max(np.abs(want).max(), 1e-30)
+    assert np.abs(np.asarray(Yt).T - want).max() / denom < 1e-5
+
+
+def _dense_from_const_blocks(ns, bs, offsets, hops, mask_slot, masks):
+    n = bs * ns
+    a = np.zeros((n, n))
+    s = np.arange(ns)
+    for d, o in enumerate(offsets):
+        m = np.ones(ns) if mask_slot[d] < 0 else masks[mask_slot[d]]
+        h = np.asarray(hops[d])
+        cols = (s + o) % ns
+        for i in range(bs):
+            for j in range(bs):
+                a[i * ns + s, j * ns + cols] += h[i, j] * m
+    return a
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_fuzz_const_block_stencil(seed):
+    rng = np.random.default_rng(100 + seed)
+    ns = int(rng.choice([256, 512, 1024]))
+    bs = int(rng.choice([2, 3, 4]))
+    k = int(rng.integers(1, 7))
+    noff = int(rng.integers(2, 7))
+    offsets = set([0])
+    while len(offsets) < noff:
+        mag = int(rng.choice([1, 5, 32, ns // 4, ns // 2]))
+        offsets.add(int(rng.choice([-1, 1])) * mag)
+    offsets = tuple(sorted(offsets))
+    hops, mask_slot, masks = [], [], []
+    for d in range(len(offsets)):
+        h = rng.standard_normal((bs, bs)).astype(np.float32)
+        h[rng.random((bs, bs)) < 0.3] = 0.0  # exercise zero-entry skipping
+        hops.append(tuple(tuple(float(v) for v in row) for row in h))
+        if rng.random() < 0.5:
+            mask_slot.append(len(masks))
+            masks.append((rng.random(ns) < 0.7).astype(np.float32))
+        else:
+            mask_slot.append(-1)
+    hops = tuple(hops)
+    mask_slot = tuple(mask_slot)
+    nmask = len(masks)
+    if cplan(ns, k, bs, offsets, nmask, groups=n_groups(hops)) is None:
+        pytest.skip(f"no plan for ns={ns}, bs={bs}, offsets={offsets}")
+    masks_j = jnp.asarray(np.stack(masks)) if masks else None
+    X = rng.standard_normal((bs * ns, k)).astype(np.float32)
+    Xv = jnp.asarray(X.T).reshape(k, bs, ns)
+    Yv = const_block_stencil_spmm_t(hops, offsets, mask_slot, masks_j, Xv,
+                                    interpret=True)
+    a = _dense_from_const_blocks(ns, bs, offsets, hops, mask_slot, masks)
+    want = a @ X
+    got = np.asarray(Yv).reshape(k, bs * ns).T
+    denom = max(np.abs(want).max(), 1e-30)
+    assert np.abs(got - want).max() / denom < 1e-5
