@@ -75,8 +75,13 @@ class BlockDIAOperator(MatmatMixin):
         Xv = self.to_internal(Xt) if flat else Xt
         if (
             jax.default_backend() == "tpu"
-            and self.dtype == jnp.float32  # kernel is f32; f64 (emulated)
-            and Xt.dtype == jnp.float32    # must take the XLA path
+            # f32 fields; blocks may be stored bf16 (halves coefficient
+            # memory at ~4e-4 operator rounding — measured NOT faster on
+            # this chip: the in-kernel converts outweigh the bandwidth
+            # saving on the VPU-bound kernel, so bf16 here is a memory
+            # option, not a speed one). f64 (emulated) takes the XLA path.
+            and self.dtype in (jnp.float32, jnp.bfloat16)
+            and Xt.dtype == jnp.float32
             and not os.environ.get("BLOCKCG_NO_PALLAS")
             and block_stencil.available(self.ns, Xt.shape[0], self.bs, self.offsets)
         ):

@@ -62,3 +62,19 @@ def test_gauged_complex_realified_solve():
     R = B.astype(np.complex128) - a @ np.asarray(X, np.complex128)
     rel = (np.linalg.norm(R, axis=0) / np.linalg.norm(B, axis=0)).max()
     assert rel < 1e-4
+
+
+def test_gauged_bf16_blocks():
+    """bf16-stored blocks (memory option): ~4e-4 operator rounding."""
+    from blockcg_tpu.operators.base import astype
+
+    op = dirac_gauged(4, m=0.5, dtype=jnp.float32)
+    op16 = astype(op, jnp.bfloat16)
+    assert op16.blocks.dtype == jnp.bfloat16
+    rng = np.random.default_rng(5)
+    X = rng.standard_normal((op.n, 4)).astype(np.float32)
+    y32 = np.asarray(op.matmat_t(jnp.asarray(X.T)))
+    y16 = np.asarray(op16.matmat_t(jnp.asarray(X.T)))
+    rel = np.abs(y16 - y32).max() / np.abs(y32).max()
+    assert rel < 5e-3
+    assert rel > 0  # genuinely stored at lower precision
