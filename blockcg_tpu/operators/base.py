@@ -84,14 +84,28 @@ class MatmatMixin:
 def astype(op, dtype):
     """Cast an operator pytree's float arrays to ``dtype`` (indices kept).
 
-    Used by the refinement driver to get an f64 (XLA-emulated on TPU)
-    true-residual operator from the f32 compute operator.
+    Complex leaves are promoted to the matching complex width (f64 ->
+    complex128), so the refinement driver's true-residual operator really
+    is wide for Hermitian systems. Used by solve_refined to get an f64/
+    c128 (XLA-emulated on TPU) operator from the f32/c64 compute operator.
     """
     import jax.numpy as jnp
 
-    return jax.tree.map(
-        lambda x: x.astype(dtype)
-        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating)
-        else x,
-        op,
-    )
+    dtype = jnp.dtype(dtype)
+    cdtype = jnp.complex128 if dtype.itemsize == 8 else jnp.complex64
+
+    def cast(x):
+        if not hasattr(x, "dtype"):
+            return x
+        if jnp.issubdtype(x.dtype, jnp.complexfloating):
+            return x.astype(
+                dtype if jnp.issubdtype(dtype, jnp.complexfloating) else cdtype
+            )
+        if jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(
+                jnp.float64 if jnp.issubdtype(dtype, jnp.complexfloating)
+                and dtype.itemsize == 16 else dtype
+            )
+        return x
+
+    return jax.tree.map(cast, op)

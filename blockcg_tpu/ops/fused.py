@@ -52,6 +52,16 @@ def _field_dims(F):
     raise ValueError(f"field must be (k, n) or (k, bs, ns), got {F.shape}")
 
 
+def _require_tile(R, k, bs, lanes):
+    if R is None:
+        raise ValueError(
+            f"no fused-kernel tiling for field (k={k}, bs={bs or None}, "
+            f"lanes={lanes}): lanes must be a multiple of 128 and a tile "
+            f"must fit VMEM — gate calls with the *_available helpers"
+        )
+    return R
+
+
 def _pick_tile(k: int, bs: int, lanes: int, nfields: int) -> int | None:
     """Largest lane tile R dividing ``lanes`` under the VMEM budget."""
     if lanes % 128 != 0:
@@ -126,7 +136,7 @@ def gram(U: jax.Array, V: jax.Array, *, interpret: bool = False) -> jax.Array:
     """G = U V^T over the field dims: (k, ...) x (k, ...) -> (k, k)."""
     interpret = interpret or _env_interpret()
     k, bs, lanes = _field_dims(U)
-    R = _pick_tile(k, bs, lanes, 2)
+    R = _require_tile(_pick_tile(k, bs, lanes, 2), k, bs, lanes)
     nb = lanes // R
 
     def kernel(u_ref, v_ref, o_ref):
@@ -171,7 +181,7 @@ def mm_update(
     interpret = interpret or _env_interpret()
     k, bs, lanes = _field_dims(B)
     nf = 2 if A is None else 3
-    R = _pick_tile(k, bs, lanes, nf)
+    R = _require_tile(_pick_tile(k, bs, lanes, nf), k, bs, lanes)
     nb = lanes // R
     has_a = A is not None
 
@@ -219,7 +229,7 @@ def mm_update_gram(
     interpret = interpret or _env_interpret()
     k, bs, lanes = _field_dims(B)
     nf = 2 if A is None else 3
-    R = _pick_tile(k, bs, lanes, nf)
+    R = _require_tile(_pick_tile(k, bs, lanes, nf), k, bs, lanes)
     nb = lanes // R
     has_a = A is not None
 
@@ -289,7 +299,7 @@ def cheb_step(
         raise TypeError(f"cheb_step is f32-only (got {R.dtype}); gate via "
                         "cheb_step_available")
     k, bs, lanes = _field_dims(R)
-    R_tile = _pick_tile(k, bs, lanes, 6)
+    R_tile = _require_tile(_pick_tile(k, bs, lanes, 6), k, bs, lanes)
     nb = lanes // R_tile
 
     def kernel(c_ref, r_ref, z_ref, d_ref, az_ref, zo_ref, do_ref):
@@ -337,7 +347,7 @@ def qr_p_update(
     """Q = M2 @ Q1 ;  Pn = Q + rho @ P — fused (reads Q1, P once)."""
     interpret = interpret or _env_interpret()
     k, bs, lanes = _field_dims(Q1)
-    R = _pick_tile(k, bs, lanes, 4)
+    R = _require_tile(_pick_tile(k, bs, lanes, 4), k, bs, lanes)
     nb = lanes // R
 
     def kernel(m2_ref, q1_ref, rho_ref, p_ref, q_ref, pn_ref):

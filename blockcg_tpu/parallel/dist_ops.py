@@ -162,18 +162,29 @@ class DistBlockDIAOperator(MatmatMixin):
     def dtype(self):
         return self.blocks_int.dtype
 
+    def to_internal(self, Xt: jax.Array) -> jax.Array:
+        return Xt.reshape(Xt.shape[0], self.bs, Xt.shape[1] // self.bs)
+
+    def from_internal(self, Xv: jax.Array) -> jax.Array:
+        return Xv.reshape(Xv.shape[0], Xv.shape[1] * Xv.shape[2])
+
+    def field_pspec(self):
+        from jax.sharding import PartitionSpec as P
+
+        return P(None, None, self.axis_name)
+
     def matmat_t(self, Xt: jax.Array) -> jax.Array:
-        """Xt: (k, bs*ns_l) local, spin-major within the shard."""
+        """Local apply: (k, bs, ns_l) internal field (preferred — no
+        per-apply lane relayout), or flat (k, bs*ns_l) spin-major rows."""
         bs, bw = self.bs, self.bw
-        k = Xt.shape[0]
-        ns_l = Xt.shape[1] // bs
-        Xv = Xt.reshape(k, bs, ns_l)
+        flat = Xt.ndim == 2
+        Xv = self.to_internal(Xt) if flat else Xt
+        k, _, ns_l = Xv.shape
         halo_l, halo_r = ring_halos(Xv, bw, self.axis_name)
         # Interior SpMM — independent of the halos (overlappable).
-        Y = BlockDIAOperator(
+        Yv = BlockDIAOperator(
             blocks=self.blocks_int, offsets=self.offsets
-        ).matmat_t(Xt)
-        Yv = Y.reshape(k, bs, ns_l)
+        ).matmat_t(Xv)
         for d, o in enumerate(self.offsets):  # boundary corrections
             if o == 0:
                 continue
@@ -186,7 +197,7 @@ class DistBlockDIAOperator(MatmatMixin):
                     else:
                         c = self.blocks_br[d, a, b, bw - o :][None, :]
                         Yv = Yv.at[:, a, ns_l - o :].add(c * halo_r[:, b, :o])
-        return Yv.reshape(k, bs * ns_l)
+        return self.from_internal(Yv) if flat else Yv
 
     def in_specs(self):
         from jax.sharding import PartitionSpec as P

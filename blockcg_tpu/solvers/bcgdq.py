@@ -42,7 +42,7 @@ from blockcg_tpu.solvers.common import (
     f_gram,
     f_mm_update,
     f_mm_update_gram,
-    qr_factors_from_gram,
+    qr_passes_from_gram,
     row_norms2_t,
 )
 
@@ -80,13 +80,8 @@ def _bcgdq_impl(op, Bt, X0t, tol, max_iter, qr_passes, axis_name,
         h = f_gram(Zt, Rt, axis_name)       # Z^H R
         beta = -chol_solve_spd(M, h)
         Vt, Gv = f_mm_update_gram(beta.T, Wt, Rt, axis_name)
-        for p in range(qr_passes):
-            M1, _ = qr_factors_from_gram(Gv)
-            if p < qr_passes - 1:
-                Vt, Gv = f_mm_update_gram(M1, Vt, None, axis_name)
-            else:  # last pass needs no Gram
-                Vt = f_mm_update(M1, Vt)
-        Wt = Vt
+        M1, Vt, _rho = qr_passes_from_gram(Gv, Vt, qr_passes, axis_name)
+        Wt = f_mm_update(M1, Vt)
         if hist is not None:
             hist = hist.at[it].set(
                 jnp.sqrt(jnp.max(jnp.real(jnp.diag(S_new)) / bnorm2))

@@ -43,15 +43,15 @@ def _cg_impl(op, b, x0, tol, max_iter, axis_name, record_history):
     """State is a lanes-major single-row field ``(1, ...)`` in the
     operator's internal view (block operators would otherwise pay a lane-
     relayout per apply through the (n,)-vector matvec path)."""
-    dtype = b.dtype
+    rdtype = jnp.real(b).dtype
     bnorm2 = _vdot(b, b, axis_name)
-    bnorm2 = jnp.where(bnorm2 > 0, bnorm2, jnp.asarray(1.0, dtype))
-    tol2 = jnp.asarray(tol, dtype) ** 2 * bnorm2
+    bnorm2 = jnp.where(bnorm2 > 0, bnorm2, jnp.asarray(1.0, rdtype))
+    tol2 = jnp.asarray(tol, rdtype) ** 2 * bnorm2
 
     r0 = b - op.matmat_t(x0)
     rho0 = _vdot(r0, r0, axis_name)
     hist0 = (
-        jnp.full((max_iter,), jnp.nan, dtype) if record_history else None
+        jnp.full((max_iter,), jnp.nan, rdtype) if record_history else None
     )
 
     def cond(state):

@@ -207,6 +207,22 @@ def qr_factors_from_gram(G):
     return M1, R1
 
 
+def qr_passes_from_gram(G, Wt, passes: int, axis_name: str | None = None):
+    """Run CholeskyQR passes given a precomputed Gram, DEFERRING the final
+    orthonormalization so the caller can fuse it (with the P update in
+    SBCGrQ, or a plain f_mm_update). Returns (M_last, W_last, rho): apply
+    ``mm(M_last, W_last)``-style to finish; ``rho`` is the accumulated R
+    factor (V = Q rho). Shared by the SBCGrQ/BCGdQ/shifted-block bodies."""
+    rho = None
+    Mi = None
+    for p in range(passes):
+        Mi, Ri = qr_factors_from_gram(G)
+        rho = Ri if rho is None else kk_mm(Ri, rho)
+        if p < passes - 1:
+            Wt, G = f_mm_update_gram(Mi, Wt, None, axis_name)
+    return Mi, Wt, rho
+
+
 def cholqr_fused_t(Vt, passes: int = 2, axis_name: str | None = None,
                    Gv=None):
     """Thin QR via CholeskyQR(2) built on the fused one-pass kernels.
@@ -218,16 +234,8 @@ def cholqr_fused_t(Vt, passes: int = 2, axis_name: str | None = None,
     if passes < 1:
         raise ValueError("passes must be >= 1")
     G = f_gram(Vt, Vt, axis_name) if Gv is None else Gv
-    Wt = Vt
-    rho = None
-    for p in range(passes):
-        Mi, Ri = qr_factors_from_gram(G)
-        rho = Ri if rho is None else kk_mm(Ri, rho)
-        if p < passes - 1:
-            Wt, G = f_mm_update_gram(Mi, Wt, None, axis_name)
-        else:
-            Wt = f_mm_update(Mi, Wt)
-    return Wt, rho
+    Mi, Wt, rho = qr_passes_from_gram(G, Vt, passes, axis_name)
+    return f_mm_update(Mi, Wt), rho
 
 
 # ------------------------------------------------------ (n, k) wrappers ----

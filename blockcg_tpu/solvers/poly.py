@@ -39,9 +39,10 @@ from blockcg_tpu.solvers.common import row_norms2_t
 
 import weakref
 
-# Keyed on the operator OBJECT (weakly): id()-keyed caches serve stale
-# spectra when CPython recycles ids of collected operators.
-_SPECTRUM_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+# Keyed by id() with a weakref finalizer evicting the entry when the
+# operator is collected (so recycled ids can't serve stale spectra).
+# WeakKeyDictionary would need hashable keys; operator dataclasses aren't.
+_SPECTRUM_CACHE: dict = {}
 
 
 @functools.partial(
@@ -87,15 +88,13 @@ def solve_sbcgrq_cheb(
         lo = jnp.asarray(spectrum[0], jnp.float32)
         hi = jnp.asarray(spectrum[1], jnp.float32)
     else:
-        try:
-            cached = _SPECTRUM_CACHE.get(op)
-        except TypeError:  # non-weakrefable operator
-            cached = None
+        cached = _SPECTRUM_CACHE.get(id(op))
         if cached is None:
             cached = estimate_spectrum(op)
             try:
-                _SPECTRUM_CACHE[op] = cached
-            except TypeError:
+                weakref.finalize(op, _SPECTRUM_CACHE.pop, id(op), None)
+                _SPECTRUM_CACHE[id(op)] = cached
+            except TypeError:  # non-weakrefable operator: skip caching
                 pass
         lo, hi = cached
     pop = ChebyshevOperator(base=op, lo=lo, hi=hi, degree=degree)

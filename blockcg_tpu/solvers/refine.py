@@ -80,7 +80,8 @@ def solve_refined(
             raise ValueError(f"unknown inner solver {inner_solver!r}")
 
     compute_dtype = op.dtype
-    f64 = jnp.float64
+    cplx = jnp.issubdtype(jnp.dtype(B.dtype), jnp.complexfloating)
+    f64 = jnp.complex128 if cplx else jnp.float64
     # The outer residual genuinely needs f64 (XLA-emulated on TPU); without
     # the x64 flag jnp.float64 silently degrades to f32 and refinement stalls
     # at the f32 noise floor (~5e-7). The flag is scoped to the f64 pieces
@@ -102,9 +103,12 @@ def solve_refined(
                     print(f"[refine] resumed from {checkpoint_path} (cycle {ckpt[1]})")
         R = B64 - op64.matmat(X) if checkpoint_path is not None else B64
         relres = jnp.linalg.norm(R, axis=0) / bnorm
+        already_done = bool(jnp.max(relres) <= tol)
 
     matvecs = 0
     cycles = 0
+    if already_done:
+        max_cycles = 0  # e.g. resumed from a converged checkpoint
     for cycles in range(1, max_cycles + 1):
         with jax.enable_x64(True):
             # Scale the correction system per-RHS so the f32 inner solver

@@ -49,7 +49,7 @@ from blockcg_tpu.solvers.common import (
     f_mm_update_gram,
     f_qr_p_update,
     kk_mm,
-    qr_factors_from_gram,
+    qr_passes_from_gram,
     row_norms2_t,
 )
 
@@ -104,12 +104,7 @@ def _sbcgrq_impl(
         alpha_t = jnp.conj(alpha)
         Xt = f_mm_update(kk_mm(S.T, alpha_t), Pt, Xt)
         Vt, G = f_mm_update_gram(-alpha_t, Zt, Qt, axis_name)
-        Wt, rho = Vt, None
-        for p in range(qr_passes):
-            Mi, Ri = qr_factors_from_gram(G)
-            rho = Ri if rho is None else kk_mm(Ri, rho)
-            if p < qr_passes - 1:
-                Wt, G = f_mm_update_gram(Mi, Wt, None, axis_name)
+        Mi, Wt, rho = qr_passes_from_gram(G, Vt, qr_passes, axis_name)
         # Final QR pass fused with the search-direction update. Column-world
         # P = Q + P rho^H transposes to Pt = Qt + conj(rho) Pt.
         Qt, Pt = f_qr_p_update(Mi, Wt, jnp.conj(rho), Pt)

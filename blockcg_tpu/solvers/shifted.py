@@ -31,10 +31,11 @@ from blockcg_tpu.solvers.common import psum_if
 )
 def _shifted_cg_impl(op, b, sigmas, tol, max_iter, axis_name, record_history):
     dtype = b.dtype
+    rdtype = jnp.real(b).dtype
     nshift = sigmas.shape[0]
-    bnorm2 = psum_if(jnp.vdot(b, b), axis_name)
-    bnorm2 = jnp.where(bnorm2 > 0, bnorm2, jnp.asarray(1.0, dtype))
-    tol2 = jnp.asarray(tol, dtype) ** 2 * bnorm2
+    bnorm2 = psum_if(jnp.real(jnp.vdot(b, b)), axis_name)
+    bnorm2 = jnp.where(bnorm2 > 0, bnorm2, jnp.asarray(1.0, rdtype))
+    tol2 = jnp.asarray(tol, rdtype) ** 2 * bnorm2
 
     r0 = b
     p0 = b
@@ -43,7 +44,7 @@ def _shifted_cg_impl(op, b, sigmas, tol, max_iter, axis_name, record_history):
     ps0 = jnp.broadcast_to(b, (nshift,) + b.shape).astype(dtype)
     zeta0 = jnp.ones((nshift,), dtype)   # zeta^i
     zeta_m0 = jnp.ones((nshift,), dtype)  # zeta^{i-1}
-    hist0 = jnp.full((max_iter,), jnp.nan, dtype) if record_history else None
+    hist0 = jnp.full((max_iter,), jnp.nan, rdtype) if record_history else None
 
     # state: (xs, ps, r, p, rho, zeta, zeta_m, alpha_old, beta_old, it, hist)
     state0 = (

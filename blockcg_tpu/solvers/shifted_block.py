@@ -62,7 +62,7 @@ from blockcg_tpu.solvers.common import (
     f_mm_update_gram,
     f_qr_p_update,
     kk_mm,
-    qr_factors_from_gram,
+    qr_passes_from_gram,
     row_norms2_t,
 )
 
@@ -128,12 +128,7 @@ def _shifted_sbcgrq_impl(op, Bt, sigmas, tol, max_iter, qr_passes, axis_name):
         # ---- seed SBCGrQ update (shared Krylov engine) --------------------
         alpha_t = jnp.conj(alpha)
         Vt, G = f_mm_update_gram(-alpha_t, Zt, Qt, axis_name)
-        Wt, rho = Vt, None
-        for p in range(qr_passes):
-            Mi, Ri = qr_factors_from_gram(G)
-            rho = Ri if rho is None else kk_mm(Ri, rho)
-            if p < qr_passes - 1:
-                Wt, G = f_mm_update_gram(Mi, Wt, None, axis_name)
+        Mi, Wt, rho = qr_passes_from_gram(G, Vt, qr_passes, axis_name)
         Qt, Pt = f_qr_p_update(Mi, Wt, jnp.conj(rho), Pt)
 
         # shifted residual coefficient: rho_{i+1} M_i eta

@@ -140,16 +140,39 @@ def test_solve_bcg_dist_converges():
 
 
 def test_solve_sbcgrq_dist_bdia():
-    """Distributed solve on the lattice operator (config-4 logic, fake mesh)."""
+    """Distributed solve on the lattice operator (config-4 logic, fake
+    mesh). B/X are in NATURAL spin-major global ordering: the solve entry
+    points shard the internal (k, bs, ns) field view on the site axis
+    (to_dist_order remains only for the low-level flat-apply convention)."""
     L, D = 4, 4
     op = dirac_bdia(L, m=0.5, bc="periodic", dtype=jnp.float64)
     mesh = row_mesh(D)
     dop = partition_bdia(op, D)
     B = random_block(op.n, 4, seed=7)
-    Bd = jnp.asarray(to_dist_order(B, op.bs, D))
-    X_d, info = solve_sbcgrq_dist(dop, Bd, mesh, tol=1e-9, max_iter=200)
+    X_d, info = solve_sbcgrq_dist(dop, jnp.asarray(B), mesh, tol=1e-9,
+                                  max_iter=200)
     assert bool(info.converged.all())
-    X = from_dist_order(np.asarray(X_d), op.bs, D)
+    X = np.asarray(X_d)
     a = bdia_scipy(op)
     res = np.linalg.norm(a @ X - B, axis=0) / np.linalg.norm(B, axis=0)
     assert res.max() <= 2e-9
+
+
+def test_solve_sbcgrq_dist_bdia_natural_order():
+    """Distributed solve through the general block operator in NATURAL
+    (spin-major global) ordering via the internal 3D field hooks — no
+    to_dist_order permutation needed, no per-apply lane relayout."""
+    from blockcg_tpu.parallel import solve_sbcgrq_dist
+
+    L, D = 4, 4
+    op = dirac_bdia(L, m=0.5, dtype=jnp.float32)
+    dop = partition_bdia(op, D)
+    mesh = row_mesh(D)
+    rng = np.random.default_rng(11)
+    B = jnp.asarray(rng.standard_normal((op.n, 4)), dtype=jnp.float32)
+    Xd, info_d = solve_sbcgrq_dist(dop, B, mesh, tol=1e-5, max_iter=300)
+    a = bdia_scipy(op)
+    R = np.asarray(B, np.float64) - a @ np.asarray(Xd, np.float64)
+    rel = (np.linalg.norm(R, axis=0)
+           / np.linalg.norm(np.asarray(B, np.float64), axis=0)).max()
+    assert rel < 1e-4
