@@ -17,6 +17,7 @@ from blockcg_tpu.parallel.api import (
     solve_cg_dist,
     solve_bcg_dist,
     solve_sbcgrq_dist,
+    solve_shifted_sbcgrq_dist,
 )
 
 __all__ = [
@@ -33,4 +34,5 @@ __all__ = [
     "solve_cg_dist",
     "solve_bcg_dist",
     "solve_sbcgrq_dist",
+    "solve_shifted_sbcgrq_dist",
 ]

@@ -9,6 +9,8 @@ psum hook. Works identically on a real pod slice and on the fake CPU mesh
 
 from __future__ import annotations
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -17,6 +19,7 @@ from blockcg_tpu.types import SolverInfo
 from blockcg_tpu.solvers.cg import _cg_impl
 from blockcg_tpu.solvers.bcg import _bcg_impl
 from blockcg_tpu.solvers.sbcgrq import _sbcgrq_impl
+from blockcg_tpu.solvers.shifted_block import _shifted_sbcgrq_impl
 
 try:  # jax >= 0.6 exports shard_map at top level
     shard_map = jax.shard_map
@@ -169,6 +172,46 @@ def solve_bcg_dist(
     ))
     Xt, info = fn(dop, Bt)
     return _field_result(dop, mesh, Xt), info
+
+
+def solve_shifted_sbcgrq_dist(
+    dop,
+    B: jax.Array,
+    sigmas,
+    mesh: Mesh,
+    *,
+    tol: float = 1e-6,
+    max_iter: int = 1000,
+    qr_passes: int = 2,
+) -> tuple[jax.Array, SolverInfo]:
+    """Row-sharded multi-shift block solve: (A + sigma_j I) X_j = B for all
+    shifts with one distributed Krylov space (one halo exchange + the usual
+    k x k psums per iteration, shared across every shift)."""
+    axis = dop.axis_name
+    sig = jnp.asarray(sigmas)
+    Bt = _put_field(dop, B, mesh, axis)
+
+    def body(op, bt, sg):
+        return _shifted_sbcgrq_impl(
+            op, bt, sg, tol, max_iter, qr_passes, axis
+        )
+
+    key = ("shifted_sbcgrq", _dop_key(dop, mesh), float(tol), max_iter,
+           qr_passes, int(sig.shape[0]))
+    fspec = _field_pspec(dop, axis)
+    xs_spec = P(*((None,) + tuple(fspec)))  # leading shift axis replicatedly
+    fn = _cached_jit(key, lambda: shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(dop.in_specs(), fspec, P()),
+        out_specs=(xs_spec, _info_specs(False)),
+        check_vma=False,
+    ))
+    Xs, info = fn(dop, Bt, sig)
+    outs = []
+    for j in range(int(sig.shape[0])):
+        outs.append(np.asarray(_field_result(dop, mesh, Xs[j])))
+    return jnp.asarray(np.stack(outs)), info
 
 
 def solve_cg_dist(

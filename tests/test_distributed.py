@@ -176,3 +176,22 @@ def test_solve_sbcgrq_dist_bdia_natural_order():
     rel = (np.linalg.norm(R, axis=0)
            / np.linalg.norm(np.asarray(B, np.float64), axis=0)).max()
     assert rel < 1e-4
+
+
+def test_solve_shifted_sbcgrq_dist_matches_single():
+    from blockcg_tpu.parallel import solve_shifted_sbcgrq_dist
+    from blockcg_tpu.solvers.shifted_block import solve_shifted_sbcgrq
+
+    shape = (32, 32)
+    op = laplacian_dia(shape, dtype=jnp.float64)
+    D = 4
+    dop = partition_dia(op, D)
+    mesh = row_mesh(D)
+    rng = np.random.default_rng(12)
+    B = jnp.asarray(rng.standard_normal((op.n, 3)))
+    sigmas = [0.0, 0.6, 2.0]
+    Xd, info_d = solve_shifted_sbcgrq_dist(dop, B, sigmas, mesh, tol=1e-9,
+                                           max_iter=500)
+    Xs, info_s = solve_shifted_sbcgrq(op, B, sigmas, tol=1e-9, max_iter=500)
+    assert abs(int(info_d.iterations) - int(info_s.iterations)) <= 2
+    assert np.abs(np.asarray(Xd) - np.asarray(Xs)).max() < 1e-7
