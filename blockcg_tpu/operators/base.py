@@ -72,6 +72,12 @@ class MatmatMixin:
     # config). Converting once at solve entry/exit makes the hot loop
     # relayout-free. Default: flat (k, n) is already internal.
 
+    def matmat_gram_t(self, Xt):
+        """(Y = A X, G) where G = X^H Y (k x k, local — caller psums) when
+        the operator can emit it fused with the apply, else None. Solvers
+        use this for the P^H(AP) Gram; the default is unfused."""
+        return self.matmat_t(Xt), None
+
     def to_internal(self, Xt):
         """Lanes-major (k, n) -> the operator's internal field view."""
         return Xt

@@ -117,6 +117,41 @@ class ConstBlockDIAOperator(MatmatMixin):
             Yv = self._matmat_v_xla(Xv)
         return self.from_internal(Yv) if flat else Yv
 
+    def matmat_gram_t(self, Xt: jax.Array, interpret: bool = False):
+        """Fused (Y = A X, G = X^H Y): the main kernel emits the k x k Gram
+        from tiles already in VMEM; slab-routed wrap diagonals add their
+        (boundary-sized) Gram correction via small XLA einsums over the
+        touched slabs. Falls back to (matmat_t, None)."""
+        import os
+
+        from blockcg_tpu.ops import const_block_stencil as cbs
+
+        flat = Xt.ndim == 2
+        Xv = self.to_internal(Xt) if flat else Xt
+        nmask = 0 if self.masks is None else self.masks.shape[0]
+        hops_m, offs_m, mslot_m = self._main_statics()
+        ok = (
+            (interpret or (jax.default_backend() == "tpu"
+                           and not os.environ.get("BLOCKCG_NO_PALLAS")))
+            and Xt.dtype == jnp.float32
+            and (self.masks is None or self.masks.dtype == jnp.float32)
+            and cbs.available(self.ns, Xt.shape[0], self.bs, offs_m, nmask,
+                              groups=cbs.n_groups(hops_m))
+        )
+        if not ok:
+            return self.matmat_t(Xt, interpret=interpret), None
+        Yv, Gm = cbs.const_block_stencil_spmm_gram_t(
+            hops_m, offs_m, mslot_m, self.masks, Xv, interpret=interpret
+        )
+        for d, g, nblocks, dst_mul, dst_off, src_shift in self.slabs:
+            # Slab kernel applies the wrap AND accumulates its Gram
+            # correction (only the touched boundary slabs stream from HBM).
+            Yv, Gm = cbs.slab_block_accumulate_gram(
+                self.hops[d], g, nblocks, dst_mul, dst_off, src_shift,
+                Xv, Yv, Gm, interpret=interpret,
+            )
+        return (self.from_internal(Yv) if flat else Yv), Gm
+
     def _matmat_t_xla(self, Xt: jax.Array) -> jax.Array:
         return self.from_internal(self._matmat_v_xla(self.to_internal(Xt)))
 

@@ -73,19 +73,34 @@ class DIAOperator(MatmatMixin):
         re-reading it per diagonal). The XLA fallback below covers CPU, odd
         shapes, and BLOCKCG_NO_PALLAS=1.
         """
+        from blockcg_tpu.ops import stencil
+
+        if self._pallas_ok(Xt):  # f32-only kernel; f64 takes the XLA path
+            return stencil.stencil_spmm_t(self.diags, self.offsets, Xt)
+        return self._matmat_t_xla(Xt)
+
+    def _pallas_ok(self, Xt) -> bool:
         import os
 
         from blockcg_tpu.ops import stencil
 
-        if (
+        return (
             jax.default_backend() == "tpu"
-            and self.dtype == jnp.float32  # kernel is f32; f64 (emulated)
-            and Xt.dtype == jnp.float32    # must take the XLA path
+            and self.dtype == jnp.float32
+            and Xt.dtype == jnp.float32
             and not os.environ.get("BLOCKCG_NO_PALLAS")
             and stencil.available(self.n, Xt.shape[0], self.offsets)
-        ):
-            return stencil.stencil_spmm_t(self.diags, self.offsets, Xt)
-        return self._matmat_t_xla(Xt)
+        )
+
+    def matmat_gram_t(self, Xt: jax.Array):
+        """Fused (Y = A X, G = X^H Y): the stencil kernel emits the k x k
+        Gram from tiles already in VMEM (solvers' P^H A P — saves the
+        2-pass separate Gram). Falls back to (matmat_t, None)."""
+        from blockcg_tpu.ops import stencil
+
+        if self._pallas_ok(Xt):
+            return stencil.stencil_spmm_gram_t(self.diags, self.offsets, Xt)
+        return self.matmat_t(Xt), None
 
     def _matmat_t_xla(self, Xt: jax.Array) -> jax.Array:
         # Toroidal semantics (match the Pallas kernel): col = (i + o) mod n.

@@ -84,7 +84,7 @@ def _group_offsets(hops: tuple, mask_slot: tuple[int, ...]):
 
 
 def _kernel(near, far, H, bs, k, kp, groups, nmask, precision, interpret,
-            *refs):
+            with_gram, *refs):
     nf = len(far)
     i = 0
     masks_ref = None
@@ -101,8 +101,10 @@ def _kernel(near, far, H, bs, k, kp, groups, nmask, precision, interpret,
         i += 1
     far_refs = refs[i : i + nf]
     y_ref = refs[i + nf]
-    w_ref = refs[i + nf + 1]
-    s_ref = refs[i + nf + 2]
+    g_ref = refs[i + nf + 1] if with_gram else None
+    nout = 2 if with_gram else 1
+    w_ref = refs[i + nf + nout]
+    s_ref = refs[i + nf + nout + 1]
     R = y_ref.shape[2]
 
     # Stage ONLY the misaligned near window [prev H | cur R | next H] — the
@@ -169,34 +171,31 @@ def _kernel(near, far, H, bs, k, kp, groups, nmask, precision, interpret,
     for a in range(bs):
         y_ref[:, a, :] = acc[a * kp : a * kp + k, :]
 
+    if with_gram:
+        # Fused Gram G = sum_a X_a Y_a^T from tiles already in VMEM (the
+        # caller's P^H A P — saves the separate 2-HBM-pass gram kernel).
+        g = None
+        for a in range(bs):
+            t = jax.lax.dot_general(
+                xcur[:, a, :], acc[a * kp : a * kp + k, :],
+                (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            g = t if g is None else g + t
+        i0 = pl.program_id(0)
 
-@functools.partial(
-    jax.jit, static_argnames=("hops", "offsets", "mask_slot", "interpret", "precision")
-)
-def const_block_stencil_spmm_t(
-    hops: tuple,
-    offsets: tuple[int, ...],
-    mask_slot: tuple[int, ...],
-    masks: jax.Array | None,
-    Xt: jax.Array,
-    *,
-    interpret: bool = False,
-    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
-) -> jax.Array:
-    """Lanes-major constant-hop block-stencil SpMM.
+        @pl.when(i0 == 0)
+        def _():
+            g_ref[:, :] = g
 
-    Args:
-      hops: static nested tuple, ``hops[d][a][b]`` — constant bs x bs block
-        per site-offset (compile-time scalars).
-      offsets: static site offsets (toroidal: column site = (s + o) mod ns).
-      mask_slot: static per-offset row into ``masks`` (-1 = unmasked).
-      masks: (nmask, ns) 0/1 row-site gates, or None if all slots are -1.
-      Xt: (k, bs, ns) internal field view (preferred — no relayout), or flat
-        (k, bs*ns) spin-major rows.
+        @pl.when(i0 > 0)
+        def _():
+            g_ref[:, :] += g
 
-    Returns:
-      Yt, shaped like Xt.
-    """
+
+def _cbs_impl(hops, offsets, mask_slot, masks, Xt, with_gram, interpret,
+              precision):
     bs = len(hops[0])
     flat = Xt.ndim == 2
     k = Xt.shape[0]
@@ -278,35 +277,97 @@ def const_block_stencil_spmm_t(
 
     kernel = functools.partial(
         _kernel, p.near, p.far, H, bs, k, kp, groups, nmask, precision,
-        interpret,
+        interpret, with_gram,
     )
     noff = len(offsets)
     terms = sum(
         1 for d in range(noff) for a in range(bs) for b in range(bs)
         if hops[d][a][b] != 0.0
     )
-    flops = 2 * terms * k * ns
+    flops = 2 * terms * k * ns + (2 * k * k * bs * ns if with_gram else 0)
     bytes_accessed = 4 * (k * bs * ns * p.x_reads + nmask * ns + k * bs * ns)
     scratch = [
         pltpu.VMEM((bs, k, R + 2 * H if H > 0 else 1), Xt.dtype),
         pltpu.VMEM((G * bs * kp, R), Xt.dtype),
     ]
 
-    Yv = pl.pallas_call(
+    y_spec = pl.BlockSpec((k, bs, R), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
+    y_shape = jax.ShapeDtypeStruct((k, bs, ns), Xt.dtype)
+    if with_gram:
+        out_specs = (y_spec, pl.BlockSpec(
+            (k, k), lambda i: (0, 0), memory_space=pltpu.VMEM))
+        out_shape = (y_shape, jax.ShapeDtypeStruct((k, k), jnp.float32))
+    else:
+        out_specs, out_shape = y_spec, y_shape
+
+    out = pl.pallas_call(
         kernel,
         grid=(nb,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec(
-            (k, bs, R), lambda i: (0, 0, i), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((k, bs, ns), Xt.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=int(bytes_accessed), transcendentals=0
         ),
         interpret=interpret,
     )(*args)
-    return Yv.reshape(k, bs * ns) if flat else Yv
+    if with_gram:
+        Yv, Gm = out
+        return (Yv.reshape(k, bs * ns) if flat else Yv), Gm
+    return out.reshape(k, bs * ns) if flat else out
+
+
+@functools.partial(
+    jax.jit, static_argnames=("hops", "offsets", "mask_slot", "interpret", "precision")
+)
+def const_block_stencil_spmm_t(
+    hops: tuple,
+    offsets: tuple[int, ...],
+    mask_slot: tuple[int, ...],
+    masks: jax.Array | None,
+    Xt: jax.Array,
+    *,
+    interpret: bool = False,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+) -> jax.Array:
+    """Lanes-major constant-hop block-stencil SpMM.
+
+    Args:
+      hops: static nested tuple, ``hops[d][a][b]`` — constant bs x bs block
+        per site-offset (compile-time scalars).
+      offsets: static site offsets (toroidal: column site = (s + o) mod ns).
+      mask_slot: static per-offset row into ``masks`` (-1 = unmasked).
+      masks: (nmask, ns) 0/1 row-site gates, or None if all slots are -1.
+      Xt: (k, bs, ns) internal field view (preferred — no relayout), or flat
+        (k, bs*ns) spin-major rows.
+
+    Returns:
+      Yt, shaped like Xt.
+    """
+    return _cbs_impl(hops, offsets, mask_slot, masks, Xt, False, interpret,
+                     precision)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("hops", "offsets", "mask_slot", "interpret", "precision")
+)
+def const_block_stencil_spmm_gram_t(
+    hops: tuple,
+    offsets: tuple[int, ...],
+    mask_slot: tuple[int, ...],
+    masks: jax.Array | None,
+    Xt: jax.Array,
+    *,
+    interpret: bool = False,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+):
+    """Const-hop block SpMM with the k x k Gram fused: ``(Yt, G = X Y^T)``
+    where the Gram contracts over (spin, site) — exactly the solvers'
+    ``P^H (A P)`` (real f32 path). Slab-routed diagonals are NOT included;
+    the operator adds their (boundary-sized) Gram correction outside."""
+    return _cbs_impl(hops, offsets, mask_slot, masks, Xt, True, interpret,
+                     precision)
 
 
 def available(
@@ -386,6 +447,93 @@ def slab_block_accumulate(
         input_output_aliases={0: 0},
         interpret=interpret,
     )(Yv, Xv)
+
+
+def _slab_gram_kernel(hop, bs, y_in_ref, x_src_ref, x_dst_ref, g_in_ref,
+                      y_ref, g_ref):
+    k = y_ref.shape[0]
+    dy = [None] * bs
+    for b in range(bs):
+        w = x_src_ref[:, b, :]
+        for a in range(bs):
+            if hop[a][b] != 0.0:
+                t = hop[a][b] * w
+                dy[a] = t if dy[a] is None else dy[a] + t
+    gacc = None
+    for a in range(bs):
+        if dy[a] is None:
+            y_ref[:, a, :] = y_in_ref[:, a, :]
+            continue
+        y_ref[:, a, :] = y_in_ref[:, a, :] + dy[a]
+        t = jax.lax.dot_general(
+            x_dst_ref[:, a, :], dy[a], (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        gacc = t if gacc is None else gacc + t
+    j = pl.program_id(0)
+
+    @pl.when(j == 0)
+    def _():
+        g_ref[:, :] = g_in_ref[:, :] + gacc
+
+    @pl.when(j > 0)
+    def _():
+        g_ref[:, :] += gacc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("hop", "g", "nblocks", "dst_mul", "dst_off", "src_shift",
+                     "interpret"),
+)
+def slab_block_accumulate_gram(
+    hop: tuple,
+    g: int,
+    nblocks: int,
+    dst_mul: int,
+    dst_off: int,
+    src_shift: int,
+    Xv: jax.Array,
+    Yv: jax.Array,
+    Gm: jax.Array,
+    *,
+    interpret: bool = False,
+):
+    """Like ``slab_block_accumulate`` but also accumulates the Gram
+    correction ``G += sum_dst X_dst (hop @ X_src)^T`` into ``Gm`` — used by
+    the operators' fused matmat+gram path so the k x k stays exact without
+    re-reading any field from HBM (only the touched slabs stream)."""
+    k, bs, ns = Xv.shape
+    nb = ns // g
+
+    def dst(j):
+        return (dst_mul * j + dst_off) % nb
+
+    return pl.pallas_call(
+        functools.partial(_slab_gram_kernel, hop, bs),
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec((k, bs, g), lambda j: (0, 0, dst(j)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, bs, g), lambda j: (0, 0, (dst(j) + src_shift) % nb),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, bs, g), lambda j: (0, 0, dst(j)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((k, bs, g), lambda j: (0, 0, dst(j)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(Yv.shape, Yv.dtype),
+            jax.ShapeDtypeStruct((k, k), jnp.float32),
+        ),
+        input_output_aliases={0: 0},
+        interpret=interpret,
+    )(Yv, Xv, Xv, Gm)
 
 
 @functools.partial(

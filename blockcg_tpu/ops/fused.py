@@ -380,3 +380,60 @@ def qr_p_update(
 def qr_p_update_available(Q1) -> bool:
     k, bs, lanes = _field_dims(Q1)
     return _ok(Q1) and _pick_tile(k, bs, lanes, 4) is not None
+
+
+# ---------------------------------------------------------- qr_px_update --
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def qr_px_update(
+    M2: jax.Array, Q1: jax.Array, rho: jax.Array, P: jax.Array,
+    C: jax.Array, X: jax.Array, *, interpret: bool = False,
+):
+    """Q = M2 @ Q1 ;  Pn = Q + rho @ P ;  Xn = X + C @ P — one pass.
+
+    The SBCGrQ iteration tail: the final CholQR pass, the search-direction
+    update, and the solution update share the P read (6 field passes vs 7
+    for qr_p_update + a separate mm_update)."""
+    interpret = interpret or _env_interpret()
+    k, bs, lanes = _field_dims(Q1)
+    R = _require_tile(_pick_tile(k, bs, lanes, 6), k, bs, lanes)
+    nb = lanes // R
+
+    def kernel(m2_ref, rho_ref, c_ref, q1_ref, p_ref, x_ref,
+               q_ref, pn_ref, xn_ref):
+        m2 = m2_ref[:, :]
+        rh = rho_ref[:, :]
+        cc = c_ref[:, :]
+        if bs == 0:
+            p = p_ref[:]
+            q = _dot_kk(m2, q1_ref[:])
+            q_ref[:] = q
+            pn_ref[:] = q + _dot_kk(rh, p)
+            xn_ref[:] = x_ref[:] + _dot_kk(cc, p)
+        else:
+            for b in range(bs):
+                p = p_ref[:, b, :]
+                q = _dot_kk(m2, q1_ref[:, b, :])
+                q_ref[:, b, :] = q
+                pn_ref[:, b, :] = q + _dot_kk(rh, p)
+                xn_ref[:, b, :] = x_ref[:, b, :] + _dot_kk(cc, p)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[_kk_spec((k, k)), _kk_spec((k, k)), _kk_spec((k, k)),
+                  _spec(k, bs, R), _spec(k, bs, R), _spec(k, bs, R)],
+        out_specs=(_spec(k, bs, R), _spec(k, bs, R), _spec(k, bs, R)),
+        out_shape=(
+            jax.ShapeDtypeStruct(Q1.shape, jnp.float32),
+            jax.ShapeDtypeStruct(P.shape, jnp.float32),
+            jax.ShapeDtypeStruct(X.shape, jnp.float32),
+        ),
+        interpret=interpret,
+    )(M2, rho, C, Q1, P, X)
+
+
+def qr_px_update_available(Q1) -> bool:
+    k, bs, lanes = _field_dims(Q1)
+    return _ok(Q1) and _pick_tile(k, bs, lanes, 6) is not None

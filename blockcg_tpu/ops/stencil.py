@@ -108,13 +108,15 @@ def plan(
     return best
 
 
-def _kernel(near, far, H, diags_ref, *refs):
-    # refs layout: [xprev, xcur, xnext][:nref-? ...], far windows, y_ref, w_ref
+def _kernel(near, far, H, with_gram, diags_ref, *refs):
+    # refs layout: [xprev, xcur, xnext][:nref-? ...], far windows, y_ref,
+    # (g_ref if with_gram), (w_ref scratch if H > 0)
+    nout = 2 if with_gram else 1
     if H > 0:
         xprev, xcur, xnext = refs[0], refs[1], refs[2]
         far_refs = refs[3 : 3 + len(far)]
         y_ref = refs[3 + len(far)]
-        w_ref = refs[4 + len(far)]
+        w_ref = refs[3 + len(far) + nout]
         k, R = y_ref.shape
         w_ref[:, :H] = xprev[:]
         w_ref[:, H : H + R] = xcur[:]
@@ -140,22 +142,28 @@ def _kernel(near, far, H, diags_ref, *refs):
             fi += 1
     y_ref[:] = acc
 
+    if with_gram:
+        # Fused Gram G = X Y^T from the tiles already in VMEM (the separate
+        # gram kernel would re-read both fields from HBM — 2 extra passes).
+        g_ref = refs[(3 if H > 0 else 1) + len(far) + 1]
+        xc = w_ref[:, H : H + R] if H > 0 else xcur[:]
+        g = jax.lax.dot_general(
+            xc, acc, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        i = pl.program_id(0)
 
-@functools.partial(jax.jit, static_argnames=("offsets", "interpret"))
-def stencil_spmm_t(
-    diags: jax.Array,
-    offsets: tuple[int, ...],
-    Xt: jax.Array,
-    *,
-    interpret: bool = False,
-) -> jax.Array:
-    """Lanes-major stencil SpMM: ``Yt[:, i] = sum_d diags[d, i] * Xt[:, i+o_d]``.
+        @pl.when(i == 0)
+        def _():
+            g_ref[:, :] = g
 
-    Args:
-      diags: (ndiag, n) row-aligned diagonals (DIAOperator convention).
-      offsets: static diagonal offsets.
-      Xt: (k, n) lanes-major RHS block.
-    """
+        @pl.when(i > 0)
+        def _():
+            g_ref[:, :] += g
+
+
+def _spmm_impl(diags, offsets, Xt, with_gram, interpret):
     ndiag, n = diags.shape
     k = Xt.shape[0]
     p = plan(n, k, offsets)
@@ -202,23 +210,66 @@ def stencil_spmm_t(
         )
         x_args.append(Xt)
 
-    kernel = functools.partial(_kernel, p.near, p.far, H)
-    flops = 2 * ndiag * k * n
+    kernel = functools.partial(_kernel, p.near, p.far, H, with_gram)
+    flops = 2 * ndiag * k * n + (2 * k * k * n if with_gram else 0)
     bytes_accessed = 4 * (k * n * p.x_reads + ndiag * n + k * n)
     scratch = [pltpu.VMEM((k, R + 2 * H), Xt.dtype)] if H > 0 else []
+
+    y_spec = pl.BlockSpec((k, R), lambda i: (0, i), memory_space=pltpu.VMEM)
+    y_shape = jax.ShapeDtypeStruct((k, n), Xt.dtype)
+    if with_gram:
+        out_specs = (y_spec, pl.BlockSpec(
+            (k, k), lambda i: (0, 0), memory_space=pltpu.VMEM))
+        out_shape = (y_shape, jax.ShapeDtypeStruct((k, k), jnp.float32))
+    else:
+        out_specs, out_shape = y_spec, y_shape
 
     return pl.pallas_call(
         kernel,
         grid=(nb,),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((k, R), lambda i: (0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((k, n), Xt.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=int(bytes_accessed), transcendentals=0
         ),
         interpret=interpret,
     )(diags_ord, *x_args)
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "interpret"))
+def stencil_spmm_t(
+    diags: jax.Array,
+    offsets: tuple[int, ...],
+    Xt: jax.Array,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Lanes-major stencil SpMM: ``Yt[:, i] = sum_d diags[d, i] * Xt[:, i+o_d]``.
+
+    Args:
+      diags: (ndiag, n) row-aligned diagonals (DIAOperator convention).
+      offsets: static diagonal offsets.
+      Xt: (k, n) lanes-major RHS block.
+    """
+    return _spmm_impl(diags, offsets, Xt, False, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "interpret"))
+def stencil_spmm_gram_t(
+    diags: jax.Array,
+    offsets: tuple[int, ...],
+    Xt: jax.Array,
+    *,
+    interpret: bool = False,
+):
+    """Stencil SpMM with the k x k Gram fused: ``(Yt, G = X Y^T)``.
+
+    G is exactly the solvers' ``P^H (A P)`` coefficient Gram (real f32
+    path), accumulated on the MXU from the tiles the SpMM already holds in
+    VMEM — the separate gram kernel's 2 HBM field passes are saved."""
+    return _spmm_impl(diags, offsets, Xt, True, interpret)
 
 
 def available(n: int, k: int, offsets: tuple[int, ...]) -> bool:

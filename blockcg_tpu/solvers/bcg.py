@@ -21,6 +21,7 @@ from blockcg_tpu.types import SolverInfo
 from blockcg_tpu.solvers.common import (
     chol_solve_spd,
     f_gram,
+    f_matmat_gram,
     f_mm_update,
     f_mm_update_gram,
     row_norms2_t,
@@ -48,8 +49,7 @@ def _bcg_impl(op, Bt, X0t, tol, max_iter, axis_name, record_history):
 
     def body(state):
         Xt, Rt, Pt, S, it, hist = state
-        Zt = op.matmat_t(Pt)
-        M = f_gram(Pt, Zt, axis_name)  # P^T A P
+        Zt, M = f_matmat_gram(op, Pt, axis_name)  # Z = A P, M = P^T A P
         alpha = chol_solve_spd(M, S)  # M alpha = S
         # Fused one-pass updates (T-K2): the residual update also emits the
         # next Gram S' = R R^T in the same pass.

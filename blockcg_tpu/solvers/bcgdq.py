@@ -40,6 +40,7 @@ from blockcg_tpu.solvers.common import (
     chol_solve_spd,
     cholqr_fused_t,
     f_gram,
+    f_matmat_gram,
     f_mm_update,
     f_mm_update_gram,
     qr_passes_from_gram,
@@ -70,8 +71,7 @@ def _bcgdq_impl(op, Bt, X0t, tol, max_iter, qr_passes, axis_name,
 
     def body(state):
         Xt, Rt, Wt, S, it, hist = state
-        Zt = op.matmat_t(Wt)
-        M = f_gram(Wt, Zt, axis_name)       # W^H A W  (k x k HPD)
+        Zt, M = f_matmat_gram(op, Wt, axis_name)  # W^H A W  (k x k HPD)
         g = f_gram(Wt, Rt, axis_name)       # W^H R
         alpha = chol_solve_spd(M, g)
         # Lanes-major: X += W alpha  ->  Xt += alpha^T Wt  (plain transpose).

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from blockcg_tpu.types import SolverInfo
-from blockcg_tpu.solvers.common import psum_if
+from blockcg_tpu.solvers.common import f_matmat_gram, psum_if
 
 
 def _vdot(u, v, axis_name):
@@ -60,8 +60,10 @@ def _cg_impl(op, b, x0, tol, max_iter, axis_name, record_history):
 
     def body(state):
         x, r, p, rho, it, hist = state
-        z = op.matmat_t(p)
-        denom = _vdot(p, z, axis_name)
+        # SpMM with the p^H A p reduction fused into the kernel when the
+        # operator supports it (it is the (1,1) Gram of the 1-row field).
+        z, M = f_matmat_gram(op, p, axis_name)
+        denom = jnp.real(M[0, 0])
         alpha = rho / denom
         x = x + alpha * p
         r = r - alpha * z

@@ -186,6 +186,27 @@ def f_qr_p_update(M2, Q1t, rho, Pt):
     return Qt, Qt + mm(rho, Pt)
 
 
+def f_qr_px_update(M2, Q1t, rho, Pt, C, Xt):
+    """(Q = M2 @ Q1, Pn = Q + rho @ P, Xn = X + C @ P) in one pass —
+    the fused SBCGrQ iteration tail (reads P once for both updates)."""
+    from blockcg_tpu.ops import fused
+
+    if fused.qr_px_update_available(Q1t):
+        return fused.qr_px_update(M2, Q1t, rho, Pt, C, Xt)
+    Qt = mm(M2, Q1t)
+    return Qt, Qt + mm(rho, Pt), Xt + mm(C, Pt)
+
+
+def f_matmat_gram(op, Xt, axis_name: str | None = None):
+    """(Z = A X, M = X^H Z) with the Gram fused into the operator apply when
+    the operator supports it (stencil kernels emit the k x k from the tiles
+    already in VMEM — saves the 2-field-pass separate Gram)."""
+    Zt, Mloc = op.matmat_gram_t(Xt)
+    if Mloc is None:
+        return Zt, f_gram(Xt, Zt, axis_name)
+    return Zt, psum_if(Mloc, axis_name)
+
+
 def kk_mm(a, b):
     """Tiny k x k @ k x k product at full precision."""
     return jnp.matmul(a, b, precision=HIGHEST, preferred_element_type=a.dtype)

@@ -44,10 +44,9 @@ from blockcg_tpu.types import SolverInfo
 from blockcg_tpu.solvers.common import (
     chol_inverse_spd,
     cholqr_fused_t,
-    f_gram,
-    f_mm_update,
+    f_matmat_gram,
     f_mm_update_gram,
-    f_qr_p_update,
+    f_qr_px_update,
     kk_mm,
     qr_passes_from_gram,
     row_norms2_t,
@@ -91,8 +90,9 @@ def _sbcgrq_impl(
 
     def body(state):
         Xt, Qt, S, Pt, it, mv, hist = state
-        Zt = op.matmat_t(Pt)
-        M = f_gram(Pt, Zt, axis_name)  # P^H A P (Gram of Q-directions)
+        # SpMM with the P^H A P Gram fused into the kernel when the operator
+        # supports it (stencil ops emit it from tiles already in VMEM).
+        Zt, M = f_matmat_gram(op, Pt, axis_name)
         alpha = chol_inverse_spd(M)  # Hermitian
         # Lanes-major transposed recurrence: the column-world updates
         # X += P(alpha S) and V = Q - Z alpha transpose to
@@ -102,12 +102,15 @@ def _sbcgrq_impl(
         # (T-K2): the V update also emits V V^H, whose diagonal carries the
         # CholQR equilibration norms — the QR needs no extra field passes.
         alpha_t = jnp.conj(alpha)
-        Xt = f_mm_update(kk_mm(S.T, alpha_t), Pt, Xt)
         Vt, G = f_mm_update_gram(-alpha_t, Zt, Qt, axis_name)
         Mi, Wt, rho = qr_passes_from_gram(G, Vt, qr_passes, axis_name)
-        # Final QR pass fused with the search-direction update. Column-world
-        # P = Q + P rho^H transposes to Pt = Qt + conj(rho) Pt.
-        Qt, Pt = f_qr_p_update(Mi, Wt, jnp.conj(rho), Pt)
+        # Final QR pass fused with the search-direction AND solution
+        # updates (both read P; one pass). Column-world P = Q + P rho^H and
+        # X += P (alpha S) transpose to Pt = Qt + conj(rho) Pt and
+        # Xt += (S^T alpha^T) Pt — using the PRE-update Pt in both.
+        Qt, Pt, Xt = f_qr_px_update(
+            Mi, Wt, jnp.conj(rho), Pt, kk_mm(S.T, alpha_t), Xt
+        )
         S = kk_mm(rho, S)
         mv = mv + 1
 

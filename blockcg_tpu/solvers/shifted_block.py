@@ -58,7 +58,7 @@ from blockcg_tpu.solvers.common import (
     HIGHEST,
     chol_inverse_spd,
     cholqr_fused_t,
-    f_gram,
+    f_matmat_gram,
     f_mm_update_gram,
     f_qr_p_update,
     kk_mm,
@@ -102,8 +102,7 @@ def _shifted_sbcgrq_impl(op, Bt, sigmas, tol, max_iter, qr_passes, axis_name):
 
     def body(state):
         (Xs, Cs, Qt, Pt, rho_prev, M_prev, Dinv_prev, z_prev, rel, it) = state
-        Zt = op.matmat_t(Pt)
-        M = f_gram(Pt, Zt, axis_name)  # P^H A P = alpha^{-1}
+        Zt, M = f_matmat_gram(op, Pt, axis_name)  # P^H A P = alpha^{-1}
         alpha = chol_inverse_spd(M)
 
         # ---- per-shift incremental block LDL^H step (all k x k) ----------

@@ -107,3 +107,39 @@ def test_cbdia_solve_sbcgrq():
     r = np.asarray(B) - a @ np.asarray(X)
     rel = np.linalg.norm(r, axis=0) / np.linalg.norm(np.asarray(B), axis=0)
     assert rel.max() < 1e-4
+
+
+def test_const_block_stencil_gram_fused():
+    from blockcg_tpu.ops.const_block_stencil import (
+        const_block_stencil_spmm_gram_t,
+    )
+
+    op = dirac_cbdia(4, m=0.5, bc="periodic", dtype=jnp.float32)
+    rng = np.random.default_rng(11)
+    Xt = jnp.asarray(rng.standard_normal((5, op.n)), dtype=jnp.float32)
+    Yt, G = const_block_stencil_spmm_gram_t(
+        op.hops, op.offsets, op.mask_slot, op.masks, Xt, interpret=True
+    )
+    want_y = const_block_stencil_spmm_t(
+        op.hops, op.offsets, op.mask_slot, op.masks, Xt, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(Yt), np.asarray(want_y),
+                               rtol=1e-6, atol=1e-6)
+    want_g = np.asarray(Xt, np.float64) @ np.asarray(want_y, np.float64).T
+    np.testing.assert_allclose(np.asarray(G), want_g, rtol=1e-4, atol=1e-3)
+
+
+def test_cbdia_matmat_gram_with_slabs():
+    """Operator-level fused gram includes the slab-routed wrap diagonals."""
+    from blockcg_tpu.operators.cbdia import detect_slabs
+
+    op = dirac_cbdia(8, m=0.5, bc="periodic", dtype=jnp.float32)
+    ops = detect_slabs(op, max_frac=0.6)
+    rng = np.random.default_rng(12)
+    Xt = jnp.asarray(rng.standard_normal((3, op.n)), dtype=jnp.float32)
+    Y, G = ops.matmat_gram_t(Xt, interpret=True)
+    want_y = op.matmat_t(Xt, interpret=True)
+    np.testing.assert_allclose(np.asarray(Y), np.asarray(want_y),
+                               rtol=1e-5, atol=1e-5)
+    want_g = np.asarray(Xt, np.float64) @ np.asarray(want_y, np.float64).T
+    np.testing.assert_allclose(np.asarray(G), want_g, rtol=1e-4, atol=1e-3)

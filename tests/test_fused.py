@@ -100,3 +100,21 @@ def test_cholqr_fused_matches_cholqr_t():
                                atol=2e-4)
     np.testing.assert_allclose(np.asarray(R1), np.asarray(R2), rtol=2e-4,
                                atol=2e-3)
+
+
+@pytest.mark.parametrize("shape", [(8, 1024), (6, 4, 512)])
+def test_qr_px_update(shape):
+    k = shape[0]
+    M2, rho, C = _kk(k, 20), _kk(k, 21), _kk(k, 22)
+    Q1, P, X = _field(shape, 23), _field(shape, 24), _field(shape, 25)
+    Q, Pn, Xn = fused.qr_px_update(M2, Q1, rho, P, C, X, interpret=True)
+    m2, rh, cc = (np.asarray(a, np.float64) for a in (M2, rho, C))
+    q1, p, x = (np.asarray(a, np.float64) for a in (Q1, P, X))
+    want_q = np.tensordot(m2, q1, axes=(1, 0))
+    np.testing.assert_allclose(np.asarray(Q), want_q, rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(Pn), want_q + np.tensordot(rh, p, axes=(1, 0)),
+        rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(Xn), x + np.tensordot(cc, p, axes=(1, 0)),
+        rtol=1e-5, atol=1e-4)

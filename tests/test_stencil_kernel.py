@@ -101,3 +101,29 @@ def test_stencil_far_window_correctness():
     Yt = stencil_spmm_t(op.diags, op.offsets, jnp.asarray(X.T), interpret=True)
     want = a @ X
     assert np.abs(np.asarray(Yt).T - want).max() / np.abs(want).max() < 1e-5
+
+
+def test_stencil_gram_fused():
+    """stencil_spmm_gram_t: Y matches the plain kernel, G == X Y^T."""
+    from blockcg_tpu.ops.stencil import stencil_spmm_gram_t
+
+    op = laplacian_dia((16, 16, 16), dtype=jnp.float32)
+    rng = np.random.default_rng(7)
+    Xt = jnp.asarray(rng.standard_normal((8, op.n)), dtype=jnp.float32)
+    Yt, G = stencil_spmm_gram_t(op.diags, op.offsets, Xt, interpret=True)
+    want_y = stencil_spmm_t(op.diags, op.offsets, Xt, interpret=True)
+    np.testing.assert_allclose(np.asarray(Yt), np.asarray(want_y),
+                               rtol=1e-6, atol=1e-6)
+    want_g = np.asarray(Xt, np.float64) @ np.asarray(want_y, np.float64).T
+    np.testing.assert_allclose(np.asarray(G), want_g, rtol=1e-4, atol=1e-3)
+
+
+def test_dia_matmat_gram_fallback_none():
+    """On CPU (no TPU backend) matmat_gram_t returns (Y, None)."""
+    op = laplacian_dia((32, 32), dtype=jnp.float32)
+    rng = np.random.default_rng(8)
+    Xt = jnp.asarray(rng.standard_normal((4, op.n)), dtype=jnp.float32)
+    Y, G = op.matmat_gram_t(Xt)
+    assert G is None
+    np.testing.assert_allclose(np.asarray(Y), np.asarray(op.matmat_t(Xt)),
+                               rtol=1e-6, atol=1e-6)
