@@ -86,6 +86,26 @@ class MatmatMixin:
         """Internal field view -> lanes-major (k, n)."""
         return Xf
 
+    # Field-algebra codec. Operators whose internal field merges extra row
+    # structure into the leading dim (e.g. the const-hop block operator's
+    # merged spin-major (m = bs*k, ns) layout, which avoids the sublane
+    # padding a (k, bs, ns) view pays on every HBM pass) override these so
+    # the solvers' coefficient algebra stays k x k:
+    #   - a k x k coefficient C applied to a field expands to the internal
+    #     row dim (I_bs (x) C for spin-major merging),
+    #   - an internal-rows Gram / squared-norm vector contracts back to
+    #     k x k / (k,) (sum of diagonal spin blocks).
+    # Defaults: identity (flat (k, n) fields).
+
+    def coeff_expand(self, C):
+        return C
+
+    def gram_contract(self, G):
+        return G
+
+    def norms2_contract(self, v):
+        return v
+
 
 def astype(op, dtype):
     """Cast an operator pytree's float arrays to ``dtype`` (indices kept).

@@ -72,10 +72,31 @@ class ConstBlockDIAOperator(MatmatMixin):
         return mdt
 
     def to_internal(self, Xt: jax.Array) -> jax.Array:
-        return Xt.reshape(Xt.shape[0], self.bs, self.ns)
+        """Flat lanes-major (k, bs*ns) [spin-major rows a*ns + s] -> merged
+        spin-major internal (m, ns), m = bs*k, row = a*k + i.
 
-    def from_internal(self, Xv: jax.Array) -> jax.Array:
-        return Xv.reshape(Xv.shape[0], self.n)
+        The merged layout keeps the sublane dim a multiple of 8 (no DMA
+        padding: a (k, bs, ns) view pads bs -> 8 and moves up to 2x the
+        useful bytes per field pass for bs=4). One physical transpose per
+        solve entry — the hot loop is relayout-free."""
+        k = Xt.shape[0]
+        Xv = Xt.reshape(k, self.bs, self.ns)
+        return jnp.swapaxes(Xv, 0, 1).reshape(self.bs * k, self.ns)
+
+    def from_internal(self, Xm: jax.Array) -> jax.Array:
+        k = Xm.shape[0] // self.bs
+        Xv = Xm.reshape(self.bs, k, self.ns)
+        return jnp.swapaxes(Xv, 0, 1).reshape(k, self.n)
+
+    def coeff_expand(self, C):
+        return jnp.kron(jnp.eye(self.bs, dtype=C.dtype), C)
+
+    def gram_contract(self, G):
+        k = G.shape[0] // self.bs
+        return jnp.einsum("aiaj->ij", G.reshape(self.bs, k, self.bs, k))
+
+    def norms2_contract(self, v):
+        return v.reshape(self.bs, -1).sum(axis=0)
 
     def _main_statics(self):
         """Main-kernel diagonals: all minus the slab-routed ones."""
@@ -87,88 +108,94 @@ class ConstBlockDIAOperator(MatmatMixin):
             tuple(self.mask_slot[d] for d in keep),
         )
 
-    def matmat_t(self, Xt: jax.Array, interpret: bool = False) -> jax.Array:
-        """Apply to a lanes-major block: flat (k, n) or internal (k, bs, ns)."""
+    def _is_internal(self, Xt: jax.Array) -> bool:
+        return Xt.shape[-1] == self.ns
+
+    def _pallas_ok(self, Xm, interpret: bool) -> bool:
         import os
 
         from blockcg_tpu.ops import const_block_stencil as cbs
 
-        flat = Xt.ndim == 2
-        Xv = self.to_internal(Xt) if flat else Xt
         nmask = 0 if self.masks is None else self.masks.shape[0]
-        hops_m, offs_m, mslot_m = self._main_statics()
-        if (
+        hops_m, offs_m, _ = self._main_statics()
+        return (
             (interpret or (jax.default_backend() == "tpu"
                            and not os.environ.get("BLOCKCG_NO_PALLAS")))
-            and Xt.dtype == jnp.float32
+            and Xm.dtype == jnp.float32
             and (self.masks is None or self.masks.dtype == jnp.float32)
-            and cbs.available(self.ns, Xt.shape[0], self.bs, offs_m, nmask,
-                              groups=cbs.n_groups(hops_m))
-        ):
-            Yv = cbs.const_block_stencil_spmm_t(
-                hops_m, offs_m, mslot_m, self.masks, Xv, interpret=interpret
+            and cbs.available_m(self.ns, Xm.shape[0], offs_m, nmask,
+                                groups=cbs.n_groups(hops_m))
+        )
+
+    def matmat_t(self, Xt: jax.Array, interpret: bool = False) -> jax.Array:
+        """Apply to a lanes-major block: flat (k, n) [spin-major rows] or
+        the merged internal (m, ns) view."""
+        from blockcg_tpu.ops import const_block_stencil as cbs
+
+        if not self._is_internal(Xt):
+            return self.from_internal(
+                self.matmat_t(self.to_internal(Xt), interpret=interpret)
+            )
+        Xm = Xt
+        hops_m, offs_m, mslot_m = self._main_statics()
+        if self._pallas_ok(Xm, interpret):
+            Ym = cbs.const_block_stencil_spmm_m_t(
+                hops_m, offs_m, mslot_m, self.masks, Xm, interpret=interpret
             )
             for d, g, nblocks, dst_mul, dst_off, src_shift in self.slabs:
-                Yv = cbs.slab_block_accumulate(
+                Ym = cbs.slab_m_accumulate(
                     self.hops[d], g, nblocks, dst_mul, dst_off, src_shift,
-                    Xv, Yv, interpret=interpret,
+                    Xm, Ym, interpret=interpret,
                 )
-        else:
-            Yv = self._matmat_v_xla(Xv)
-        return self.from_internal(Yv) if flat else Yv
+            return Ym
+        return self._matmat_m_xla(Xm)
 
     def matmat_gram_t(self, Xt: jax.Array, interpret: bool = False):
-        """Fused (Y = A X, G = X^H Y): the main kernel emits the k x k Gram
-        from tiles already in VMEM; slab-routed wrap diagonals add their
-        (boundary-sized) Gram correction via small XLA einsums over the
-        touched slabs. Falls back to (matmat_t, None)."""
-        import os
-
+        """Fused (Y = A X, G): the merged kernel emits the (m, m) Gram from
+        tiles already in VMEM (slab wraps accumulate their correction), and
+        it is contracted to the solvers' k x k here. Falls back to
+        (matmat_t, None)."""
         from blockcg_tpu.ops import const_block_stencil as cbs
 
-        flat = Xt.ndim == 2
-        Xv = self.to_internal(Xt) if flat else Xt
-        nmask = 0 if self.masks is None else self.masks.shape[0]
+        if not self._is_internal(Xt):
+            Ym, G = self.matmat_gram_t(self.to_internal(Xt),
+                                       interpret=interpret)
+            return self.from_internal(Ym), G
+        Xm = Xt
         hops_m, offs_m, mslot_m = self._main_statics()
-        ok = (
-            (interpret or (jax.default_backend() == "tpu"
-                           and not os.environ.get("BLOCKCG_NO_PALLAS")))
-            and Xt.dtype == jnp.float32
-            and (self.masks is None or self.masks.dtype == jnp.float32)
-            and cbs.available(self.ns, Xt.shape[0], self.bs, offs_m, nmask,
-                              groups=cbs.n_groups(hops_m))
-        )
-        if not ok:
-            return self.matmat_t(Xt, interpret=interpret), None
-        Yv, Gm = cbs.const_block_stencil_spmm_gram_t(
-            hops_m, offs_m, mslot_m, self.masks, Xv, interpret=interpret
+        if not self._pallas_ok(Xm, interpret):
+            return self.matmat_t(Xm, interpret=interpret), None
+        Ym, Gm = cbs.const_block_stencil_spmm_m_gram_t(
+            hops_m, offs_m, mslot_m, self.masks, Xm, interpret=interpret
         )
         for d, g, nblocks, dst_mul, dst_off, src_shift in self.slabs:
             # Slab kernel applies the wrap AND accumulates its Gram
             # correction (only the touched boundary slabs stream from HBM).
-            Yv, Gm = cbs.slab_block_accumulate_gram(
+            Ym, Gm = cbs.slab_m_accumulate(
                 self.hops[d], g, nblocks, dst_mul, dst_off, src_shift,
-                Xv, Yv, Gm, interpret=interpret,
+                Xm, Ym, Gm, with_gram=True, interpret=interpret,
             )
-        return (self.from_internal(Yv) if flat else Yv), Gm
+        return Ym, self.gram_contract(Gm)
 
     def _matmat_t_xla(self, Xt: jax.Array) -> jax.Array:
-        return self.from_internal(self._matmat_v_xla(self.to_internal(Xt)))
+        return self.from_internal(self._matmat_m_xla(self.to_internal(Xt)))
 
-    def _matmat_v_xla(self, Xv: jax.Array) -> jax.Array:
-        k = Xv.shape[0]
-        bs, ns = self.bs, self.ns
-        H = jnp.asarray(self.hops, dtype=Xv.dtype)  # (noff, bs, bs)
-        Yv = jnp.zeros((k, bs, ns), dtype=Xv.dtype)
+    def _matmat_m_xla(self, Xm: jax.Array) -> jax.Array:
+        m, ns = Xm.shape
+        bs = self.bs
+        k = m // bs
+        Xv = Xm.reshape(bs, k, ns)
+        H = jnp.asarray(self.hops, dtype=Xm.dtype)  # (noff, bs, bs)
+        Yv = jnp.zeros((bs, k, ns), dtype=Xm.dtype)
         for d, o in enumerate(self.offsets):  # static unroll
             src = Xv if o == 0 else jnp.roll(Xv, -o, axis=2)
             t = jnp.einsum(
-                "ab,kbi->kai", H[d], src, precision=jax.lax.Precision.HIGHEST
+                "ab,bki->aki", H[d], src, precision=jax.lax.Precision.HIGHEST
             )
             if self.mask_slot[d] >= 0:
-                t = t * self.masks[self.mask_slot[d]][None, None, :].astype(Xv.dtype)
+                t = t * self.masks[self.mask_slot[d]][None, None, :].astype(Xm.dtype)
             Yv = Yv + t
-        return Yv
+        return Yv.reshape(m, ns)
 
     def to_block_dia(self):
         """Materialize as a general BlockDIAOperator (tests / oracles)."""

@@ -89,6 +89,15 @@ class ChebyshevOperator(MatmatMixin):
     def from_internal(self, Xv):
         return self.base.from_internal(Xv)
 
+    def coeff_expand(self, C):
+        return self.base.coeff_expand(C)
+
+    def gram_contract(self, G):
+        return self.base.gram_contract(G)
+
+    def norms2_contract(self, v):
+        return self.base.norms2_contract(v)
+
     def matmat_t(self, Xt: jax.Array) -> jax.Array:
         return self.apply_m_t(self.base.matmat_t(Xt))
 

@@ -84,43 +84,66 @@ class RealifiedHermitianOperator(MatmatMixin):
         return jnp.float32 if self.cdtype == jnp.complex64 else jnp.float64
 
     def to_internal(self, Xt) -> jax.Array:
+        """Complex (k, n) -> the real op's internal view of the stacked
+        real field. Stacking rides the spin axis (spins [0, cbs) carry Re,
+        [cbs, 2cbs) carry Im, matching the doubled hop blocks
+        [[Hr, -Hi], [Hi, Hr]]); the real op then applies its own internal
+        layout (merged spin-major for the const-hop operator)."""
         k = Xt.shape[0]
         if not isinstance(Xt, jax.core.Tracer):
             X = np.asarray(jax.device_get(Xt))
             rdt = np.dtype(jnp.dtype(self._rdtype()).name)
             if self.cbs > 0:
                 Xv = X.reshape(k, self.cbs, self.num_sites)
-                out = np.concatenate(
+                flat = np.concatenate(
                     [Xv.real.astype(rdt), Xv.imag.astype(rdt)], axis=1
+                ).reshape(k, 2 * self.cbs * self.num_sites)
+            else:
+                flat = np.concatenate(
+                    [X.real.astype(rdt), X.imag.astype(rdt)], axis=1
                 )
-                return jnp.asarray(out)
-            stacked = np.concatenate(
-                [X.real.astype(rdt), X.imag.astype(rdt)], axis=1
-            )
-            return self.real_op.to_internal(jnp.asarray(stacked))
+            return self.real_op.to_internal(jnp.asarray(flat))
         if self.cbs > 0:
             Xv = Xt.reshape(k, self.cbs, self.num_sites)
-            return jnp.concatenate([jnp.real(Xv), jnp.imag(Xv)], axis=1)
-        stacked = jnp.concatenate([jnp.real(Xt), jnp.imag(Xt)], axis=1)
-        return self.real_op.to_internal(stacked)
+            flat = jnp.concatenate([jnp.real(Xv), jnp.imag(Xv)], axis=1)
+            flat = flat.reshape(k, 2 * self.cbs * self.num_sites)
+        else:
+            flat = jnp.concatenate([jnp.real(Xt), jnp.imag(Xt)], axis=1)
+        return self.real_op.to_internal(flat)
 
     def from_internal(self, Xf):
-        k = Xf.shape[0]
         if not isinstance(Xf, jax.core.Tracer):
-            X = np.asarray(jax.device_get(Xf))
-            cdt = np.dtype(jnp.dtype(self.cdtype).name)
-            if self.cbs > 0:
-                re, im = X[:, : self.cbs, :], X[:, self.cbs :, :]
-                return (re + 1j * im).reshape(k, self.n).astype(cdt)
             Xs = np.asarray(jax.device_get(self.real_op.from_internal(Xf)))
+            cdt = np.dtype(jnp.dtype(self.cdtype).name)
+            k = Xs.shape[0]
+            if self.cbs > 0:
+                Xv = Xs.reshape(k, 2 * self.cbs, self.num_sites)
+                re, im = Xv[:, : self.cbs, :], Xv[:, self.cbs :, :]
+                return (re + 1j * im).reshape(k, self.n).astype(cdt)
             return (Xs[:, : self.n] + 1j * Xs[:, self.n :]).astype(cdt)
+        Xs = self.real_op.from_internal(Xf)
+        k = Xs.shape[0]
         if self.cbs > 0:
-            re, im = Xf[:, : self.cbs, :], Xf[:, self.cbs :, :]
+            Xv = Xs.reshape(k, 2 * self.cbs, self.num_sites)
+            re, im = Xv[:, : self.cbs, :], Xv[:, self.cbs :, :]
             return (re + 1j * im.astype(re.dtype)).reshape(k, self.n).astype(
                 self.cdtype
             )
-        Xs = self.real_op.from_internal(Xf)
         return (Xs[:, : self.n] + 1j * Xs[:, self.n :]).astype(self.cdtype)
+
+    def coeff_expand(self, C):
+        return self.real_op.coeff_expand(C)
+
+    def gram_contract(self, G):
+        return self.real_op.gram_contract(G)
+
+    def norms2_contract(self, v):
+        return self.real_op.norms2_contract(v)
+
+    def matmat_gram_t(self, Xt):
+        if jnp.issubdtype(Xt.dtype, jnp.complexfloating):
+            return self.matmat_t(Xt), None
+        return self.real_op.matmat_gram_t(Xt)
 
     def matmat_t(self, Xt: jax.Array) -> jax.Array:
         if jnp.issubdtype(Xt.dtype, jnp.complexfloating):

@@ -70,6 +70,15 @@ class SchurEvenOperator(MatmatMixin):
     def from_internal(self, Xv: jax.Array) -> jax.Array:
         return self.hop_oe.from_internal(Xv)
 
+    def coeff_expand(self, C):
+        return self.hop_oe.coeff_expand(C)
+
+    def gram_contract(self, G):
+        return self.hop_oe.gram_contract(G)
+
+    def norms2_contract(self, v):
+        return self.hop_oe.norms2_contract(v)
+
     def matmat_t(self, Xt: jax.Array) -> jax.Array:
         c = jnp.asarray(self.c, dtype=jnp.real(Xt).dtype)
         return c * Xt - self.hop_eo.matmat_t(self.hop_oe.matmat_t(Xt)) / c

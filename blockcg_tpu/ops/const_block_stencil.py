@@ -381,6 +381,278 @@ def available(
     return plan(n_sites, k, bs, offsets, nmask, groups=groups) is not None
 
 
+# ------------------------------------------------- merged-layout kernel --
+#
+# Merged spin-major field layout: the (k, bs, ns) internal view pads its
+# bs-sized sublane dim to 8 — for bs=4 real operators every HBM pass of
+# every field moves 2x the useful bytes (measured 661 vs 998 GB/s logical
+# on this chip). The merged layout stores fields as (m, ns) with m = bs*k,
+# row = a*k + i (spin-major, RHS-minor): m is a multiple of 8 for all the
+# north-star configs, so fields are unpadded. Spin mixing needs no in-kernel
+# row extraction at all: whole (m, R) windows sum into one stack row-block
+# per hop group and a single MXU matmul
+#
+#     Y (m, R) = W (m, G*m) @ stack (G*m, R),
+#     W[a*k+i, g*m + b*k+j] = (i == j) * H_g[a][b]
+#
+# applies every hop. Coefficient algebra stays k x k in the solvers via the
+# operator codec hooks (coeff_expand = I_bs (x) M, gram_contract = sum of
+# diagonal spin blocks — operators/base.py).
+
+
+def plan_m(
+    n_sites: int,
+    m: int,
+    offsets: tuple[int, ...],
+    nmask: int,
+    groups: int,
+):
+    if m % 8 != 0:
+        return None
+    stack_rows = -(-(groups * m) // 2)  # single-buffered: half charged
+    return _plan(n_sites, m, offsets, sublanes=1, coeff_rows=nmask + stack_rows)
+
+
+def _m_kernel(near, far, H, m, groups, nmask, precision, with_gram, *refs):
+    nf = len(far)
+    i = 0
+    masks_ref = None
+    if nmask > 0:
+        masks_ref = refs[0]
+        i = 1
+    wt_ref = refs[i]
+    i += 1
+    if H > 0:
+        xprev, xcur, xnext = refs[i], refs[i + 1], refs[i + 2]
+        i += 3
+    else:
+        xcur = refs[i]
+        i += 1
+    far_refs = refs[i : i + nf]
+    y_ref = refs[i + nf]
+    g_ref = refs[i + nf + 1] if with_gram else None
+    nout = 2 if with_gram else 1
+    w_ref = refs[i + nf + nout] if H > 0 else None
+    s_ref = refs[i + nf + nout + (1 if H > 0 else 0)]
+    R = y_ref.shape[1]
+
+    if H > 0:
+        w_ref[:, :H] = xprev[:]
+        w_ref[:, H : H + R] = xcur[:]
+        w_ref[:, H + R :] = xnext[:]
+
+    fi_of = {}
+    fi = 0
+    for d in range(len(near), len(near) + nf):
+        fi_of[d] = fi
+        fi += 1
+
+    def window_of(d, o):
+        if d < len(near):
+            if o == 0:
+                return xcur[:]
+            return w_ref[:, H + o : H + o + R]
+        return far_refs[fi_of[d]][:]
+
+    offs = near + far
+    for g, (_, mem) in enumerate(groups):
+        val = None
+        for d, ms in mem:
+            piece = window_of(d, offs[d])
+            if ms >= 0:
+                piece = masks_ref[ms, :].reshape(1, R) * piece
+            val = piece if val is None else val + piece
+        s_ref[g * m : (g + 1) * m, :] = val
+
+    acc = jax.lax.dot_general(
+        wt_ref[:],
+        s_ref[:],
+        (((1,), (0,)), ((), ())),
+        precision=precision,
+        preferred_element_type=y_ref.dtype,
+    )
+    y_ref[:, :] = acc
+
+    if with_gram:
+        g = jax.lax.dot_general(
+            xcur[:], acc, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        i0 = pl.program_id(0)
+
+        @pl.when(i0 == 0)
+        def _():
+            g_ref[:, :] = g
+
+        @pl.when(i0 > 0)
+        def _():
+            g_ref[:, :] += g
+
+
+def _merged_weights(groups, bs, k, dtype):
+    m = bs * k
+    G = len(groups)
+    wt = np.zeros((m, G * m), dtype=np.float32)
+    eye = np.eye(k, dtype=np.float32)
+    for g, (h, _) in enumerate(groups):
+        for a in range(bs):
+            for b in range(bs):
+                if h[a][b] != 0.0:
+                    wt[a * k : (a + 1) * k,
+                       g * m + b * k : g * m + (b + 1) * k] = h[a][b] * eye
+    return jnp.asarray(wt, dtype=dtype)
+
+
+def _cbs_m_impl(hops, offsets, mask_slot, masks, Xm, with_gram, interpret,
+                precision):
+    bs = len(hops[0])
+    m, ns = Xm.shape
+    k = m // bs
+    nmask = 0 if masks is None else masks.shape[0]
+    p = plan_m(ns, m, offsets, nmask, groups=n_groups(hops))
+    if p is None:
+        raise ValueError(
+            f"no merged const-block plan for ns={ns}, m={m}, offsets={offsets}"
+        )
+    R, H = p.R, p.H
+    nb = ns // R
+    nh = ns // H if H else 1
+
+    order = [offsets.index(o) for o in p.near + p.far]
+    hops_ord = tuple(hops[j] for j in order)
+    mslot_ord = tuple(mask_slot[j] for j in order)
+    groups = _group_offsets(hops_ord, mslot_ord)
+    G = len(groups)
+    wt = _merged_weights(groups, bs, k, Xm.dtype)
+
+    in_specs = []
+    args = []
+    if nmask > 0:
+        in_specs.append(
+            pl.BlockSpec((nmask, R), lambda i: (0, i), memory_space=pltpu.VMEM)
+        )
+        args.append(masks)
+    in_specs.append(
+        pl.BlockSpec(wt.shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
+    )
+    args.append(wt)
+    if H > 0:
+        in_specs += [
+            pl.BlockSpec(
+                (m, H), lambda i: (0, (i * (R // H) - 1) % nh),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((m, R), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (m, H), lambda i: (0, ((i + 1) * (R // H)) % nh),
+                memory_space=pltpu.VMEM,
+            ),
+        ]
+        args += [Xm, Xm, Xm]
+    else:
+        in_specs.append(
+            pl.BlockSpec((m, R), lambda i: (0, i), memory_space=pltpu.VMEM)
+        )
+        args.append(Xm)
+    for o in p.far:
+        mm_ = o // R
+        in_specs.append(
+            pl.BlockSpec(
+                (m, R),
+                functools.partial(lambda s, i: (0, (i + s) % nb), mm_),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        args.append(Xm)
+
+    kernel = functools.partial(
+        _m_kernel, p.near, p.far, H, m, groups, nmask, precision, with_gram
+    )
+    terms = sum(
+        1 for d in range(len(offsets)) for a in range(bs) for b in range(bs)
+        if hops[d][a][b] != 0.0
+    )
+    flops = 2 * terms * k * ns + (2 * m * m * ns if with_gram else 0)
+    bytes_accessed = 4 * (m * ns * p.x_reads + nmask * ns + m * ns)
+    scratch = []
+    if H > 0:
+        scratch.append(pltpu.VMEM((m, R + 2 * H), Xm.dtype))
+    scratch.append(pltpu.VMEM((G * m, R), Xm.dtype))
+
+    y_spec = pl.BlockSpec((m, R), lambda i: (0, i), memory_space=pltpu.VMEM)
+    y_shape = jax.ShapeDtypeStruct((m, ns), Xm.dtype)
+    if with_gram:
+        out_specs = (y_spec, pl.BlockSpec(
+            (m, m), lambda i: (0, 0), memory_space=pltpu.VMEM))
+        out_shape = (y_shape, jax.ShapeDtypeStruct((m, m), jnp.float32))
+    else:
+        out_specs, out_shape = y_spec, y_shape
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=int(bytes_accessed), transcendentals=0
+        ),
+        interpret=interpret,
+    )(*args)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("hops", "offsets", "mask_slot", "interpret",
+                              "precision")
+)
+def const_block_stencil_spmm_m_t(
+    hops: tuple,
+    offsets: tuple[int, ...],
+    mask_slot: tuple[int, ...],
+    masks: jax.Array | None,
+    Xm: jax.Array,
+    *,
+    interpret: bool = False,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+) -> jax.Array:
+    """Merged-layout const-hop block SpMM: Xm is (m, ns), m = bs*k,
+    row = a*k + i. Returns Ym shaped like Xm."""
+    return _cbs_m_impl(hops, offsets, mask_slot, masks, Xm, False, interpret,
+                       precision)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("hops", "offsets", "mask_slot", "interpret",
+                              "precision")
+)
+def const_block_stencil_spmm_m_gram_t(
+    hops: tuple,
+    offsets: tuple[int, ...],
+    mask_slot: tuple[int, ...],
+    masks: jax.Array | None,
+    Xm: jax.Array,
+    *,
+    interpret: bool = False,
+    precision: jax.lax.Precision = jax.lax.Precision.HIGHEST,
+):
+    """Merged-layout SpMM with the (m, m) Gram fused: ``(Ym, G = X Y^T)``.
+    Contract G to k x k with the operator's ``gram_contract``."""
+    return _cbs_m_impl(hops, offsets, mask_slot, masks, Xm, True, interpret,
+                       precision)
+
+
+def available_m(
+    n_sites: int,
+    m: int,
+    offsets: tuple[int, ...],
+    nmask: int,
+    groups: int,
+) -> bool:
+    return plan_m(n_sites, m, offsets, nmask, groups) is not None
+
+
 # ----------------------------------------------------------- slab kernel --
 #
 # Wraparound diagonals of periodic lattice operators touch only boundary
@@ -447,6 +719,163 @@ def slab_block_accumulate(
         input_output_aliases={0: 0},
         interpret=interpret,
     )(Yv, Xv)
+
+
+# Merged-layout slab kernels: the wrap contribution is one MXU dot
+# dY = W_slab (m, m) @ X_src with W_slab = the single-group merged weights.
+
+
+def _slab_m_kernel(with_gram, *refs):
+    if with_gram:
+        wt_ref, y_in_ref, x_src_ref, x_dst_ref, g_in_ref, y_ref, g_ref = refs
+    else:
+        wt_ref, y_in_ref, x_src_ref, y_ref = refs
+    dy = jax.lax.dot_general(
+        wt_ref[:], x_src_ref[:], (((1,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=y_ref.dtype,
+    )
+    y_ref[:, :] = y_in_ref[:] + dy
+    if with_gram:
+        g = jax.lax.dot_general(
+            x_dst_ref[:], dy, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        j = pl.program_id(0)
+
+        @pl.when(j == 0)
+        def _():
+            g_ref[:, :] = g_in_ref[:, :] + g
+
+        @pl.when(j > 0)
+        def _():
+            g_ref[:, :] += g
+
+
+def _slab_weights(hop, k, dtype):
+    bs = len(hop)
+    m = bs * k
+    wt = np.zeros((m, m), dtype=np.float32)
+    eye = np.eye(k, dtype=np.float32)
+    for a in range(bs):
+        for b in range(bs):
+            if hop[a][b] != 0.0:
+                wt[a * k : (a + 1) * k, b * k : (b + 1) * k] = hop[a][b] * eye
+    return jnp.asarray(wt, dtype=dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("hop", "g", "nblocks", "dst_mul", "dst_off", "src_shift",
+                     "with_gram", "interpret"),
+)
+def slab_m_accumulate(
+    hop: tuple,
+    g: int,
+    nblocks: int,
+    dst_mul: int,
+    dst_off: int,
+    src_shift: int,
+    Xm: jax.Array,
+    Ym: jax.Array,
+    Gm: jax.Array | None = None,
+    *,
+    with_gram: bool = False,
+    interpret: bool = False,
+):
+    """Merged-layout ``Y[dst slabs] += W_slab @ X[dst + shift]`` (Y aliased);
+    with ``with_gram`` also accumulates ``G += X_dst (dY)^T`` on top of Gm."""
+    m, ns = Xm.shape
+    bs = len(hop)
+    nb = ns // g
+    wt = _slab_weights(hop, m // bs, Xm.dtype)
+
+    def dst(j):
+        return (dst_mul * j + dst_off) % nb
+
+    in_specs = [
+        pl.BlockSpec(wt.shape, lambda j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((m, g), lambda j: (0, dst(j)), memory_space=pltpu.VMEM),
+        pl.BlockSpec((m, g), lambda j: (0, (dst(j) + src_shift) % nb),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [wt, Ym, Xm]
+    if with_gram:
+        in_specs += [
+            pl.BlockSpec((m, g), lambda j: (0, dst(j)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, m), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        ]
+        args += [Xm, Gm]
+        out_specs = (
+            pl.BlockSpec((m, g), lambda j: (0, dst(j)), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, m), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct(Ym.shape, Ym.dtype),
+            jax.ShapeDtypeStruct((m, m), jnp.float32),
+        )
+    else:
+        out_specs = pl.BlockSpec((m, g), lambda j: (0, dst(j)),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct(Ym.shape, Ym.dtype)
+
+    return pl.pallas_call(
+        functools.partial(_slab_m_kernel, with_gram),
+        grid=(nblocks,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )(*args)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("hop", "g", "nblocks", "dst_base", "src_base", "interpret"),
+)
+def slab_m_accumulate_from(
+    hop: tuple,
+    g: int,
+    nblocks: int,
+    dst_base: int,
+    src_base: int,
+    Src: jax.Array,
+    Ym: jax.Array,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Merged-layout ``Y[g-blocks dst_base + j] += W_slab @ Src[src_base + j]``
+    with a separate source array (distributed halo corrections)."""
+    m, ns = Ym.shape
+    bs = len(hop)
+    wt = _slab_weights(hop, m // bs, Ym.dtype)
+
+    def kern(wt_ref, y_in_ref, x_ref, y_ref):
+        dy = jax.lax.dot_general(
+            wt_ref[:], x_ref[:], (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=y_ref.dtype,
+        )
+        y_ref[:, :] = y_in_ref[:] + dy
+
+    return pl.pallas_call(
+        kern,
+        grid=(nblocks,),
+        in_specs=[
+            pl.BlockSpec(wt.shape, lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, g), lambda j: (0, dst_base + j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, g), lambda j: (0, src_base + j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((m, g), lambda j: (0, dst_base + j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(Ym.shape, Ym.dtype),
+        input_output_aliases={1: 0},
+        interpret=interpret,
+    )(wt, Ym, Src)
 
 
 def _slab_gram_kernel(hop, bs, y_in_ref, x_src_ref, x_dst_ref, g_in_ref,

@@ -119,27 +119,36 @@ def solve_sbcgrq_dist(
 
 
 def _field_result(dop, mesh, Xt):
-    """Return X as (n, k). A 3D block field needs its (bs, ns@rows) lanes
-    merged — not expressible as a sharded reshape, so single-process runs
-    gather once at the API boundary. Multi-process (pod) runs cannot gather;
-    the result comes back in DISTRIBUTED row order (shard-major, spin,
-    site — convert with parallel.from_dist_order)."""
-    if Xt.ndim != 3:
+    """Return X as (n, k). Internal block layouts (3D spin view, or the
+    merged spin-major (m, ns) of the const-hop path) need their spin rows
+    merged back into flat rows — not expressible as a sharded reshape, so
+    single-process runs gather once at the API boundary. Multi-process
+    (pod) runs cannot gather; the result comes back in DISTRIBUTED row
+    order (shard-major, then the operator's local row order — convert with
+    parallel.from_dist_order / the operator's host codec)."""
+    import numpy as np
+
+    conv = getattr(dop, "result_from_internal_np", None)
+    if Xt.ndim == 2 and conv is None:
         return Xt.T
     if jax.process_count() > 1:
         axis = dop.axis_name
         key = ("flatten", _dop_key(dop, mesh))
+        if conv is None:
+            local = lambda x: x.reshape(x.shape[0], -1)
+        else:
+            local = dop.from_internal  # shard-local merge (reshape+swap)
         fn = _cached_jit(key, lambda: shard_map(
-            lambda x: x.reshape(x.shape[0], -1),
+            local,
             mesh=mesh,
             in_specs=(_field_pspec(dop, axis),),
             out_specs=P(None, axis),
             check_vma=False,
         ))
         return fn(Xt).T
-    import numpy as np
-
     Xn = np.asarray(jax.device_get(Xt))
+    if conv is not None:
+        return jnp.asarray(conv(Xn)).T
     return jnp.asarray(Xn.reshape(Xn.shape[0], -1)).T
 
 
@@ -224,10 +233,11 @@ def solve_cg_dist(
     record_history: bool = False,
 ) -> tuple[jax.Array, SolverInfo]:
     axis = dop.axis_name
-    if str(_field_pspec(dop, axis)) != str(P(None, axis)):
+    if (str(_field_pspec(dop, axis)) != str(P(None, axis))
+            or getattr(dop, "result_from_internal_np", None) is not None):
         raise TypeError(
             "solve_cg_dist supports flat row-sharded operators only; block "
-            "operators (3D field view) go through solve_bcg_dist/"
+            "operators (spin field views) go through solve_bcg_dist/"
             "solve_sbcgrq_dist"
         )
     bl = jax.device_put(b, NamedSharding(mesh, P(axis)))

@@ -264,15 +264,16 @@ class DistConstBlockDIAOperator(MatmatMixin):
     """Site-sharded constant-hop BlockDIA operator — the distributed form of
     the config-4 fast path (ConstBlockDIAOperator).
 
-    Sharding is a plain contiguous split of the site axis of the native
-    (k, bs, ns) field view — NO row reordering (unlike DistBlockDIAOperator's
-    flat layout). ``local`` is a ConstBlockDIAOperator over the local shard:
-    its masks have cross-shard slots zeroed and its slab routing is
-    re-detected locally. Crossing diagonals (required: unmasked, with
-    g | offset — the lattice t-hops; partition_cbdia raises otherwise) are
-    applied as halo-sourced slab kernels after a ring exchange of the
-    bw-site edge slabs, so the local const kernel keeps its full speed and
-    the correction touches only boundary blocks.
+    Fields ride the MERGED spin-major internal layout (m = bs*k, ns) of the
+    local ConstBlockDIAOperator, sharded by a plain contiguous split of the
+    site (lane) axis — NO row reordering. ``local`` is a
+    ConstBlockDIAOperator over the local shard: its masks have cross-shard
+    slots zeroed and its slab routing is re-detected locally. Crossing
+    diagonals (required: unmasked, with g | offset — the lattice t-hops;
+    partition_cbdia raises otherwise) are applied as halo-sourced slab
+    kernels after a ring exchange of the bw-site edge slabs, so the local
+    const kernel keeps its full speed and the correction touches only
+    boundary blocks.
     """
 
     local: object  # ConstBlockDIAOperator (local shard)
@@ -291,28 +292,42 @@ class DistConstBlockDIAOperator(MatmatMixin):
         return self.local.dtype
 
     def to_internal(self, Xt: jax.Array) -> jax.Array:
-        return Xt.reshape(Xt.shape[0], self.bs, Xt.shape[1] // self.bs)
+        """Flat global (k, bs*ns) spin-major rows -> merged (m, ns)."""
+        k = Xt.shape[0]
+        ns = Xt.shape[1] // self.bs
+        Xv = Xt.reshape(k, self.bs, ns)
+        return jnp.swapaxes(Xv, 0, 1).reshape(self.bs * k, ns)
 
-    def from_internal(self, Xv: jax.Array) -> jax.Array:
-        return Xv.reshape(Xv.shape[0], Xv.shape[1] * Xv.shape[2])
+    def from_internal(self, Xm: jax.Array) -> jax.Array:
+        k = Xm.shape[0] // self.bs
+        ns = Xm.shape[1]
+        Xv = Xm.reshape(self.bs, k, ns)
+        return jnp.swapaxes(Xv, 0, 1).reshape(k, self.bs * ns)
 
-    def matmat_t(self, Xt: jax.Array) -> jax.Array:
-        """Xt: (k, bs, ns_l) local internal field (or flat (k, bs*ns_l))."""
+    def coeff_expand(self, C):
+        return self.local.coeff_expand(C)
+
+    def gram_contract(self, G):
+        return self.local.gram_contract(G)
+
+    def norms2_contract(self, v):
+        return self.local.norms2_contract(v)
+
+    def matmat_t(self, Xm: jax.Array) -> jax.Array:
+        """Xm: (m, ns_l) merged local internal field."""
         import os
 
         from blockcg_tpu.ops import const_block_stencil as cbs
         from blockcg_tpu.parallel.halo import ring_halos
 
-        flat = Xt.ndim == 2
-        Xv = self.to_internal(Xt) if flat else Xt
-        halo_l, halo_r = ring_halos(Xv, self.bw, self.axis_name)
+        halo_l, halo_r = ring_halos(Xm, self.bw, self.axis_name)
         # Interior: full-speed local const kernel (independent of halos —
         # XLA overlaps it with the ppermute).
-        Yv = self.local.matmat_t(Xv)
-        ns_l = Xv.shape[2]
+        Ym = self.local.matmat_t(Xm)
+        ns_l = Xm.shape[1]
         use_pallas = (
             jax.default_backend() == "tpu"
-            and Xv.dtype == jnp.float32
+            and Xm.dtype == jnp.float32
             and not os.environ.get("BLOCKCG_NO_PALLAS")
         )
         for d, o, g, nblocks in self.crossings:
@@ -326,17 +341,20 @@ class DistConstBlockDIAOperator(MatmatMixin):
                 dst0, src = 0, halo_l
                 src0 = self.bw + o  # halo holds bw sites; take the last -o
             if use_pallas:
-                Yv = cbs.slab_block_accumulate_from(
-                    hop, g, nblocks, dst0 // g, src0 // g, src, Yv
+                Ym = cbs.slab_m_accumulate_from(
+                    hop, g, nblocks, dst0 // g, src0 // g, src, Ym
                 )
             else:
-                h = jnp.asarray(hop, dtype=Xv.dtype)
-                w = src[:, :, src0 : src0 + abs(o)]
+                m = Xm.shape[0]
+                k = m // self.bs
+                h = jnp.asarray(hop, dtype=Xm.dtype)
+                w = src[:, src0 : src0 + abs(o)].reshape(
+                    self.bs, k, abs(o))
                 contrib = jnp.einsum(
-                    "ab,kbi->kai", h, w, precision=jax.lax.Precision.HIGHEST
-                )
-                Yv = Yv.at[:, :, dst0 : dst0 + abs(o)].add(contrib)
-        return self.from_internal(Yv) if flat else Yv
+                    "ab,bki->aki", h, w, precision=jax.lax.Precision.HIGHEST
+                ).reshape(m, abs(o))
+                Ym = Ym.at[:, dst0 : dst0 + abs(o)].add(contrib)
+        return Ym
 
     def in_specs(self):
         from jax.sharding import PartitionSpec as P
@@ -358,7 +376,15 @@ class DistConstBlockDIAOperator(MatmatMixin):
     def field_pspec(self):
         from jax.sharding import PartitionSpec as P
 
-        return P(None, None, self.axis_name)
+        return P(None, self.axis_name)
+
+    def result_from_internal_np(self, Xm: np.ndarray) -> np.ndarray:
+        """Host-side merged (m, ns) -> flat (k, bs*ns) spin-major rows."""
+        k = Xm.shape[0] // self.bs
+        ns = Xm.shape[1]
+        return (
+            Xm.reshape(self.bs, k, ns).transpose(1, 0, 2).reshape(k, -1)
+        )
 
 
 jax.tree_util.register_dataclass(

@@ -39,7 +39,7 @@ def _bcg_impl(op, Bt, X0t, tol, max_iter, axis_name, record_history):
     tol2 = jnp.asarray(tol, rdtype) ** 2 * bnorm2
 
     R0t = Bt - op.matmat_t(X0t)
-    S0 = f_gram(R0t, R0t, axis_name)
+    S0 = f_gram(R0t, R0t, axis_name, codec=op)
     hist0 = jnp.full((max_iter,), jnp.nan, rdtype) if record_history else None
 
     def cond(state):
@@ -53,10 +53,11 @@ def _bcg_impl(op, Bt, X0t, tol, max_iter, axis_name, record_history):
         alpha = chol_solve_spd(M, S)  # M alpha = S
         # Fused one-pass updates (T-K2): the residual update also emits the
         # next Gram S' = R R^T in the same pass.
-        Xt = f_mm_update(alpha.T, Pt, Xt)
-        Rt, S_new = f_mm_update_gram(-alpha.T, Zt, Rt, axis_name)
+        Xt = f_mm_update(alpha.T, Pt, Xt, codec=op)
+        Rt, S_new = f_mm_update_gram(-alpha.T, Zt, Rt, axis_name,
+                                     codec=op)
         beta = chol_solve_spd(S, S_new)  # S beta = S'
-        Pt = f_mm_update(beta.T, Pt, Rt)
+        Pt = f_mm_update(beta.T, Pt, Rt, codec=op)
         if hist is not None:
             hist = hist.at[it].set(
                 jnp.sqrt(jnp.max(jnp.real(jnp.diag(S_new)) / bnorm2))

@@ -55,13 +55,14 @@ from blockcg_tpu.solvers.common import (
 def _bcgdq_impl(op, Bt, X0t, tol, max_iter, qr_passes, axis_name,
                 record_history):
     rdtype = jnp.real(Bt).dtype
-    bnorm2 = row_norms2_t(Bt, axis_name)
+    bnorm2 = row_norms2_t(Bt, axis_name, codec=op)
     bnorm2 = jnp.where(bnorm2 > 0, bnorm2, jnp.asarray(1.0, rdtype))
     tol2 = jnp.asarray(tol, rdtype) ** 2 * bnorm2
 
     R0t = Bt - op.matmat_t(X0t)
-    W0t, _ = cholqr_fused_t(R0t, passes=qr_passes, axis_name=axis_name)
-    S0 = f_gram(R0t, R0t, axis_name)
+    W0t, _ = cholqr_fused_t(R0t, passes=qr_passes, axis_name=axis_name,
+                            codec=op)
+    S0 = f_gram(R0t, R0t, axis_name, codec=op)
     hist0 = jnp.full((max_iter,), jnp.nan, rdtype) if record_history else None
 
     def cond(state):
@@ -72,16 +73,18 @@ def _bcgdq_impl(op, Bt, X0t, tol, max_iter, qr_passes, axis_name,
     def body(state):
         Xt, Rt, Wt, S, it, hist = state
         Zt, M = f_matmat_gram(op, Wt, axis_name)  # W^H A W  (k x k HPD)
-        g = f_gram(Wt, Rt, axis_name)       # W^H R
+        g = f_gram(Wt, Rt, axis_name, codec=op)  # W^H R
         alpha = chol_solve_spd(M, g)
         # Lanes-major: X += W alpha  ->  Xt += alpha^T Wt  (plain transpose).
-        Xt = f_mm_update(alpha.T, Wt, Xt)
-        Rt, S_new = f_mm_update_gram(-alpha.T, Zt, Rt, axis_name)
-        h = f_gram(Zt, Rt, axis_name)       # Z^H R
+        Xt = f_mm_update(alpha.T, Wt, Xt, codec=op)
+        Rt, S_new = f_mm_update_gram(-alpha.T, Zt, Rt, axis_name,
+                                     codec=op)
+        h = f_gram(Zt, Rt, axis_name, codec=op)  # Z^H R
         beta = -chol_solve_spd(M, h)
-        Vt, Gv = f_mm_update_gram(beta.T, Wt, Rt, axis_name)
-        M1, Vt, _rho = qr_passes_from_gram(Gv, Vt, qr_passes, axis_name)
-        Wt = f_mm_update(M1, Vt)
+        Vt, Gv = f_mm_update_gram(beta.T, Wt, Rt, axis_name, codec=op)
+        M1, Vt, _rho = qr_passes_from_gram(Gv, Vt, qr_passes, axis_name,
+                                           codec=op)
+        Wt = f_mm_update(M1, Vt, codec=op)
         if hist is not None:
             hist = hist.at[it].set(
                 jnp.sqrt(jnp.max(jnp.real(jnp.diag(S_new)) / bnorm2))

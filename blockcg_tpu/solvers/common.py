@@ -30,6 +30,24 @@ def psum_if(x, axis_name: str | None):
     return x if axis_name is None else lax.psum(x, axis_name)
 
 
+# Field-algebra codec shims (operators/base.py): a codec is any operator
+# exposing coeff_expand / gram_contract / norms2_contract. ``codec=None``
+# means flat fields (identity). Contractions run BEFORE psum (k x k rides
+# the wire, not m x m); expansions are k x k -> m x m kroneckers (tiny).
+
+
+def _ce(codec, C):
+    return C if codec is None else codec.coeff_expand(C)
+
+
+def _gc(codec, G):
+    return G if codec is None else codec.gram_contract(G)
+
+
+def _nc(codec, v):
+    return v if codec is None else codec.norms2_contract(v)
+
+
 def mm(a, b):
     """Small k x k times field matmul at full f32 precision (MXU, 6-pass).
 
@@ -45,7 +63,8 @@ def _field_dims(Ut: jax.Array) -> tuple[int, ...]:
     return tuple(range(1, Ut.ndim))
 
 
-def gram_t(Ut: jax.Array, Vt: jax.Array, axis_name: str | None = None) -> jax.Array:
+def gram_t(Ut: jax.Array, Vt: jax.Array, axis_name: str | None = None,
+           codec=None) -> jax.Array:
     """Gram block ``U^H V`` (k x k) from lanes-major fields (k, ...).
 
     Conjugate-correct: for complex Hermitian systems this is the sesquilinear
@@ -55,13 +74,14 @@ def gram_t(Ut: jax.Array, Vt: jax.Array, axis_name: str | None = None) -> jax.Ar
         jnp.conj(Ut), Vt, ((dims, dims), ((), ())), precision=HIGHEST,
         preferred_element_type=Ut.dtype,
     )
-    return psum_if(G, axis_name)
+    return psum_if(_gc(codec, G), axis_name)
 
 
-def row_norms2_t(Ut: jax.Array, axis_name: str | None = None) -> jax.Array:
+def row_norms2_t(Ut: jax.Array, axis_name: str | None = None,
+                 codec=None) -> jax.Array:
     """Squared column norms of U (real), from a field (k, ...) -> (k,)."""
     s = jnp.sum(jnp.real(Ut * jnp.conj(Ut)), axis=_field_dims(Ut))
-    return psum_if(s, axis_name)
+    return psum_if(_nc(codec, s), axis_name)
 
 
 def safe_cholesky(G: jax.Array) -> jax.Array:
@@ -145,52 +165,57 @@ def cholqr_t(Vt: jax.Array, passes: int = 2, axis_name: str | None = None):
 # k x k results, outside the kernels.
 
 
-def f_gram(Ut, Vt, axis_name: str | None = None):
+def f_gram(Ut, Vt, axis_name: str | None = None, codec=None):
     from blockcg_tpu.ops import fused
 
     if fused.gram_available(Ut):
-        return psum_if(fused.gram(Ut, Vt), axis_name)
-    return gram_t(Ut, Vt, axis_name)
+        return psum_if(_gc(codec, fused.gram(Ut, Vt)), axis_name)
+    return gram_t(Ut, Vt, axis_name, codec)
 
 
-def f_mm_update(M, Bt, At=None):
-    """M @ B (+ A) in one pass."""
+def f_mm_update(M, Bt, At=None, codec=None):
+    """M @ B (+ A) in one pass (M expanded to internal rows via codec)."""
     from blockcg_tpu.ops import fused
 
+    M = _ce(codec, M)
     if fused.mm_update_available(Bt, At is not None):
         return fused.mm_update(M, Bt, At)
     Y = mm(M, Bt)
     return Y if At is None else Y + At
 
 
-def f_mm_update_gram(M, Bt, At=None, axis_name: str | None = None):
-    """(Y = M @ B (+ A), G = Y Y^T) in one pass."""
+def f_mm_update_gram(M, Bt, At=None, axis_name: str | None = None,
+                     codec=None):
+    """(Y = M @ B (+ A), G = Y Y^T) in one pass (codec-aware)."""
     from blockcg_tpu.ops import fused
 
+    M = _ce(codec, M)
     if fused.mm_update_available(Bt, At is not None):
         Y, G = fused.mm_update_gram(M, Bt, At)
-        return Y, psum_if(G, axis_name)
+        return Y, psum_if(_gc(codec, G), axis_name)
     Y = mm(M, Bt)
     if At is not None:
         Y = Y + At
-    return Y, gram_t(Y, Y, axis_name)
+    return Y, gram_t(Y, Y, axis_name, codec)
 
 
-def f_qr_p_update(M2, Q1t, rho, Pt):
-    """(Q = M2 @ Q1, Pn = Q + rho @ P) in one pass."""
+def f_qr_p_update(M2, Q1t, rho, Pt, codec=None):
+    """(Q = M2 @ Q1, Pn = Q + rho @ P) in one pass (codec-aware)."""
     from blockcg_tpu.ops import fused
 
+    M2, rho = _ce(codec, M2), _ce(codec, rho)
     if fused.qr_p_update_available(Q1t):
         return fused.qr_p_update(M2, Q1t, rho, Pt)
     Qt = mm(M2, Q1t)
     return Qt, Qt + mm(rho, Pt)
 
 
-def f_qr_px_update(M2, Q1t, rho, Pt, C, Xt):
+def f_qr_px_update(M2, Q1t, rho, Pt, C, Xt, codec=None):
     """(Q = M2 @ Q1, Pn = Q + rho @ P, Xn = X + C @ P) in one pass —
     the fused SBCGrQ iteration tail (reads P once for both updates)."""
     from blockcg_tpu.ops import fused
 
+    M2, rho, C = _ce(codec, M2), _ce(codec, rho), _ce(codec, C)
     if fused.qr_px_update_available(Q1t):
         return fused.qr_px_update(M2, Q1t, rho, Pt, C, Xt)
     Qt = mm(M2, Q1t)
@@ -203,7 +228,7 @@ def f_matmat_gram(op, Xt, axis_name: str | None = None):
     already in VMEM — saves the 2-field-pass separate Gram)."""
     Zt, Mloc = op.matmat_gram_t(Xt)
     if Mloc is None:
-        return Zt, f_gram(Xt, Zt, axis_name)
+        return Zt, f_gram(Xt, Zt, axis_name, codec=op)
     return Zt, psum_if(Mloc, axis_name)
 
 
@@ -228,7 +253,8 @@ def qr_factors_from_gram(G):
     return M1, R1
 
 
-def qr_passes_from_gram(G, Wt, passes: int, axis_name: str | None = None):
+def qr_passes_from_gram(G, Wt, passes: int, axis_name: str | None = None,
+                        codec=None):
     """Run CholeskyQR passes given a precomputed Gram, DEFERRING the final
     orthonormalization so the caller can fuse it (with the P update in
     SBCGrQ, or a plain f_mm_update). Returns (M_last, W_last, rho): apply
@@ -240,12 +266,12 @@ def qr_passes_from_gram(G, Wt, passes: int, axis_name: str | None = None):
         Mi, Ri = qr_factors_from_gram(G)
         rho = Ri if rho is None else kk_mm(Ri, rho)
         if p < passes - 1:
-            Wt, G = f_mm_update_gram(Mi, Wt, None, axis_name)
+            Wt, G = f_mm_update_gram(Mi, Wt, None, axis_name, codec)
     return Mi, Wt, rho
 
 
 def cholqr_fused_t(Vt, passes: int = 2, axis_name: str | None = None,
-                   Gv=None):
+                   Gv=None, codec=None):
     """Thin QR via CholeskyQR(2) built on the fused one-pass kernels.
 
     Optionally takes a precomputed ``Gv = V V^T`` (e.g. from the fused
@@ -254,9 +280,9 @@ def cholqr_fused_t(Vt, passes: int = 2, axis_name: str | None = None,
     ``cholqr_t`` remains for generic callers."""
     if passes < 1:
         raise ValueError("passes must be >= 1")
-    G = f_gram(Vt, Vt, axis_name) if Gv is None else Gv
-    Mi, Wt, rho = qr_passes_from_gram(G, Vt, passes, axis_name)
-    return f_mm_update(Mi, Wt), rho
+    G = f_gram(Vt, Vt, axis_name, codec) if Gv is None else Gv
+    Mi, Wt, rho = qr_passes_from_gram(G, Vt, passes, axis_name, codec)
+    return f_mm_update(Mi, Wt, codec=codec), rho
 
 
 # ------------------------------------------------------ (n, k) wrappers ----

@@ -59,7 +59,8 @@ def _cheb_cycle(pop, Bt, Xt, bnorm, tol, max_iter, qr_passes, record_history):
         record_history,
     )
     Xt = Xt + Dt
-    relres = jnp.sqrt(row_norms2_t(Bt - base.matmat_t(Xt), None)) / bnorm
+    relres = jnp.sqrt(
+        row_norms2_t(Bt - base.matmat_t(Xt), None, codec=base)) / bnorm
     return Xt, relres, info
 
 
@@ -100,7 +101,7 @@ def solve_sbcgrq_cheb(
     pop = ChebyshevOperator(base=op, lo=lo, hi=hi, degree=degree)
 
     Bt = op.to_internal(B.T)
-    bnorm = jnp.sqrt(row_norms2_t(Bt, None))
+    bnorm = jnp.sqrt(row_norms2_t(Bt, None, codec=op))
     bnorm = jnp.where(bnorm > 0, bnorm, 1.0)
     Xt = jnp.zeros_like(Bt)
     iters = 0

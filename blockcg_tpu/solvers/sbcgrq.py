@@ -67,14 +67,15 @@ def _sbcgrq_impl(
     op, Bt, X0t, tol, max_iter, qr_passes, replace_every, axis_name, record_history
 ):
     rdtype = jnp.real(Bt).dtype
-    bnorm = jnp.sqrt(row_norms2_t(Bt, axis_name))
+    bnorm = jnp.sqrt(row_norms2_t(Bt, axis_name, codec=op))
     bnorm = jnp.where(bnorm > 0, bnorm, jnp.asarray(1.0, rdtype))
     tol_arr = jnp.asarray(tol, rdtype)
 
     def fresh_qs(Xt):
         """True residual, re-factorized: one extra SpMM + thin QR."""
         Rt = Bt - op.matmat_t(Xt)
-        Qt, S = cholqr_fused_t(Rt, passes=qr_passes, axis_name=axis_name)
+        Qt, S = cholqr_fused_t(Rt, passes=qr_passes, axis_name=axis_name,
+                               codec=op)
         return Qt, S
 
     Q0t, S0 = fresh_qs(X0t)
@@ -102,14 +103,15 @@ def _sbcgrq_impl(
         # (T-K2): the V update also emits V V^H, whose diagonal carries the
         # CholQR equilibration norms — the QR needs no extra field passes.
         alpha_t = jnp.conj(alpha)
-        Vt, G = f_mm_update_gram(-alpha_t, Zt, Qt, axis_name)
-        Mi, Wt, rho = qr_passes_from_gram(G, Vt, qr_passes, axis_name)
+        Vt, G = f_mm_update_gram(-alpha_t, Zt, Qt, axis_name, codec=op)
+        Mi, Wt, rho = qr_passes_from_gram(G, Vt, qr_passes, axis_name,
+                                         codec=op)
         # Final QR pass fused with the search-direction AND solution
         # updates (both read P; one pass). Column-world P = Q + P rho^H and
         # X += P (alpha S) transpose to Pt = Qt + conj(rho) Pt and
         # Xt += (S^T alpha^T) Pt — using the PRE-update Pt in both.
         Qt, Pt, Xt = f_qr_px_update(
-            Mi, Wt, jnp.conj(rho), Pt, kk_mm(S.T, alpha_t), Xt
+            Mi, Wt, jnp.conj(rho), Pt, kk_mm(S.T, alpha_t), Xt, codec=op
         )
         S = kk_mm(rho, S)
         mv = mv + 1

@@ -75,21 +75,30 @@ def _smm(a, b):
     )
 
 
+def _smm_f(op, a, b):
+    """Batched coefficient-times-FIELD product: expands each (k, k) in the
+    (nshift, k, k) stack to the operator's internal row dim (codec) first."""
+    return _smm(jax.vmap(op.coeff_expand)(a), b)
+
+
 @functools.partial(
     jax.jit, static_argnames=("max_iter", "qr_passes", "axis_name")
 )
 def _shifted_sbcgrq_impl(op, Bt, sigmas, tol, max_iter, qr_passes, axis_name):
     dtype = Bt.dtype
     rdtype = jnp.real(Bt).dtype
-    k = Bt.shape[0]
     ns = sigmas.shape[0]
-    eye = jnp.eye(k, dtype=dtype)
 
-    bnorm = jnp.sqrt(row_norms2_t(Bt, axis_name))
+    bnorm = jnp.sqrt(row_norms2_t(Bt, axis_name, codec=op))
     bnorm = jnp.where(bnorm > 0, bnorm, jnp.asarray(1.0, rdtype))
     tol_arr = jnp.asarray(tol, rdtype)
 
-    Q0t, S0 = cholqr_fused_t(Bt, passes=qr_passes, axis_name=axis_name)
+    Q0t, S0 = cholqr_fused_t(Bt, passes=qr_passes, axis_name=axis_name,
+                             codec=op)
+    # k = number of RHS — taken from the CONTRACTED QR factor, not from the
+    # field's leading dim (merged layouts carry m = bs*k internal rows).
+    k = S0.shape[0]
+    eye = jnp.eye(k, dtype=dtype)
 
     def relres_of(coef):
         # coef: (nshift, k, k) = rho_{i+1} M_i Delta_i^{-1} z_i
@@ -118,17 +127,18 @@ def _shifted_sbcgrq_impl(op, Bt, sigmas, tol, max_iter, qr_passes, axis_name):
         z = jnp.where(it == 0, jnp.broadcast_to(S0, (ns, k, k)),
                       -_smm(Lam, z_prev))
         # C_i = Q_i - C_{i-1} Lambda^H: lanes-major Ct = Qt - conj(Lam) Ct
-        Cs = Qt[None] - _smm(jnp.conj(Lam), Cs)
+        Cs = Qt[None] - _smm_f(op, jnp.conj(Lam), Cs)
         Dinv = jax.vmap(chol_inverse_spd)(Delta)
         eta = _smm(Dinv, z)                                  # Delta^{-1} z
         # X_sigma += C eta: lanes-major Xs += eta^T Cs (plain transpose)
-        Xs = Xs + _smm(jnp.swapaxes(eta, 1, 2), Cs)
+        Xs = Xs + _smm_f(op, jnp.swapaxes(eta, 1, 2), Cs)
 
         # ---- seed SBCGrQ update (shared Krylov engine) --------------------
         alpha_t = jnp.conj(alpha)
-        Vt, G = f_mm_update_gram(-alpha_t, Zt, Qt, axis_name)
-        Mi, Wt, rho = qr_passes_from_gram(G, Vt, qr_passes, axis_name)
-        Qt, Pt = f_qr_p_update(Mi, Wt, jnp.conj(rho), Pt)
+        Vt, G = f_mm_update_gram(-alpha_t, Zt, Qt, axis_name, codec=op)
+        Mi, Wt, rho = qr_passes_from_gram(G, Vt, qr_passes, axis_name,
+                                         codec=op)
+        Qt, Pt = f_qr_p_update(Mi, Wt, jnp.conj(rho), Pt, codec=op)
 
         # shifted residual coefficient: rho_{i+1} M_i eta
         coef = _smm(jnp.broadcast_to(kk_mm(rho, M), (ns, k, k)), eta)

@@ -130,16 +130,47 @@ def test_const_block_stencil_gram_fused():
 
 
 def test_cbdia_matmat_gram_with_slabs():
-    """Operator-level fused gram includes the slab-routed wrap diagonals."""
+    """Operator-level fused gram includes the slab-routed wrap diagonals.
+
+    Flat public input: the operator converts through the merged layout; the
+    returned Gram is the k x k contraction (== X Y^T of the flat fields)."""
     from blockcg_tpu.operators.cbdia import detect_slabs
 
     op = dirac_cbdia(8, m=0.5, bc="periodic", dtype=jnp.float32)
     ops = detect_slabs(op, max_frac=0.6)
     rng = np.random.default_rng(12)
-    Xt = jnp.asarray(rng.standard_normal((3, op.n)), dtype=jnp.float32)
+    Xt = jnp.asarray(rng.standard_normal((4, op.n)), dtype=jnp.float32)
     Y, G = ops.matmat_gram_t(Xt, interpret=True)
     want_y = op.matmat_t(Xt, interpret=True)
     np.testing.assert_allclose(np.asarray(Y), np.asarray(want_y),
                                rtol=1e-5, atol=1e-5)
     want_g = np.asarray(Xt, np.float64) @ np.asarray(want_y, np.float64).T
     np.testing.assert_allclose(np.asarray(G), want_g, rtol=1e-4, atol=1e-3)
+
+
+def test_cbdia_matmat_gram_odd_k_falls_back():
+    """m = bs*k not a multiple of 8: fused path unavailable, (Y, None)."""
+    op = dirac_cbdia(4, m=0.5, bc="periodic", dtype=jnp.float32)
+    rng = np.random.default_rng(13)
+    Xt = jnp.asarray(rng.standard_normal((3, op.n)), dtype=jnp.float32)
+    Y, G = op.matmat_gram_t(Xt, interpret=True)
+    assert G is None
+    want_y = op.matmat_t(Xt, interpret=True)
+    np.testing.assert_allclose(np.asarray(Y), np.asarray(want_y),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_cbdia_merged_kernel_matches_scipy():
+    """Merged spin-major kernel vs the scipy oracle through the operator."""
+    op = dirac_cbdia(4, m=0.5, bc="periodic", dtype=jnp.float32)
+    a = bdia_scipy(op.to_block_dia())
+    rng = np.random.default_rng(14)
+    k = 2  # m = 8
+    X = rng.standard_normal((op.n, k)).astype(np.float32)
+    Xm = op.to_internal(jnp.asarray(X.T))
+    assert Xm.shape == (op.bs * k, op.ns)
+    Ym = op.matmat_t(Xm, interpret=True)
+    Yt = op.from_internal(Ym)
+    want = a @ X
+    err = np.abs(np.asarray(Yt).T - want).max() / np.abs(want).max()
+    assert err < 1e-5

@@ -34,23 +34,26 @@ def test_partition_cbdia_structure():
 
 
 def test_dist_cbdia_apply_matches_global():
+    """Merged (m, ns) fields, site axis sharded: local apply + halo slab
+    corrections must equal the single-device apply."""
     op = _op()
     dop = partition_cbdia(op, D)
     mesh = row_mesh(D)
     rng = np.random.default_rng(0)
-    k = 5
-    Xv = jnp.asarray(rng.standard_normal((k, op.bs, op.ns)), dtype=jnp.float32)
-    Xs = jax.device_put(Xv, jax.NamedSharding(mesh, P(None, None, "rows")))
+    k = 4  # m = 16
+    Xm = jnp.asarray(rng.standard_normal((k * op.bs, op.ns)),
+                     dtype=jnp.float32)
+    Xs = jax.device_put(Xm, jax.NamedSharding(mesh, P(None, "rows")))
 
     fn = shard_map(
         lambda o, x: o.matmat_t(x),
         mesh=mesh,
-        in_specs=(dop.in_specs(), P(None, None, "rows")),
-        out_specs=P(None, None, "rows"),
+        in_specs=(dop.in_specs(), P(None, "rows")),
+        out_specs=P(None, "rows"),
         check_vma=False,
     )
     got = np.asarray(jax.jit(fn)(dop, Xs))
-    want = np.asarray(op.matmat_t(Xv))
+    want = np.asarray(op.matmat_t(Xm))
     err = np.abs(got - want).max() / np.abs(want).max()
     assert err < 1e-6
 
