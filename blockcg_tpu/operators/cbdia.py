@@ -148,6 +148,33 @@ class ConstBlockDIAOperator(MatmatMixin):
                     Xm, Ym, interpret=interpret,
                 )
             return Ym
+        if Xm.shape[0] == self.bs:
+            # k = 1 (CG path): merged (bs, ns) <-> (1, bs, ns) is a free
+            # reshape, so the legacy 3D kernel (which pads k to 8 sublanes
+            # — same cost as the old layout) still serves single-RHS solves
+            # whose m = bs is not 8-aligned.
+            import os
+
+            nmask = 0 if self.masks is None else self.masks.shape[0]
+            if (
+                (interpret or (jax.default_backend() == "tpu"
+                               and not os.environ.get("BLOCKCG_NO_PALLAS")))
+                and Xm.dtype == jnp.float32
+                and (self.masks is None or self.masks.dtype == jnp.float32)
+                and cbs.available(self.ns, 1, self.bs, offs_m, nmask,
+                                  groups=cbs.n_groups(hops_m))
+            ):
+                Xv = Xm.reshape(1, self.bs, self.ns)
+                Yv = cbs.const_block_stencil_spmm_t(
+                    hops_m, offs_m, mslot_m, self.masks, Xv,
+                    interpret=interpret,
+                )
+                for d, g, nblocks, dst_mul, dst_off, src_shift in self.slabs:
+                    Yv = cbs.slab_block_accumulate(
+                        self.hops[d], g, nblocks, dst_mul, dst_off,
+                        src_shift, Xv, Yv, interpret=interpret,
+                    )
+                return Yv.reshape(self.bs, self.ns)
         return self._matmat_m_xla(Xm)
 
     def matmat_gram_t(self, Xt: jax.Array, interpret: bool = False):

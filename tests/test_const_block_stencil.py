@@ -174,3 +174,14 @@ def test_cbdia_merged_kernel_matches_scipy():
     want = a @ X
     err = np.abs(np.asarray(Yt).T - want).max() / np.abs(want).max()
     assert err < 1e-5
+
+
+def test_cbdia_k1_merged_uses_legacy_kernel():
+    """k=1 (m=bs not 8-aligned): free reshape routes to the 3D kernel."""
+    op = dirac_cbdia(4, m=0.5, bc="periodic", dtype=jnp.float32)
+    rng = np.random.default_rng(15)
+    Xm = jnp.asarray(rng.standard_normal((op.bs, op.ns)), dtype=jnp.float32)
+    got = op.matmat_t(Xm, interpret=True)   # kernel path (interpret)
+    want = op._matmat_m_xla(Xm)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
