@@ -68,6 +68,19 @@ def plan(
     )
 
 
+
+def _order_by_plan(offsets, plan_order):
+    """Map the planner's (near + far) offset sequence back to diagonal
+    indices, duplicate-offset-safe (value-masked operators may carry the
+    same offset twice, e.g. the U(1)-gauged realified K1/K2 pair)."""
+    remaining = list(range(len(offsets)))
+    order = []
+    for o in plan_order:
+        j = next(i for i in remaining if offsets[i] == o)
+        order.append(j)
+        remaining.remove(j)
+    return order
+
 def _group_offsets(hops: tuple, mask_slot: tuple[int, ...]):
     """Group ordered diagonal indices by identical hop matrix."""
     order: list[tuple] = []
@@ -212,7 +225,7 @@ def _cbs_impl(hops, offsets, mask_slot, masks, Xt, with_gram, interpret,
     nh = ns // H if H else 1
     kp = -(-k // 8) * 8  # pad k to a sublane tile
 
-    order = [offsets.index(o) for o in p.near + p.far]
+    order = _order_by_plan(offsets, p.near + p.far)
     hops_ord = tuple(hops[j] for j in order)
     mslot_ord = tuple(mask_slot[j] for j in order)
     groups = _group_offsets(hops_ord, mslot_ord)
@@ -519,7 +532,7 @@ def _cbs_m_impl(hops, offsets, mask_slot, masks, Xm, with_gram, interpret,
     nb = ns // R
     nh = ns // H if H else 1
 
-    order = [offsets.index(o) for o in p.near + p.far]
+    order = _order_by_plan(offsets, p.near + p.far)
     hops_ord = tuple(hops[j] for j in order)
     mslot_ord = tuple(mask_slot[j] for j in order)
     groups = _group_offsets(hops_ord, mslot_ord)

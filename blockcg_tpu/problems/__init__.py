@@ -10,6 +10,7 @@ from blockcg_tpu.problems.dirac import (
     dirac_cbdia,
     dirac_bell,
     dirac_gauged,
+    dirac_gauged_cbdia,
     dirac_scipy,
 )
 from blockcg_tpu.problems.dirac_eo import (
@@ -32,6 +33,7 @@ __all__ = [
     "dirac_cbdia",
     "dirac_bell",
     "dirac_gauged",
+    "dirac_gauged_cbdia",
     "dirac_scipy",
     "EOContext",
     "dirac_eo",

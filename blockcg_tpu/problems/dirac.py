@@ -270,6 +270,136 @@ def dirac_gauged(
     return op
 
 
+def dirac_gauged_cbdia(
+    L: int, m: float = 0.5, bc: str = "periodic", dtype=jnp.float32,
+    seed: int = 7, gauge_seed: int = 11,
+):
+    """Gauged Dirac-like operator in the CONST-HOP container.
+
+    TPU-first observation: a SCALAR link field factorizes every per-site hop
+    block into (constant spin matrix) x (per-site scalar) — exactly the
+    const-hop kernel's masked-diagonal form, with masks carrying the LINK
+    VALUES (times the boundary gate) instead of 0/1 gates. The gauged
+    operator then rides the MXU const-hop path (measured 67 Gnnz/s on the
+    v5e) instead of the VPU-bound general per-site kernel (~32 Gnnz/s).
+
+    Real dtypes: Z2 links, one value-mask per hop diagonal
+    (ConstBlockDIAOperator). Complex dtypes: U(1) phase links — the
+    realified form phi*H = phi_r*K1 + phi_i*K2 (K1/K2 constant real
+    2bs x 2bs blocks) gives TWO value-masked diagonals per hop, built
+    directly as a RealifiedHermitianOperator over a const-hop real core.
+
+    Same matrix as ``dirac_gauged`` (unit-tested equivalence). Matrix-valued
+    links (e.g. SU(3)) do not factorize — those stay on the general
+    BlockDIA path."""
+    from blockcg_tpu.operators.cbdia import ConstBlockDIAOperator
+
+    if bc not in ("periodic", "open"):
+        raise ValueError(f"bc must be 'periodic' or 'open', got {bc!r}")
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+    cplx = np.issubdtype(np_dtype, np.complexfloating)
+    H = hopping_matrices(seed, hermitian=cplx).astype(np_dtype)
+    ns = L**_NDIM
+    coords, strides = _coords(ns, L)
+    grng = np.random.default_rng(gauge_seed)
+    if cplx:
+        links = np.exp(2j * np.pi * grng.random((_NDIM, ns))).astype(np_dtype)
+        rdt = np.float32 if np_dtype == np.complex64 else np.float64
+    else:
+        links = grng.choice([-1.0, 1.0], size=(_NDIM, ns)).astype(np_dtype)
+        rdt = np_dtype
+    s = np.arange(ns)
+
+    offsets: list[int] = [0]
+    hops: list[tuple] = []
+    mask_slot: list[int] = [-1]
+    masks: list[np.ndarray] = []
+
+    if cplx:
+        bs_r = 2 * BS
+
+        def tup_r(block: np.ndarray) -> tuple:
+            return tuple(tuple(float(v) for v in row) for row in block)
+
+        def k1k2(Hc: np.ndarray):
+            hr, hi = Hc.real.astype(rdt), Hc.imag.astype(rdt)
+            K1 = np.block([[hr, -hi], [hi, hr]])
+            K2 = np.block([[-hi, -hr], [hr, -hi]])
+            return K1, K2
+
+        cdiag = (m * m + 2.0 * _NDIM) * np.eye(bs_r, dtype=rdt)
+        hops.append(tup_r(cdiag))
+
+        def add(o: int, Hc: np.ndarray, phi: np.ndarray, gate):
+            K1, K2 = k1k2(Hc)
+            g = np.ones(ns, rdt) if gate is None else gate.astype(rdt)
+            for K, part in ((K1, phi.real), (K2, phi.imag)):
+                vals = (part.astype(rdt)) * g
+                if not np.any(vals):
+                    continue
+                offsets.append(o)
+                hops.append(tup_r(-K))
+                mask_slot.append(len(masks))
+                masks.append(vals)
+    else:
+        def tup(block: np.ndarray) -> tuple:
+            return tuple(tuple(float(v) for v in row) for row in block)
+
+        hops.append(tup((m * m + 2.0 * _NDIM) * np.eye(BS, dtype=np_dtype)))
+
+        def add(o: int, Hc: np.ndarray, phi: np.ndarray, gate):
+            g = np.ones(ns, rdt) if gate is None else gate.astype(rdt)
+            vals = phi.astype(rdt) * g
+            offsets.append(o)
+            hops.append(tup(-Hc))
+            mask_slot.append(len(masks))
+            masks.append(vals)
+
+    for ax in range(_NDIM):
+        st = strides[ax]
+        c = coords[ax]
+        phi = links[ax]
+        dn = (s + st * np.where(c == 0, L - 1, -1)) % ns
+        phi_dn = np.conj(links[ax][dn]) if cplx else links[ax][dn]
+        if bc == "periodic" and ax == 0:
+            add(st, H[ax], phi, None)
+            add(-st, H[ax].conj().T, phi_dn, None)
+            continue
+        add(st, H[ax], phi, c < L - 1)
+        add(-st, H[ax].conj().T, phi_dn, c > 0)
+        if bc == "periodic":
+            add(-(L - 1) * st, H[ax], phi, c == L - 1)
+            add((L - 1) * st, H[ax].conj().T, phi_dn, c == 0)
+
+    core = ConstBlockDIAOperator(
+        masks=_host_aware_asarray(np.stack(masks)),
+        hops=tuple(hops),
+        offsets=tuple(offsets),
+        mask_slot=tuple(mask_slot),
+        num_sites=ns,
+    )
+    nnz = 0
+    for d in range(len(offsets)):
+        nz = int(np.count_nonzero(np.asarray(hops[d])))
+        rows = ns if mask_slot[d] < 0 else int(
+            np.count_nonzero(masks[mask_slot[d]])
+        )
+        nnz += nz * rows
+    if not cplx:
+        object.__setattr__(core, "_nnz", nnz)
+        return core
+    from blockcg_tpu.operators.realify import RealifiedHermitianOperator
+
+    cdt = jnp.complex64 if rdt == np.float32 else jnp.complex128
+    w = RealifiedHermitianOperator(
+        real_op=core, cbs=BS, num_sites=ns, cdtype=cdt
+    )
+    # Complex nnz of the underlying operator (the realified real core's nnz
+    # quadruples it; keep the physical count for nnz/s metrics).
+    object.__setattr__(w, "_nnz", nnz // 4 if nnz % 4 == 0 else nnz)
+    return w
+
+
 def bdia_scipy(op: BlockDIAOperator):
     """Generic BlockDIAOperator -> scipy CSR (small problems; test oracle)."""
     import scipy.sparse as sp

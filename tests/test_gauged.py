@@ -78,3 +78,61 @@ def test_gauged_bf16_blocks():
     rel = np.abs(y16 - y32).max() / np.abs(y32).max()
     assert rel < 5e-3
     assert rel > 0  # genuinely stored at lower precision
+
+
+def test_gauged_cbdia_matches_gauged_real():
+    """Z2 links as const-hop value masks: identical matrix to dirac_gauged."""
+    from blockcg_tpu.problems import dirac_gauged_cbdia
+
+    for bc in ("periodic", "open"):
+        a = bdia_scipy(dirac_gauged(3, m=0.5, bc=bc, dtype=jnp.float64))
+        b = bdia_scipy(
+            dirac_gauged_cbdia(3, m=0.5, bc=bc, dtype=jnp.float64)
+            .to_block_dia()
+        )
+        assert abs((a - b)).max() < 1e-14
+
+
+def test_gauged_cbdia_complex_apply_matches_oracle():
+    """U(1) links via the realified K1/K2 const-hop pair."""
+    from blockcg_tpu.problems import dirac_gauged_cbdia
+
+    op = dirac_gauged_cbdia(3, m=0.5, dtype=jnp.complex128)
+    a = bdia_scipy(dirac_gauged(3, m=0.5, dtype=jnp.complex128))
+    rng = np.random.default_rng(5)
+    X = (rng.standard_normal((a.shape[0], 3))
+         + 1j * rng.standard_normal((a.shape[0], 3)))
+    got = np.asarray(op.matmat(jnp.asarray(X) if False else X))
+    want = a @ X
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-12
+
+
+def test_gauged_cbdia_kernel_interpret():
+    """Duplicate-offset value-masked diagonals through the merged kernel."""
+    from blockcg_tpu.problems import dirac_gauged_cbdia
+
+    op = dirac_gauged_cbdia(4, m=0.5, dtype=jnp.float32)
+    a = bdia_scipy(dirac_gauged(4, m=0.5, dtype=jnp.float64))
+    rng = np.random.default_rng(6)
+    k = 2  # m = 8
+    X = rng.standard_normal((op.n, k)).astype(np.float32)
+    Xm = op.to_internal(jnp.asarray(X.T))
+    Ym = op.matmat_t(Xm, interpret=True)
+    Yt = np.asarray(op.from_internal(Ym)).T
+    want = a @ X
+    assert np.abs(Yt - want).max() / np.abs(want).max() < 1e-5
+
+
+def test_gauged_cbdia_solve_matches_general():
+    """SBCGrQ through the const-hop gauged container == general container."""
+    import blockcg_tpu as bc
+    from blockcg_tpu.problems import dirac_gauged_cbdia
+
+    opc = dirac_gauged_cbdia(4, m=0.5, dtype=jnp.float32)
+    opg = dirac_gauged(4, m=0.5, dtype=jnp.float32)
+    rng = np.random.default_rng(7)
+    B = jnp.asarray(rng.standard_normal((opc.n, 4)), dtype=jnp.float32)
+    Xc, ic = bc.solve_sbcgrq(opc, B, tol=1e-5, max_iter=300)
+    Xg, ig = bc.solve_sbcgrq(opg, B, tol=1e-5, max_iter=300)
+    assert abs(int(ic.iterations) - int(ig.iterations)) <= 2
+    assert np.abs(np.asarray(Xc) - np.asarray(Xg)).max() < 1e-4
