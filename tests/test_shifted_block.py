@@ -97,3 +97,22 @@ def test_shifted_block_k1_matches_scalar_shifted_cg():
         # solve_shifted_cg returns (n, nshift); the block solver (nshift, n, k)
         err = np.abs(np.asarray(Xs[j][:, 0]) - np.asarray(xs[:, j])).max()
         assert err < 1e-7, (j, err)
+
+
+def test_shifted_sbcgrq_merged_block_op():
+    """Multi-shift block solve through a merged-layout const-hop operator."""
+    from blockcg_tpu.problems import dirac_cbdia
+    from blockcg_tpu.problems.dirac import bdia_scipy
+    from blockcg_tpu.solvers.shifted_block import solve_shifted_sbcgrq
+
+    op = dirac_cbdia(4, m=0.5, dtype=jnp.float64)
+    rng = np.random.default_rng(21)
+    B = jnp.asarray(rng.standard_normal((op.n, 3)))
+    sigmas = [0.0, 0.4, 1.5]
+    Xs, info = solve_shifted_sbcgrq(op, B, sigmas, tol=1e-9, max_iter=400)
+    a = bdia_scipy(op.to_block_dia())
+    Bn = np.asarray(B)
+    for j, sg in enumerate(sigmas):
+        R = (a @ np.asarray(Xs[j]) + sg * np.asarray(Xs[j])) - Bn
+        rel = (np.linalg.norm(R, axis=0) / np.linalg.norm(Bn, axis=0)).max()
+        assert rel < 1e-7, (j, sg, rel)
