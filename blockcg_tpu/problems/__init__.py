@@ -16,6 +16,7 @@ from blockcg_tpu.problems.dirac import (
 from blockcg_tpu.problems.dirac_eo import (
     EOContext,
     dirac_eo,
+    dirac_gauged_eo,
     eo_assemble,
     eo_split,
     solve_dirac_eo,
@@ -37,6 +38,7 @@ __all__ = [
     "dirac_scipy",
     "EOContext",
     "dirac_eo",
+    "dirac_gauged_eo",
     "eo_assemble",
     "eo_split",
     "solve_dirac_eo",

@@ -31,7 +31,8 @@ from blockcg_tpu.operators.cbdia import ConstBlockDIAOperator, detect_slabs
 from blockcg_tpu.operators.schur import SchurEvenOperator
 from blockcg_tpu.problems.dirac import BS, _NDIM, hopping_matrices
 
-__all__ = ["dirac_eo", "eo_split", "eo_assemble", "solve_dirac_eo", "EOContext"]
+__all__ = ["dirac_eo", "dirac_gauged_eo", "eo_split", "eo_assemble",
+           "solve_dirac_eo", "EOContext"]
 
 
 def _half_coords(L: int, parity: int):
@@ -55,28 +56,41 @@ def _half_index(L: int, t, z, y, x):
 
 
 def _parity_hop(L: int, H: np.ndarray, target_parity: int, bc: str,
-                np_dtype) -> ConstBlockDIAOperator:
-    """Half-lattice hop: Y[target-parity rows] = sum_mu (H_mu X[.+mu]
-    + H_mu^H X[.-mu]) over the opposite-parity half field."""
+                np_dtype, links: np.ndarray | None = None
+                ) -> ConstBlockDIAOperator:
+    """Half-lattice hop: Y[target-parity rows] = sum_mu (phi_mu H_mu X[.+mu]
+    + phi'_mu H_mu^H X[.-mu]) over the opposite-parity half field.
+
+    With ``links`` (per-axis per-full-site scalar link field, real), the
+    masks carry LINK VALUES times the boundary gate — the gauged operator
+    rides the same const-hop MXU kernel (see problems.dirac_gauged_cbdia).
+    Without links, masks are 0/1 gates (translation-invariant case)."""
     ns2 = L**_NDIM // 2
     t, z, y, x = _half_coords(L, target_parity)
     coords = [t, z, y, x]
+    s_full = ((t * L + z) * L + y) * L + x  # full site index per row h
 
-    # (offset, block_key) -> accumulated mask
-    diag_masks: dict = {}
+    # (offset, block_key) -> accumulated value-mask (float) and gate
+    diag_vals: dict = {}
     diag_blocks: dict = {}
+    diag_gated: dict = {}  # True if any row gated off (mask required)
 
-    def add(block: np.ndarray, hprime: np.ndarray, valid: np.ndarray):
+    def add(block: np.ndarray, hprime: np.ndarray, valid: np.ndarray,
+            vals: np.ndarray | None):
         off_vec = (hprime - np.arange(ns2)) % ns2
         for off in np.unique(off_vec[valid]):
             mask = valid & (off_vec == off)
             soff = int(((off + ns2 // 2) % ns2) - ns2 // 2)  # near-zero rep
             key = (soff, block.tobytes())
-            if key in diag_masks:
-                diag_masks[key] |= mask
+            v = np.zeros(ns2)
+            v[mask] = 1.0 if vals is None else vals[mask]
+            if key in diag_vals:
+                diag_vals[key] = diag_vals[key] + v
+                diag_gated[key] |= not mask.all()
             else:
-                diag_masks[key] = mask
+                diag_vals[key] = v
                 diag_blocks[key] = block
+                diag_gated[key] = not mask.all()
 
     for ax in range(_NDIM):
         for sgn, block in ((+1, H[ax]), (-1, H[ax].conj().T)):
@@ -86,7 +100,16 @@ def _parity_hop(L: int, H: np.ndarray, target_parity: int, bc: str,
             nc[ax] = nc[ax] % L
             hprime = _half_index(L, *nc)
             valid = np.ones(ns2, bool) if bc == "periodic" else ~wrap
-            add(np.ascontiguousarray(block.astype(np_dtype)), hprime, valid)
+            if links is None:
+                vals = None
+            elif sgn > 0:
+                vals = links[ax][s_full]  # link anchored at the row's site
+            else:
+                # -mu link is anchored at the NEIGHBOR site s - mu.
+                nfull = ((nc[0] * L + nc[1]) * L + nc[2]) * L + nc[3]
+                vals = links[ax][nfull]
+            add(np.ascontiguousarray(block.astype(np_dtype)), hprime, valid,
+                vals)
 
     cplx = np.issubdtype(np_dtype, np.complexfloating)
     mask_dtype = (
@@ -94,19 +117,20 @@ def _parity_hop(L: int, H: np.ndarray, target_parity: int, bc: str,
         else np.float32 if np_dtype == np.complex64 else np.float64
     )
     scal = complex if cplx else float
+    gauged = links is not None
 
     offsets, hops, mask_slot, masks = [], [], [], []
-    for key in sorted(diag_masks, key=lambda kv: kv[0]):
+    for key in sorted(diag_vals, key=lambda kv: kv[0]):
         soff, _ = key
         block = diag_blocks[key]
-        mask = diag_masks[key]
+        vals = diag_vals[key]
         offsets.append(soff)
         hops.append(tuple(tuple(scal(v) for v in row) for row in block))
-        if mask.all():
+        if not gauged and not diag_gated[key]:
             mask_slot.append(-1)
         else:
             mask_slot.append(len(masks))
-            masks.append(mask.astype(mask_dtype))
+            masks.append(vals.astype(mask_dtype))
 
     op = ConstBlockDIAOperator(
         masks=jnp.asarray(np.stack(masks)) if masks else None,
@@ -118,7 +142,9 @@ def _parity_hop(L: int, H: np.ndarray, target_parity: int, bc: str,
     nnz = 0
     for d in range(len(offsets)):
         nz = int(np.count_nonzero(np.asarray(hops[d])))
-        rows = ns2 if mask_slot[d] < 0 else int(masks[mask_slot[d]].sum())
+        rows = ns2 if mask_slot[d] < 0 else int(
+            np.count_nonzero(masks[mask_slot[d]])
+        )
         nnz += nz * rows
     object.__setattr__(op, "_nnz", nnz)
     return detect_slabs(op)
@@ -171,6 +197,47 @@ def dirac_eo(
         schur=schur, hop_eo=hop_eo, hop_oe=hop_oe, c=c,
         even_sites=even_sites, odd_sites=odd_sites,
         ns=L**_NDIM, bs=BS,
+    )
+
+
+def dirac_gauged_eo(
+    L: int, m: float = 0.5, bc: str = "periodic", dtype=jnp.float32,
+    seed: int = 7, gauge_seed: int = 11,
+) -> EOContext:
+    """Even-odd Schur form of the GAUGED (Z2 link) operator.
+
+    Same half-lattice derivation as ``dirac_eo``; the parity hops carry
+    link values in their masks, so the Schur solve runs the const-hop MXU
+    kernel exactly like the ungauged case (matrix equality with
+    ``dirac_gauged`` is unit-tested). Complex (U(1)) links are not routed
+    here yet — use ``dirac_gauged_cbdia`` (full system) for those."""
+    if L % 2:
+        raise ValueError("even-odd reduction needs even L")
+    if L < 4:
+        raise ValueError("even-odd reduction needs L >= 4")
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+    if np.issubdtype(np_dtype, np.complexfloating):
+        raise NotImplementedError(
+            "gauged even-odd supports real (Z2) links; complex U(1) goes "
+            "through dirac_gauged_cbdia on the full system"
+        )
+    H = hopping_matrices(seed, hermitian=False).astype(np_dtype)
+    grng = np.random.default_rng(gauge_seed)
+    ns = L**_NDIM
+    links = grng.choice([-1.0, 1.0], size=(_NDIM, ns)).astype(np_dtype)
+    c = float(m * m + 2.0 * _NDIM)
+    hop_eo = _parity_hop(L, H, 0, bc, np_dtype, links=links)
+    hop_oe = _parity_hop(L, H, 1, bc, np_dtype, links=links)
+    schur = SchurEvenOperator(hop_eo=hop_eo, hop_oe=hop_oe, c=c)
+
+    te, ze, ye, xe = _half_coords(L, 0)
+    to, zo, yo, xo = _half_coords(L, 1)
+    even_sites = ((te * L + ze) * L + ye) * L + xe
+    odd_sites = ((to * L + zo) * L + yo) * L + xo
+    return EOContext(
+        schur=schur, hop_eo=hop_eo, hop_oe=hop_oe, c=c,
+        even_sites=even_sites, odd_sites=odd_sites,
+        ns=ns, bs=BS,
     )
 
 
