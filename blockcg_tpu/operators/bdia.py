@@ -60,20 +60,31 @@ class BlockDIAOperator(MatmatMixin):
         return self.blocks.dtype
 
     def to_internal(self, Xt: jax.Array) -> jax.Array:
-        return Xt.reshape(Xt.shape[0], self.bs, self.ns)
+        """Flat lanes-major (k, bs*ns) -> merged spin-major (m = bs*k, ns)
+        (unpadded sublanes whenever 8 | m — see operators/cbdia.py)."""
+        k = Xt.shape[0]
+        Xv = Xt.reshape(k, self.bs, self.ns)
+        return jnp.swapaxes(Xv, 0, 1).reshape(self.bs * k, self.ns)
 
-    def from_internal(self, Xv: jax.Array) -> jax.Array:
-        return Xv.reshape(Xv.shape[0], self.n)
+    def from_internal(self, Xm: jax.Array) -> jax.Array:
+        k = Xm.shape[0] // self.bs
+        Xv = Xm.reshape(self.bs, k, self.ns)
+        return jnp.swapaxes(Xv, 0, 1).reshape(k, self.n)
 
-    def matmat_t(self, Xt: jax.Array) -> jax.Array:
-        """Apply to a lanes-major block: flat (k, n) or internal (k, bs, ns)."""
+    def coeff_expand(self, C):
+        return jnp.kron(jnp.eye(self.bs, dtype=C.dtype), C)
+
+    def gram_contract(self, G):
+        k = G.shape[0] // self.bs
+        return jnp.einsum("aiaj->ij", G.reshape(self.bs, k, self.bs, k))
+
+    def norms2_contract(self, v):
+        return v.reshape(self.bs, -1).sum(axis=0)
+
+    def _kernel_ok(self, dtype) -> bool:
         import os
 
-        from blockcg_tpu.ops import block_stencil
-
-        flat = Xt.ndim == 2
-        Xv = self.to_internal(Xt) if flat else Xt
-        if (
+        return (
             jax.default_backend() == "tpu"
             # f32 fields; blocks may be stored bf16 (halves coefficient
             # memory at ~4e-4 operator rounding — measured NOT faster on
@@ -81,17 +92,70 @@ class BlockDIAOperator(MatmatMixin):
             # saving on the VPU-bound kernel, so bf16 here is a memory
             # option, not a speed one). f64 (emulated) takes the XLA path.
             and self.dtype in (jnp.float32, jnp.bfloat16)
-            and Xt.dtype == jnp.float32
+            and dtype == jnp.float32
             and not os.environ.get("BLOCKCG_NO_PALLAS")
-            and block_stencil.available(self.ns, Xt.shape[0], self.bs, self.offsets)
+        )
+
+    def matmat_t(self, Xt: jax.Array) -> jax.Array:
+        """Apply to a lanes-major block: merged internal (m, ns), flat
+        (k, bs*ns), or the legacy 3D (k, bs, ns) view (used by the
+        distributed wrapper's local shards)."""
+        from blockcg_tpu.ops import block_stencil
+
+        if Xt.ndim == 2 and Xt.shape[-1] == self.ns:  # merged internal
+            Xm = Xt
+            if self._kernel_ok(Xt.dtype) and block_stencil.available_m(
+                self.ns, Xm.shape[0], self.bs, self.offsets
+            ):
+                return block_stencil.block_stencil_spmm_m_t(
+                    self.blocks, self.offsets, Xm
+                )
+            return self._matmat_m_xla(Xm)
+        flat = Xt.ndim == 2
+        Xv = Xt.reshape(Xt.shape[0], self.bs, self.ns) if flat else Xt
+        if self._kernel_ok(Xt.dtype) and block_stencil.available(
+            self.ns, Xt.shape[0], self.bs, self.offsets
         ):
             Yv = block_stencil.block_stencil_spmm_t(self.blocks, self.offsets, Xv)
         else:
             Yv = self._matmat_v_xla(Xv)
-        return self.from_internal(Yv) if flat else Yv
+        return Yv.reshape(Yv.shape[0], self.n) if flat else Yv
+
+    def matmat_gram_t(self, Xt: jax.Array):
+        """Fused (Y = A X, G) on the merged internal view; (Y, None) else."""
+        from blockcg_tpu.ops import block_stencil
+
+        if (
+            Xt.ndim == 2 and Xt.shape[-1] == self.ns
+            and self._kernel_ok(Xt.dtype)
+            and Xt.dtype == jnp.float32 and self.dtype == jnp.float32
+            and block_stencil.available_m(self.ns, Xt.shape[0], self.bs,
+                                          self.offsets)
+        ):
+            Ym, Gm = block_stencil.block_stencil_spmm_m_gram_t(
+                self.blocks, self.offsets, Xt
+            )
+            return Ym, self.gram_contract(Gm)
+        return self.matmat_t(Xt), None
+
+    def _matmat_m_xla(self, Xm: jax.Array) -> jax.Array:
+        m, ns = Xm.shape
+        bs = self.bs
+        k = m // bs
+        Xv = Xm.reshape(bs, k, ns)
+        Yv = jnp.zeros((bs, k, ns), dtype=Xm.dtype)
+        for d, o in enumerate(self.offsets):  # static unroll
+            src = Xv if o == 0 else jnp.roll(Xv, -o, axis=2)
+            Yv = Yv + jnp.einsum(
+                "abi,bki->aki", self.blocks[d].astype(Xm.dtype), src,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+        return Yv.reshape(m, ns)
 
     def _matmat_t_xla(self, Xt: jax.Array) -> jax.Array:
-        return self.from_internal(self._matmat_v_xla(self.to_internal(Xt)))
+        k = Xt.shape[0]
+        Yv = self._matmat_v_xla(Xt.reshape(k, self.bs, self.ns))
+        return Yv.reshape(k, self.n)
 
     def _matmat_v_xla(self, Xv: jax.Array) -> jax.Array:
         # Toroidal semantics (match the Pallas kernel): site = (s + o) mod ns.

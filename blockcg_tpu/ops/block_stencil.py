@@ -177,3 +177,188 @@ def block_stencil_spmm_t(
 
 def available(n_sites: int, k: int, bs: int, offsets: tuple[int, ...]) -> bool:
     return plan(n_sites, k, bs, offsets) is not None
+
+
+# ------------------------------------------------- merged-layout kernel --
+#
+# Merged spin-major fields (m = bs*k rows, see ops/const_block_stencil.py):
+# unpadded sublanes whenever 8 | m, so field passes move only useful bytes.
+# The per-site FMA loop reads spin-b rows as a contiguous sublane slice
+# [b*k, (b+1)*k) of the (m, R) window — no per-spin staging copies at all.
+
+
+def plan_m(n_sites: int, m: int, bs: int, offsets: tuple[int, ...]):
+    if m % 8 != 0:
+        return None
+    noff = len(offsets)
+    return _plan(n_sites, m, offsets, sublanes=1,
+                 coeff_rows=noff * bs * bs)
+
+
+def _m_kernel(near, far, H, bs, k, with_gram, diags_ref, *refs):
+    nf = len(far)
+    if H > 0:
+        xprev, xcur, xnext = refs[0], refs[1], refs[2]
+        far_refs = refs[3 : 3 + nf]
+        y_ref = refs[3 + nf]
+        g_ref = refs[4 + nf] if with_gram else None
+        w_ref = refs[(4 if with_gram else 3) + nf + 1]
+    else:
+        xcur = refs[0]
+        far_refs = refs[1 : 1 + nf]
+        y_ref = refs[1 + nf]
+        g_ref = refs[2 + nf] if with_gram else None
+        w_ref = None
+    m, R = y_ref.shape
+    W = R + 2 * H
+
+    if H > 0:
+        w_ref[:, :H] = xprev[:]
+        w_ref[:, H : H + R] = xcur[:]
+        w_ref[:, H + R :] = xnext[:]
+
+    fi_of = {}
+    fi = 0
+    for d in range(len(near), len(near) + nf):
+        fi_of[d] = fi
+        fi += 1
+
+    def window_rows(d, o, b):
+        lo, hi = b * k, (b + 1) * k
+        if d < len(near):
+            if o == 0:
+                return xcur[lo:hi, :]
+            return w_ref[lo:hi, H + o : H + o + R]
+        return far_refs[fi_of[d]][lo:hi, :]
+
+    acc = [jnp.zeros((k, R), dtype=y_ref.dtype) for _ in range(bs)]
+    for d, o in enumerate(near + far):  # static unroll over site-offsets
+        for b in range(bs):
+            wb = None
+            for a in range(bs):
+                c = diags_ref[(d * bs + a) * bs + b, :].reshape(1, R)
+                if wb is None:
+                    wb = window_rows(d, o, b)
+                acc[a] = acc[a] + c * wb
+    for a in range(bs):
+        y_ref[a * k : (a + 1) * k, :] = acc[a]
+
+    if with_gram:
+        y = jnp.concatenate(acc, axis=0)
+        g = jax.lax.dot_general(
+            xcur[:], y, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
+        i0 = pl.program_id(0)
+
+        @pl.when(i0 == 0)
+        def _():
+            g_ref[:, :] = g
+
+        @pl.when(i0 > 0)
+        def _():
+            g_ref[:, :] += g
+
+
+def _bsm_impl(blocks, offsets, Xm, with_gram, interpret):
+    noff, bs, _, ns = blocks.shape
+    m = Xm.shape[0]
+    k = m // bs
+    p = plan_m(ns, m, bs, offsets)
+    if p is None:
+        raise ValueError(
+            f"no merged block-stencil plan for ns={ns}, m={m}, offsets={offsets}"
+        )
+    R, H = p.R, p.H
+    nb = ns // R
+    nh = ns // H if H else 1
+
+    order = [offsets.index(o) for o in p.near + p.far]
+    blocks_ord = blocks[jnp.asarray(order)] if order != list(range(noff)) else blocks
+    diags2d = blocks_ord.reshape(noff * bs * bs, ns)
+
+    in_specs = [
+        pl.BlockSpec((noff * bs * bs, R), lambda i: (0, i),
+                     memory_space=pltpu.VMEM)
+    ]
+    x_args = []
+    if H > 0:
+        in_specs += [
+            pl.BlockSpec((m, H), lambda i: (0, (i * (R // H) - 1) % nh),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, R), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, H), lambda i: (0, ((i + 1) * (R // H)) % nh),
+                         memory_space=pltpu.VMEM),
+        ]
+        x_args += [Xm, Xm, Xm]
+    else:
+        in_specs.append(
+            pl.BlockSpec((m, R), lambda i: (0, i), memory_space=pltpu.VMEM)
+        )
+        x_args.append(Xm)
+    for o in p.far:
+        mm_ = o // R
+        in_specs.append(
+            pl.BlockSpec(
+                (m, R),
+                functools.partial(lambda s, i: (0, (i + s) % nb), mm_),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        x_args.append(Xm)
+
+    kernel = functools.partial(_m_kernel, p.near, p.far, H, bs, k, with_gram)
+    flops = 2 * noff * bs * bs * k * ns + (2 * m * m * ns if with_gram else 0)
+    bytes_accessed = 4 * (m * ns * p.x_reads + noff * bs * bs * ns + m * ns)
+    scratch = [pltpu.VMEM((m, R + 2 * H), Xm.dtype)] if H > 0 else []
+
+    y_spec = pl.BlockSpec((m, R), lambda i: (0, i), memory_space=pltpu.VMEM)
+    y_shape = jax.ShapeDtypeStruct((m, ns), Xm.dtype)
+    if with_gram:
+        out_specs = (y_spec, pl.BlockSpec(
+            (m, m), lambda i: (0, 0), memory_space=pltpu.VMEM))
+        out_shape = (y_shape, jax.ShapeDtypeStruct((m, m), jnp.float32))
+    else:
+        out_specs, out_shape = y_spec, y_shape
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        cost_estimate=pl.CostEstimate(
+            flops=flops, bytes_accessed=int(bytes_accessed), transcendentals=0
+        ),
+        interpret=interpret,
+    )(diags2d, *x_args)
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "interpret"))
+def block_stencil_spmm_m_t(
+    blocks: jax.Array,
+    offsets: tuple[int, ...],
+    Xm: jax.Array,
+    *,
+    interpret: bool = False,
+) -> jax.Array:
+    """Merged-layout block-stencil SpMM: Xm (m = bs*k, ns), row = a*k + i."""
+    return _bsm_impl(blocks, offsets, Xm, False, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("offsets", "interpret"))
+def block_stencil_spmm_m_gram_t(
+    blocks: jax.Array,
+    offsets: tuple[int, ...],
+    Xm: jax.Array,
+    *,
+    interpret: bool = False,
+):
+    """Merged-layout block-stencil SpMM with the (m, m) Gram fused."""
+    return _bsm_impl(blocks, offsets, Xm, True, interpret)
+
+
+def available_m(n_sites: int, m: int, bs: int, offsets: tuple[int, ...]) -> bool:
+    return plan_m(n_sites, m, bs, offsets) is not None

@@ -53,6 +53,7 @@ _TPU_SMOKE = {
     "test_cbdia_solve_sbcgrq",
     "test_slab_solve_end_to_end",
     "test_gauged_solve",
+    "test_gauged_cbdia_solve_matches_general",
     "test_bcgdq_rank_robustness",
     "test_cheb_solve_matches_direct_and_cuts_iterations",
     "test_golden_cg",
@@ -73,14 +74,17 @@ def _backend_has_complex() -> bool:
     import subprocess
     import sys as _sys
 
-    r = subprocess.run(
-        [_sys.executable, "-c",
-         "import jax, numpy as np, jax.numpy as jnp;"
-         "x = jnp.asarray(np.ones(8, np.complex64)) * 1j;"
-         "jax.block_until_ready(x);"
-         "import numpy as _n; _n.asarray(x)"],
-        capture_output=True, timeout=300,
-    )
+    try:
+        r = subprocess.run(
+            [_sys.executable, "-c",
+             "import jax, numpy as np, jax.numpy as jnp;"
+             "x = jnp.asarray(np.ones(8, np.complex64)) * 1j;"
+             "jax.block_until_ready(x);"
+             "import numpy as _n; _n.asarray(x)"],
+            capture_output=True, timeout=300,
+        )
+    except subprocess.TimeoutExpired:
+        return False  # tunnel too slow / hung: treat as unsupported
     return r.returncode == 0
 
 

@@ -68,3 +68,40 @@ def test_block_stencil_plan_dirac32():
     p = plan(L**4, 12, 4, tuple(offs))
     assert p is not None
     assert p.x_reads <= 8.0
+
+
+def test_block_stencil_merged_kernel_matches_scipy():
+    """Merged spin-major general kernel vs scipy, through the operator."""
+    from blockcg_tpu.problems import dirac_gauged
+    from blockcg_tpu.problems.dirac import bdia_scipy
+    from blockcg_tpu.ops.block_stencil import block_stencil_spmm_m_t
+
+    op = dirac_gauged(4, m=0.5, dtype=jnp.float32)
+    a = bdia_scipy(op)
+    rng = np.random.default_rng(17)
+    k = 2  # m = 8
+    X = rng.standard_normal((op.n, k)).astype(np.float32)
+    Xm = op.to_internal(jnp.asarray(X.T))
+    assert Xm.shape == (op.bs * k, op.ns)
+    Ym = block_stencil_spmm_m_t(op.blocks, op.offsets, Xm, interpret=True)
+    Yt = np.asarray(op.from_internal(Ym)).T
+    want = a @ X
+    assert np.abs(Yt - want).max() / np.abs(want).max() < 1e-5
+
+
+def test_block_stencil_merged_gram():
+    from blockcg_tpu.problems import dirac_gauged
+    from blockcg_tpu.ops.block_stencil import (
+        block_stencil_spmm_m_gram_t, block_stencil_spmm_m_t,
+    )
+
+    op = dirac_gauged(4, m=0.5, dtype=jnp.float32)
+    rng = np.random.default_rng(18)
+    Xm = jnp.asarray(rng.standard_normal((op.bs * 2, op.ns)), jnp.float32)
+    Ym, G = block_stencil_spmm_m_gram_t(op.blocks, op.offsets, Xm,
+                                        interpret=True)
+    want_y = block_stencil_spmm_m_t(op.blocks, op.offsets, Xm, interpret=True)
+    np.testing.assert_allclose(np.asarray(Ym), np.asarray(want_y),
+                               rtol=1e-6, atol=1e-6)
+    want_g = np.asarray(Xm, np.float64) @ np.asarray(want_y, np.float64).T
+    np.testing.assert_allclose(np.asarray(G), want_g, rtol=1e-4, atol=1e-3)

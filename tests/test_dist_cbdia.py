@@ -78,3 +78,20 @@ def test_partition_cbdia_rejects_masked_crossing():
     # open bc: the t-hops are masked (c0 boundaries) AND cross -> reject
     with pytest.raises(ValueError):
         partition_cbdia(op, D)
+
+
+def test_dist_cbdia_shifted_matches_single():
+    from blockcg_tpu.parallel import solve_shifted_sbcgrq_dist
+    from blockcg_tpu.solvers.shifted_block import solve_shifted_sbcgrq
+
+    op = _op()
+    dop = partition_cbdia(op, D)
+    mesh = row_mesh(D)
+    rng = np.random.default_rng(9)
+    B = jnp.asarray(rng.standard_normal((op.n, 4)), dtype=jnp.float32)
+    sigmas = [0.0, 0.8]
+    Xd, info_d = solve_shifted_sbcgrq_dist(dop, B, sigmas, mesh, tol=1e-5,
+                                           max_iter=200)
+    Xs, info_s = solve_shifted_sbcgrq(op, B, sigmas, tol=1e-5, max_iter=200)
+    assert abs(int(info_d.iterations) - int(info_s.iterations)) <= 2
+    assert np.abs(np.asarray(Xd) - np.asarray(Xs)).max() < 1e-4
