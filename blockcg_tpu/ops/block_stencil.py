@@ -9,7 +9,11 @@ bs x bs blocks is a *block stencil*: in spin-major row ordering
 
 i.e. per site-offset o_d a pointwise bs x bs block multiply. This kernel
 reuses the scalar stencil windowing (near halo + far aligned windows, see
-ops/stencil.py) on the site axis, with fields viewed as (k, bs, ns).
+ops/stencil.py) on the site axis. The primary variant
+(``block_stencil_spmm_m_t``) takes the merged spin-major (m = bs*k, ns)
+field view (unpadded sublanes — see ops/const_block_stencil.py); the
+(k, bs, ns) 3D-view kernel remains for the distributed wrapper's local
+shards and k = 1 fields.
 
 Periodic boundary wraps are *extra diagonals* with masked coefficients
 (emitted by problems/dirac.py), so the kernel itself has no wrap logic; the

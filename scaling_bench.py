@@ -51,6 +51,8 @@ def main():
     ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args()
 
+    import os
+
     import jax
 
     if args.distributed:
@@ -59,6 +61,11 @@ def main():
             num_processes=args.num_processes,
             process_id=args.process_id,
         )
+    elif os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        # This sandbox pre-imports jax with the TPU platform pinned by a
+        # sitecustomize hook; the env var alone does not stick (see
+        # __graft_entry__._ensure_cpu_mesh). Honor a requested CPU run.
+        jax.config.update("jax_platforms", "cpu")
 
     import jax.numpy as jnp
 
