@@ -849,7 +849,8 @@ def slab_m_accumulate(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("hop", "g", "nblocks", "dst_base", "src_base", "interpret"),
+    static_argnames=("hop", "g", "nblocks", "dst_base", "src_base",
+                     "with_gram", "interpret"),
 )
 def slab_m_accumulate_from(
     hop: tuple,
@@ -859,39 +860,85 @@ def slab_m_accumulate_from(
     src_base: int,
     Src: jax.Array,
     Ym: jax.Array,
+    Xm: jax.Array | None = None,
     *,
+    with_gram: bool = False,
     interpret: bool = False,
-) -> jax.Array:
+):
     """Merged-layout ``Y[g-blocks dst_base + j] += W_slab @ Src[src_base + j]``
-    with a separate source array (distributed halo corrections)."""
+    with a separate source array (distributed halo corrections). With
+    ``with_gram`` (requires the local field ``Xm``) also returns the (m, m)
+    Gram contribution ``sum_dst X_dst (dY)^T`` of the correction — the
+    distributed fused matmat+gram path adds its contraction to the local
+    kernel's Gram so no field is re-read."""
     m, ns = Ym.shape
     bs = len(hop)
     wt = _slab_weights(hop, m // bs, Ym.dtype)
 
-    def kern(wt_ref, y_in_ref, x_ref, y_ref):
+    def kern(*refs):
+        if with_gram:
+            wt_ref, y_in_ref, x_ref, xd_ref, y_ref, g_ref = refs
+        else:
+            wt_ref, y_in_ref, x_ref, y_ref = refs
         dy = jax.lax.dot_general(
             wt_ref[:], x_ref[:], (((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=y_ref.dtype,
         )
         y_ref[:, :] = y_in_ref[:] + dy
+        if with_gram:
+            gg = jax.lax.dot_general(
+                xd_ref[:], dy, (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            j = pl.program_id(0)
+
+            @pl.when(j == 0)
+            def _():
+                g_ref[:, :] = gg
+
+            @pl.when(j > 0)
+            def _():
+                g_ref[:, :] += gg
+
+    in_specs = [
+        pl.BlockSpec(wt.shape, lambda j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((m, g), lambda j: (0, dst_base + j),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((m, g), lambda j: (0, src_base + j),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [wt, Ym, Src]
+    if with_gram:
+        in_specs.append(
+            pl.BlockSpec((m, g), lambda j: (0, dst_base + j),
+                         memory_space=pltpu.VMEM)
+        )
+        args.append(Xm)
+        out_specs = (
+            pl.BlockSpec((m, g), lambda j: (0, dst_base + j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((m, m), lambda j: (0, 0), memory_space=pltpu.VMEM),
+        )
+        out_shape = (
+            jax.ShapeDtypeStruct(Ym.shape, Ym.dtype),
+            jax.ShapeDtypeStruct((m, m), jnp.float32),
+        )
+    else:
+        out_specs = pl.BlockSpec((m, g), lambda j: (0, dst_base + j),
+                                 memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct(Ym.shape, Ym.dtype)
 
     return pl.pallas_call(
         kern,
         grid=(nblocks,),
-        in_specs=[
-            pl.BlockSpec(wt.shape, lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, g), lambda j: (0, dst_base + j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((m, g), lambda j: (0, src_base + j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((m, g), lambda j: (0, dst_base + j),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(Ym.shape, Ym.dtype),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         input_output_aliases={1: 0},
         interpret=interpret,
-    )(wt, Ym, Src)
+    )(*args)
 
 
 def _slab_gram_kernel(hop, bs, y_in_ref, x_src_ref, x_dst_ref, g_in_ref,

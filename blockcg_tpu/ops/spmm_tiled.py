@@ -14,6 +14,12 @@ the canonical scalar-prefetch pattern:
 Per tile: one MXU matmul (k,T) @ (T,T)^T. Efficiency scales with tile
 density — this is the honest generic fallback; structured operators should
 use the stencil kernels (ops/stencil.py, ops/block_stencil.py).
+
+No fused P^H(AP) Gram here (unlike the stencil kernels): the Gram term
+would need an extra X row-block read per tile (the output tile is only
+complete at its last visit), costing avg-tiles-per-row x (k*T) reads —
+more HBM traffic than the separate one-pass gram kernel whenever a
+row-tile row holds more than 2 tiles, which sparse matrices always do.
 """
 
 from __future__ import annotations

@@ -356,6 +356,42 @@ class DistConstBlockDIAOperator(MatmatMixin):
                 Ym = Ym.at[:, dst0 : dst0 + abs(o)].add(contrib)
         return Ym
 
+    def matmat_gram_t(self, Xm: jax.Array, interpret: bool = False):
+        """Fused (Y = A X, G = X^H Y local part): the local merged kernel
+        emits its Gram, and each halo-sourced slab correction adds its own
+        Gram contribution from blocks already in VMEM — the caller psums
+        the k x k across shards (solvers/common.f_matmat_gram)."""
+        import os
+
+        from blockcg_tpu.ops import const_block_stencil as cbs
+        from blockcg_tpu.parallel.halo import ring_halos
+
+        ok = (
+            (interpret or (jax.default_backend() == "tpu"
+                           and not os.environ.get("BLOCKCG_NO_PALLAS")))
+            and Xm.dtype == jnp.float32
+            and self.local._pallas_ok(Xm, interpret)
+        )
+        if not ok:
+            return self.matmat_t(Xm), None
+        halo_l, halo_r = ring_halos(Xm, self.bw, self.axis_name)
+        Ym, Gk = self.local.matmat_gram_t(Xm, interpret=interpret)
+        ns_l = Xm.shape[1]
+        for d, o, g, nblocks in self.crossings:
+            hop = self.local.hops[d]
+            if o > 0:
+                dst0, src = ns_l - o, halo_r
+                src0 = 0
+            else:
+                dst0, src = 0, halo_l
+                src0 = self.bw + o
+            Ym, Gm_part = cbs.slab_m_accumulate_from(
+                hop, g, nblocks, dst0 // g, src0 // g, src, Ym, Xm,
+                with_gram=True, interpret=interpret,
+            )
+            Gk = Gk + self.local.gram_contract(Gm_part)
+        return Ym, Gk
+
     def in_specs(self):
         from jax.sharding import PartitionSpec as P
 

@@ -95,3 +95,40 @@ def test_dist_cbdia_shifted_matches_single():
     Xs, info_s = solve_shifted_sbcgrq(op, B, sigmas, tol=1e-5, max_iter=200)
     assert abs(int(info_d.iterations) - int(info_s.iterations)) <= 2
     assert np.abs(np.asarray(Xd) - np.asarray(Xs)).max() < 1e-4
+
+
+def test_dist_cbdia_fused_gram_matches_global():
+    """Distributed fused matmat+gram (interpret kernels on the fake mesh):
+    psum of local Grams == global X^T (A X)."""
+    from jax import lax
+
+    op = _op()
+    dop = partition_cbdia(op, D)
+    mesh = row_mesh(D)
+    rng = np.random.default_rng(10)
+    k = 4
+    Xm = jnp.asarray(rng.standard_normal((k * op.bs, op.ns)),
+                     dtype=jnp.float32)
+    Xs = jax.device_put(Xm, jax.NamedSharding(mesh, P(None, "rows")))
+
+    def body(o, x):
+        y, gl = o.matmat_gram_t(x, interpret=True)
+        assert gl is not None
+        return y, lax.psum(gl, "rows")
+
+    fn = shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(dop.in_specs(), P(None, "rows")),
+        out_specs=(P(None, "rows"), P()),
+        check_vma=False,
+    )
+    got_y, got_g = jax.jit(fn)(dop, Xs)
+    want_y = np.asarray(op.matmat_t(Xm))
+    np.testing.assert_allclose(np.asarray(got_y), want_y, rtol=2e-5,
+                               atol=2e-5)
+    want_g = (np.asarray(Xm, np.float64)
+              @ np.asarray(want_y, np.float64).T)
+    want_g = op.gram_contract(jnp.asarray(want_g)).astype(np.float64)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(want_g),
+                               rtol=1e-4, atol=1e-3)
