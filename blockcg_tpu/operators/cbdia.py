@@ -111,27 +111,36 @@ class ConstBlockDIAOperator(MatmatMixin):
     def _is_internal(self, Xt: jax.Array) -> bool:
         return Xt.shape[-1] == self.ns
 
-    def _pallas_ok(self, Xm, interpret: bool) -> bool:
+    def _env_ok(self, dtype, interpret: bool) -> bool:
+        """Backend/dtype/mask gating shared by every kernel route."""
         import os
 
+        return (
+            (interpret or (jax.default_backend() == "tpu"
+                           and not os.environ.get("BLOCKCG_NO_PALLAS")))
+            and dtype == jnp.float32
+            and (self.masks is None or self.masks.dtype == jnp.float32)
+        )
+
+    def _pallas_ok(self, Xm, interpret: bool) -> bool:
         from blockcg_tpu.ops import const_block_stencil as cbs
 
         nmask = 0 if self.masks is None else self.masks.shape[0]
         hops_m, offs_m, _ = self._main_statics()
-        return (
-            (interpret or (jax.default_backend() == "tpu"
-                           and not os.environ.get("BLOCKCG_NO_PALLAS")))
-            and Xm.dtype == jnp.float32
-            and (self.masks is None or self.masks.dtype == jnp.float32)
-            and cbs.available_m(self.ns, Xm.shape[0], offs_m, nmask,
-                                groups=cbs.n_groups(hops_m))
+        return self._env_ok(Xm.dtype, interpret) and cbs.available_m(
+            self.ns, Xm.shape[0], offs_m, nmask, groups=cbs.n_groups(hops_m)
         )
 
     def matmat_t(self, Xt: jax.Array, interpret: bool = False) -> jax.Array:
-        """Apply to a lanes-major block: flat (k, n) [spin-major rows] or
-        the merged internal (m, ns) view."""
+        """Apply to a lanes-major block: flat (k, n) [spin-major rows], the
+        merged internal (m, ns) view, or the legacy 3D (k, bs, ns) view."""
         from blockcg_tpu.ops import const_block_stencil as cbs
 
+        if Xt.ndim == 3:  # legacy 3D view: convert through merged
+            k = Xt.shape[0]
+            Xm = jnp.swapaxes(Xt, 0, 1).reshape(self.bs * k, self.ns)
+            Ym = self.matmat_t(Xm, interpret=interpret)
+            return jnp.swapaxes(Ym.reshape(self.bs, k, self.ns), 0, 1)
         if not self._is_internal(Xt):
             return self.from_internal(
                 self.matmat_t(self.to_internal(Xt), interpret=interpret)
@@ -153,16 +162,10 @@ class ConstBlockDIAOperator(MatmatMixin):
             # reshape, so the legacy 3D kernel (which pads k to 8 sublanes
             # — same cost as the old layout) still serves single-RHS solves
             # whose m = bs is not 8-aligned.
-            import os
-
             nmask = 0 if self.masks is None else self.masks.shape[0]
-            if (
-                (interpret or (jax.default_backend() == "tpu"
-                               and not os.environ.get("BLOCKCG_NO_PALLAS")))
-                and Xm.dtype == jnp.float32
-                and (self.masks is None or self.masks.dtype == jnp.float32)
-                and cbs.available(self.ns, 1, self.bs, offs_m, nmask,
-                                  groups=cbs.n_groups(hops_m))
+            if self._env_ok(Xm.dtype, interpret) and cbs.available(
+                self.ns, 1, self.bs, offs_m, nmask,
+                groups=cbs.n_groups(hops_m)
             ):
                 Xv = Xm.reshape(1, self.bs, self.ns)
                 Yv = cbs.const_block_stencil_spmm_t(

@@ -430,7 +430,8 @@ def plan_m(
 
 
 def _m_kernel(near, far, H, m, groups, nmask, precision, with_gram, *refs):
-    nf = len(far)
+    far_unique = tuple(dict.fromkeys(far))  # deduped, order-preserving
+    nf = len(far_unique)
     i = 0
     masks_ref = None
     if nmask > 0:
@@ -457,11 +458,11 @@ def _m_kernel(near, far, H, m, groups, nmask, precision, with_gram, *refs):
         w_ref[:, H : H + R] = xcur[:]
         w_ref[:, H + R :] = xnext[:]
 
+    # Duplicate far offsets (value-masked pairs like the U(1) K1/K2
+    # diagonals) share ONE window fetch.
     fi_of = {}
-    fi = 0
-    for d in range(len(near), len(near) + nf):
-        fi_of[d] = fi
-        fi += 1
+    for d in range(len(near), len(near) + len(far)):
+        fi_of[d] = far_unique.index(far[d - len(near)])
 
     def window_of(d, o):
         if d < len(near):
@@ -571,7 +572,7 @@ def _cbs_m_impl(hops, offsets, mask_slot, masks, Xm, with_gram, interpret,
             pl.BlockSpec((m, R), lambda i: (0, i), memory_space=pltpu.VMEM)
         )
         args.append(Xm)
-    for o in p.far:
+    for o in dict.fromkeys(p.far):  # deduped windows (kernel maps shares)
         mm_ = o // R
         in_specs.append(
             pl.BlockSpec(
@@ -940,92 +941,6 @@ def slab_m_accumulate_from(
         interpret=interpret,
     )(*args)
 
-
-def _slab_gram_kernel(hop, bs, y_in_ref, x_src_ref, x_dst_ref, g_in_ref,
-                      y_ref, g_ref):
-    k = y_ref.shape[0]
-    dy = [None] * bs
-    for b in range(bs):
-        w = x_src_ref[:, b, :]
-        for a in range(bs):
-            if hop[a][b] != 0.0:
-                t = hop[a][b] * w
-                dy[a] = t if dy[a] is None else dy[a] + t
-    gacc = None
-    for a in range(bs):
-        if dy[a] is None:
-            y_ref[:, a, :] = y_in_ref[:, a, :]
-            continue
-        y_ref[:, a, :] = y_in_ref[:, a, :] + dy[a]
-        t = jax.lax.dot_general(
-            x_dst_ref[:, a, :], dy[a], (((1,), (1,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-            preferred_element_type=jnp.float32,
-        )
-        gacc = t if gacc is None else gacc + t
-    j = pl.program_id(0)
-
-    @pl.when(j == 0)
-    def _():
-        g_ref[:, :] = g_in_ref[:, :] + gacc
-
-    @pl.when(j > 0)
-    def _():
-        g_ref[:, :] += gacc
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("hop", "g", "nblocks", "dst_mul", "dst_off", "src_shift",
-                     "interpret"),
-)
-def slab_block_accumulate_gram(
-    hop: tuple,
-    g: int,
-    nblocks: int,
-    dst_mul: int,
-    dst_off: int,
-    src_shift: int,
-    Xv: jax.Array,
-    Yv: jax.Array,
-    Gm: jax.Array,
-    *,
-    interpret: bool = False,
-):
-    """Like ``slab_block_accumulate`` but also accumulates the Gram
-    correction ``G += sum_dst X_dst (hop @ X_src)^T`` into ``Gm`` — used by
-    the operators' fused matmat+gram path so the k x k stays exact without
-    re-reading any field from HBM (only the touched slabs stream)."""
-    k, bs, ns = Xv.shape
-    nb = ns // g
-
-    def dst(j):
-        return (dst_mul * j + dst_off) % nb
-
-    return pl.pallas_call(
-        functools.partial(_slab_gram_kernel, hop, bs),
-        grid=(nblocks,),
-        in_specs=[
-            pl.BlockSpec((k, bs, g), lambda j: (0, 0, dst(j)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, bs, g), lambda j: (0, 0, (dst(j) + src_shift) % nb),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, bs, g), lambda j: (0, 0, dst(j)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((k, bs, g), lambda j: (0, 0, dst(j)),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, k), lambda j: (0, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct(Yv.shape, Yv.dtype),
-            jax.ShapeDtypeStruct((k, k), jnp.float32),
-        ),
-        input_output_aliases={0: 0},
-        interpret=interpret,
-    )(Yv, Xv, Xv, Gm)
 
 
 @functools.partial(

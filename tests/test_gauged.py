@@ -136,3 +136,31 @@ def test_gauged_cbdia_solve_matches_general():
     Xg, ig = bc.solve_sbcgrq(opg, B, tol=1e-5, max_iter=300)
     assert abs(int(ic.iterations) - int(ig.iterations)) <= 2
     assert np.abs(np.asarray(Xc) - np.asarray(Xg)).max() < 1e-4
+
+
+def test_gauged_cbdia_u1_core_kernel_interpret():
+    """True duplicate-offset coverage: the complex64 U(1) operator's
+    realified f32 core (K1/K2 value-masked pairs share offsets) through the
+    merged kernel in interpret mode vs its XLA oracle."""
+    from blockcg_tpu.problems import dirac_gauged_cbdia
+
+    w = dirac_gauged_cbdia(4, m=0.5, dtype=jnp.complex64)
+    core = w.real_op
+    # duplicate offsets must actually be present
+    assert len(core.offsets) > len(set(core.offsets))
+    rng = np.random.default_rng(8)
+    k = 2  # m = 2*bs_r... bs_r = 8 -> m = 16
+    Xm = jnp.asarray(rng.standard_normal((core.bs * k, core.ns)),
+                     dtype=jnp.float32)
+    got = core.matmat_t(Xm, interpret=True)
+    want = core._matmat_m_xla(Xm)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    # and the fused gram path over the same duplicate-offset structure
+    Y, G = core.matmat_gram_t(Xm, interpret=True)
+    np.testing.assert_allclose(np.asarray(Y), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    want_g = core.gram_contract(jnp.asarray(
+        np.asarray(Xm, np.float64) @ np.asarray(want, np.float64).T))
+    np.testing.assert_allclose(np.asarray(G), np.asarray(want_g),
+                               rtol=1e-4, atol=1e-3)

@@ -186,3 +186,22 @@ def test_sbcgrq_invariant_on_device():
             B, axis=0
         )
         np.testing.assert_allclose(np.asarray(info.relres), true, rtol=1e-6, atol=1e-12)
+
+
+def test_bcg_and_bcgdq_on_merged_block_operator():
+    """Regression: solvers' per-RHS norms/Grams must contract the merged
+    (m = bs*k, ns) internal rows (codec) — solve_bcg once crashed here."""
+    import blockcg_tpu as bc
+    from blockcg_tpu.problems import dirac_cbdia
+    from blockcg_tpu.problems.dirac import bdia_scipy
+
+    op = dirac_cbdia(4, m=0.5, dtype=jnp.float32)
+    rng = np.random.default_rng(23)
+    B = jnp.asarray(rng.standard_normal((op.n, 4)), dtype=jnp.float32)
+    a = bdia_scipy(op.to_block_dia())
+    for solver in (bc.solve_bcg, bc.solve_bcgdq):
+        X, info = solver(op, B, tol=1e-5, max_iter=300)
+        r = np.asarray(B) - a @ np.asarray(X)
+        rel = (np.linalg.norm(r, axis=0)
+               / np.linalg.norm(np.asarray(B), axis=0)).max()
+        assert rel < 1e-4, solver
