@@ -862,12 +862,15 @@ def slab_m_accumulate_from(
     Src: jax.Array,
     Ym: jax.Array,
     Xm: jax.Array | None = None,
+    vals: jax.Array | None = None,
     *,
     with_gram: bool = False,
     interpret: bool = False,
 ):
     """Merged-layout ``Y[g-blocks dst_base + j] += W_slab @ Src[src_base + j]``
-    with a separate source array (distributed halo corrections). With
+    with a separate source array (distributed halo corrections). ``vals``
+    (optional, (1, nblocks*g)) scales the correction per destination site —
+    the value-carrying masks of gauged crossing diagonals. With
     ``with_gram`` (requires the local field ``Xm``) also returns the (m, m)
     Gram contribution ``sum_dst X_dst (dY)^T`` of the correction — the
     distributed fused matmat+gram path adds its contraction to the local
@@ -875,17 +878,24 @@ def slab_m_accumulate_from(
     m, ns = Ym.shape
     bs = len(hop)
     wt = _slab_weights(hop, m // bs, Ym.dtype)
+    has_vals = vals is not None
 
     def kern(*refs):
-        if with_gram:
-            wt_ref, y_in_ref, x_ref, xd_ref, y_ref, g_ref = refs
-        else:
-            wt_ref, y_in_ref, x_ref, y_ref = refs
+        refs = list(refs)
+        wt_ref = refs.pop(0)
+        y_in_ref = refs.pop(0)
+        x_ref = refs.pop(0)
+        v_ref = refs.pop(0) if has_vals else None
+        xd_ref = refs.pop(0) if with_gram else None
+        y_ref = refs.pop(0)
+        g_ref = refs.pop(0) if with_gram else None
         dy = jax.lax.dot_general(
             wt_ref[:], x_ref[:], (((1,), (0,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,
             preferred_element_type=y_ref.dtype,
         )
+        if has_vals:
+            dy = dy * v_ref[:]  # (1, g) broadcast over rows
         y_ref[:, :] = y_in_ref[:] + dy
         if with_gram:
             gg = jax.lax.dot_general(
@@ -911,6 +921,11 @@ def slab_m_accumulate_from(
                      memory_space=pltpu.VMEM),
     ]
     args = [wt, Ym, Src]
+    if has_vals:
+        in_specs.append(
+            pl.BlockSpec((1, g), lambda j: (0, j), memory_space=pltpu.VMEM)
+        )
+        args.append(vals)
     if with_gram:
         in_specs.append(
             pl.BlockSpec((m, g), lambda j: (0, dst_base + j),

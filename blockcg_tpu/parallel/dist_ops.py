@@ -277,11 +277,14 @@ class DistConstBlockDIAOperator(MatmatMixin):
     """
 
     local: object  # ConstBlockDIAOperator (local shard)
+    # per-crossing edge-value coefficients ((1, D*|o|) arrays sharded on
+    # sites, or None for unit-valued crossings) — gauged link values
+    cross_vals: tuple = ()
     # crossing corrections: (d_hop_index, o, g, nblocks) per crossing diag
-    crossings: tuple
-    bw: int
-    g: int
-    axis_name: str
+    crossings: tuple = ()
+    bw: int = 0
+    g: int = 0
+    axis_name: str = "rows"
 
     @property
     def bs(self) -> int:
@@ -330,8 +333,9 @@ class DistConstBlockDIAOperator(MatmatMixin):
             and Xm.dtype == jnp.float32
             and not os.environ.get("BLOCKCG_NO_PALLAS")
         )
-        for d, o, g, nblocks in self.crossings:
+        for ci, (d, o, g, nblocks) in enumerate(self.crossings):
             hop = self.local.hops[d]
+            vals = self.cross_vals[ci] if self.cross_vals else None
             if o > 0:
                 # rows [ns_l - o, ns_l) <- neighbor's first o sites
                 dst0, src = ns_l - o, halo_r
@@ -342,7 +346,8 @@ class DistConstBlockDIAOperator(MatmatMixin):
                 src0 = self.bw + o  # halo holds bw sites; take the last -o
             if use_pallas:
                 Ym = cbs.slab_m_accumulate_from(
-                    hop, g, nblocks, dst0 // g, src0 // g, src, Ym
+                    hop, g, nblocks, dst0 // g, src0 // g, src, Ym, None,
+                    vals,
                 )
             else:
                 m = Xm.shape[0]
@@ -353,6 +358,8 @@ class DistConstBlockDIAOperator(MatmatMixin):
                 contrib = jnp.einsum(
                     "ab,bki->aki", h, w, precision=jax.lax.Precision.HIGHEST
                 ).reshape(m, abs(o))
+                if vals is not None:
+                    contrib = contrib * vals.astype(contrib.dtype)
                 Ym = Ym.at[:, dst0 : dst0 + abs(o)].add(contrib)
         return Ym
 
@@ -377,8 +384,9 @@ class DistConstBlockDIAOperator(MatmatMixin):
         halo_l, halo_r = ring_halos(Xm, self.bw, self.axis_name)
         Ym, Gk = self.local.matmat_gram_t(Xm, interpret=interpret)
         ns_l = Xm.shape[1]
-        for d, o, g, nblocks in self.crossings:
+        for ci, (d, o, g, nblocks) in enumerate(self.crossings):
             hop = self.local.hops[d]
+            vals = self.cross_vals[ci] if self.cross_vals else None
             if o > 0:
                 dst0, src = ns_l - o, halo_r
                 src0 = 0
@@ -386,7 +394,7 @@ class DistConstBlockDIAOperator(MatmatMixin):
                 dst0, src = 0, halo_l
                 src0 = self.bw + o
             Ym, Gm_part = cbs.slab_m_accumulate_from(
-                hop, g, nblocks, dst0 // g, src0 // g, src, Ym, Xm,
+                hop, g, nblocks, dst0 // g, src0 // g, src, Ym, Xm, vals,
                 with_gram=True, interpret=interpret,
             )
             Gk = Gk + self.local.gram_contract(Gm_part)
@@ -403,6 +411,10 @@ class DistConstBlockDIAOperator(MatmatMixin):
         )
         return DistConstBlockDIAOperator(
             local=local_spec,
+            cross_vals=tuple(
+                None if v is None else P(None, self.axis_name)
+                for v in self.cross_vals
+            ),
             crossings=self.crossings,
             bw=self.bw,
             g=self.g,
@@ -425,7 +437,7 @@ class DistConstBlockDIAOperator(MatmatMixin):
 
 jax.tree_util.register_dataclass(
     DistConstBlockDIAOperator,
-    data_fields=["local"],
+    data_fields=["local", "cross_vals"],
     meta_fields=["crossings", "bw", "g", "axis_name"],
 )
 
@@ -433,10 +445,11 @@ jax.tree_util.register_dataclass(
 def partition_cbdia(op, D: int, axis_name: str = "rows", g: int | None = None):
     """Partition a ConstBlockDIAOperator over D site-contiguous shards.
 
-    Requirements: D | ns; every diagonal that crosses a shard boundary must
-    be unmasked with g | offset and |offset| <= ns/D (the lattice t-hops) —
-    masked crossing diagonals would need per-row boundary coefficients;
-    build those operators with partition_bdia instead.
+    Requirements: D | ns and every crossing diagonal slab-alignable
+    (g | offset, |offset| <= ns/D — the lattice t-hops). Crossing diagonals
+    may be VALUE-masked (gauged operators: per-site link values): the edge
+    values ride along as per-crossing coefficient arrays multiplying the
+    halo-sourced slab correction.
     """
     from blockcg_tpu.operators.cbdia import ConstBlockDIAOperator, detect_slabs
 
@@ -452,6 +465,7 @@ def partition_cbdia(op, D: int, axis_name: str = "rows", g: int | None = None):
     new_masks: list[np.ndarray] = []
     new_slot: list[int] = []
     crossings = []
+    cross_vals: list = []
     dtype = np.float32 if masks_np is None else masks_np.dtype
     for d, o in enumerate(op.offsets):
         ms = op.mask_slot[d]
@@ -473,13 +487,10 @@ def partition_cbdia(op, D: int, axis_name: str = "rows", g: int | None = None):
         interior = np.where(crosses, 0.0, base).astype(dtype)
         new_slot.append(len(new_masks))
         new_masks.append(interior)
-        # ...and a halo-sourced boundary correction, valid only when the
-        # coupled rows are the full contiguous edge slab in EVERY shard.
+        # ...and a halo-sourced boundary correction over the edge slab
+        # (crossing rows ARE the edge slab whenever |o| <= ns_l). Value
+        # masks (gauged links) ride along as edge-value coefficients.
         edge = (j >= ns_l - o) if o > 0 else (j < -o)
-        if not np.array_equal(eff, edge):
-            raise ValueError(
-                f"offset {o}: masked crossing diagonal — use partition_bdia"
-            )
         gg = g
         if gg is None:
             gg = 256
@@ -489,7 +500,14 @@ def partition_cbdia(op, D: int, axis_name: str = "rows", g: int | None = None):
             raise ValueError(
                 f"offset {o}: not slab-alignable (g={gg}) — use partition_bdia"
             )
+        if np.all(base[edge] == 1.0):
+            vals = None
+        else:
+            eb = base.reshape(D, ns_l)
+            ev = eb[:, ns_l - o :] if o > 0 else eb[:, : -o]
+            vals = jnp.asarray(ev.reshape(1, D * abs(o)).astype(np.float32))
         crossings.append((d, o, gg, abs(o) // gg))
+        cross_vals.append(vals)
 
     if not crossings:
         raise ValueError("no crossing diagonals; use the operator directly")
@@ -531,6 +549,7 @@ def partition_cbdia(op, D: int, axis_name: str = "rows", g: int | None = None):
         object.__setattr__(local, "slabs", probed.slabs)
     return DistConstBlockDIAOperator(
         local=local,
+        cross_vals=tuple(cross_vals),
         crossings=crossings,
         bw=bw,
         g=g_all,

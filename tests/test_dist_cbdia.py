@@ -73,11 +73,29 @@ def test_dist_cbdia_solve_matches_single_device():
     assert rel < 1e-4
 
 
-def test_partition_cbdia_rejects_masked_crossing():
+def test_partition_cbdia_masked_crossing_open_bc():
+    """Open bc: the crossing t-hops are 0/1-masked at the global boundary.
+    The edge values ride the crossing correction (zeroing the last shard's
+    wrap), so the partition is exact — previously this was rejected."""
     op = dirac_cbdia(8, m=0.5, bc="open", dtype=jnp.float32)
-    # open bc: the t-hops are masked (c0 boundaries) AND cross -> reject
-    with pytest.raises(ValueError):
-        partition_cbdia(op, D)
+    dop = partition_cbdia(op, D)
+    assert any(v is not None for v in dop.cross_vals)
+    mesh = row_mesh(D)
+    rng = np.random.default_rng(14)
+    k = 2
+    Xm = jnp.asarray(rng.standard_normal((k * op.bs, op.ns)),
+                     dtype=jnp.float32)
+    Xs = jax.device_put(Xm, jax.NamedSharding(mesh, P(None, "rows")))
+    fn = shard_map(
+        lambda o, x: o.matmat_t(x),
+        mesh=mesh,
+        in_specs=(dop.in_specs(), P(None, "rows")),
+        out_specs=P(None, "rows"),
+        check_vma=False,
+    )
+    got = np.asarray(jax.jit(fn)(dop, Xs))
+    want = np.asarray(op.matmat_t(Xm))
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-6
 
 
 def test_dist_cbdia_shifted_matches_single():
@@ -130,5 +148,81 @@ def test_dist_cbdia_fused_gram_matches_global():
     want_g = (np.asarray(Xm, np.float64)
               @ np.asarray(want_y, np.float64).T)
     want_g = op.gram_contract(jnp.asarray(want_g)).astype(np.float64)
+    np.testing.assert_allclose(np.asarray(got_g), np.asarray(want_g),
+                               rtol=1e-4, atol=1e-3)
+
+
+def test_dist_gauged_cbdia_matches_global():
+    """Gauged (Z2 value-masked) operator partitioned over shards: crossing
+    diagonals carry edge link values into the halo correction."""
+    from blockcg_tpu.problems import dirac_gauged_cbdia
+
+    op = dirac_gauged_cbdia(8, m=0.5, dtype=jnp.float32)
+    dop = partition_cbdia(op, D)
+    assert any(v is not None for v in dop.cross_vals)
+    mesh = row_mesh(D)
+    rng = np.random.default_rng(11)
+    k = 4
+    Xm = jnp.asarray(rng.standard_normal((k * op.bs, op.ns)),
+                     dtype=jnp.float32)
+    Xs = jax.device_put(Xm, jax.NamedSharding(mesh, P(None, "rows")))
+    fn = shard_map(
+        lambda o, x: o.matmat_t(x),
+        mesh=mesh,
+        in_specs=(dop.in_specs(), P(None, "rows")),
+        out_specs=P(None, "rows"),
+        check_vma=False,
+    )
+    got = np.asarray(jax.jit(fn)(dop, Xs))
+    want = np.asarray(op.matmat_t(Xm))
+    err = np.abs(got - want).max() / np.abs(want).max()
+    assert err < 1e-6
+
+
+def test_dist_gauged_cbdia_solve_matches_single():
+    from blockcg_tpu.problems import dirac_gauged_cbdia
+
+    op = dirac_gauged_cbdia(8, m=0.5, dtype=jnp.float32)
+    dop = partition_cbdia(op, D)
+    mesh = row_mesh(D)
+    rng = np.random.default_rng(12)
+    B = jnp.asarray(rng.standard_normal((op.n, 4)), dtype=jnp.float32)
+    Xd, info_d = solve_sbcgrq_dist(dop, B, mesh, tol=1e-5, max_iter=200)
+    Xs, info_s = bc.solve_sbcgrq(op, B, tol=1e-5, max_iter=200)
+    assert abs(int(info_d.iterations) - int(info_s.iterations)) <= 2
+    assert np.abs(np.asarray(Xd) - np.asarray(Xs)).max() < 1e-4
+
+
+def test_dist_gauged_fused_gram_matches_global():
+    from jax import lax
+
+    from blockcg_tpu.problems import dirac_gauged_cbdia
+
+    op = dirac_gauged_cbdia(8, m=0.5, dtype=jnp.float32)
+    dop = partition_cbdia(op, D)
+    mesh = row_mesh(D)
+    rng = np.random.default_rng(13)
+    k = 2
+    Xm = jnp.asarray(rng.standard_normal((k * op.bs, op.ns)),
+                     dtype=jnp.float32)
+    Xs = jax.device_put(Xm, jax.NamedSharding(mesh, P(None, "rows")))
+
+    def body(o, x):
+        y, gl = o.matmat_gram_t(x, interpret=True)
+        assert gl is not None
+        return y, lax.psum(gl, "rows")
+
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(dop.in_specs(), P(None, "rows")),
+        out_specs=(P(None, "rows"), P()),
+        check_vma=False,
+    )
+    got_y, got_g = jax.jit(fn)(dop, Xs)
+    want_y = np.asarray(op.matmat_t(Xm))
+    np.testing.assert_allclose(np.asarray(got_y), want_y, rtol=2e-5,
+                               atol=2e-5)
+    want_g = op.gram_contract(jnp.asarray(
+        np.asarray(Xm, np.float64) @ np.asarray(want_y, np.float64).T))
     np.testing.assert_allclose(np.asarray(got_g), np.asarray(want_g),
                                rtol=1e-4, atol=1e-3)
