@@ -112,7 +112,7 @@ def solve_sbcgrq_dist(
         mesh=mesh,
         in_specs=(dop.in_specs(), _field_pspec(dop, axis)),
         out_specs=(_field_pspec(dop, axis), _info_specs(record_history)),
-        check_vma=False,
+        check_vma=True,
     ))
     Xt, info = fn(dop, Bt)
     return _field_result(dop, mesh, Xt), info
@@ -143,7 +143,7 @@ def _field_result(dop, mesh, Xt):
             mesh=mesh,
             in_specs=(_field_pspec(dop, axis),),
             out_specs=P(None, axis),
-            check_vma=False,
+            check_vma=True,
         ))
         return fn(Xt).T
     Xn = np.asarray(jax.device_get(Xt))
@@ -177,7 +177,7 @@ def solve_bcg_dist(
         mesh=mesh,
         in_specs=(dop.in_specs(), _field_pspec(dop, axis)),
         out_specs=(_field_pspec(dop, axis), _info_specs(record_history)),
-        check_vma=False,
+        check_vma=True,
     ))
     Xt, info = fn(dop, Bt)
     return _field_result(dop, mesh, Xt), info
@@ -214,7 +214,7 @@ def solve_shifted_sbcgrq_dist(
         mesh=mesh,
         in_specs=(dop.in_specs(), fspec, P()),
         out_specs=(xs_spec, _info_specs(False)),
-        check_vma=False,
+        check_vma=True,
     ))
     Xs, info = fn(dop, Bt, sig)
     outs = []
@@ -256,6 +256,6 @@ def solve_cg_dist(
         mesh=mesh,
         in_specs=(dop.in_specs(), P(axis)),
         out_specs=(P(axis), _info_specs(record_history)),
-        check_vma=False,
+        check_vma=True,
     ))
     return fn(dop, bl)

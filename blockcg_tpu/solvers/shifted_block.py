@@ -145,10 +145,18 @@ def _shifted_sbcgrq_impl(op, Bt, sigmas, tol, max_iter, qr_passes, axis_name):
         rel = relres_of(coef)
         return (Xs, Cs, Qt, Pt, rho, M, Dinv, z, rel, it + 1)
 
+    def vary(x):
+        # Zero-initialized per-shift fields start replicated; the loop body
+        # makes them device-varying (they mix with the sharded Q) — align
+        # the carry types for shard_map's static collective checking.
+        if axis_name is None:
+            return x
+        return lax.pcast(x, (axis_name,), to="varying")
+
     zkk = jnp.zeros((k, k), dtype)
     state0 = (
-        jnp.zeros((ns,) + Bt.shape, dtype),          # Xs
-        jnp.zeros((ns,) + Bt.shape, dtype),          # Cs (C_{-1} = 0)
+        vary(jnp.zeros((ns,) + Bt.shape, dtype)),    # Xs
+        vary(jnp.zeros((ns,) + Bt.shape, dtype)),    # Cs (C_{-1} = 0)
         Q0t,
         Q0t,
         zkk,                                         # rho_0 = 0
