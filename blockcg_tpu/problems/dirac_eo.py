@@ -92,6 +92,17 @@ def _parity_hop(L: int, H: np.ndarray, target_parity: int, bc: str,
                 diag_blocks[key] = block
                 diag_gated[key] = not mask.all()
 
+    cplx_links = links is not None and np.iscomplexobj(links)
+    if cplx_links:
+        # U(1) links: realified form phi*B = phi_r*K1(B) + phi_i*K2(B) —
+        # two real value-masked diagonals per hop on doubled spin blocks.
+        rdt_blocks = np.float32 if np_dtype == np.complex64 else np.float64
+
+        def k1k2(B):
+            br, bi = B.real.astype(rdt_blocks), B.imag.astype(rdt_blocks)
+            return (np.block([[br, -bi], [bi, br]]),
+                    np.block([[-bi, -br], [br, -bi]]))
+
     for ax in range(_NDIM):
         for sgn, block in ((+1, H[ax]), (-1, H[ax].conj().T)):
             nc = [c.copy() for c in coords]
@@ -107,16 +118,23 @@ def _parity_hop(L: int, H: np.ndarray, target_parity: int, bc: str,
             else:
                 # -mu link is anchored at the NEIGHBOR site s - mu.
                 nfull = ((nc[0] * L + nc[1]) * L + nc[2]) * L + nc[3]
-                vals = links[ax][nfull]
-            add(np.ascontiguousarray(block.astype(np_dtype)), hprime, valid,
-                vals)
+                vals = np.conj(links[ax][nfull]) if cplx_links \
+                    else links[ax][nfull]
+            if cplx_links:
+                K1, K2 = k1k2(block)
+                add(np.ascontiguousarray(K1), hprime, valid, vals.real)
+                add(np.ascontiguousarray(K2), hprime, valid, vals.imag)
+            else:
+                add(np.ascontiguousarray(block.astype(np_dtype)), hprime,
+                    valid, vals)
 
     cplx = np.issubdtype(np_dtype, np.complexfloating)
     mask_dtype = (
         np_dtype if not cplx
         else np.float32 if np_dtype == np.complex64 else np.float64
     )
-    scal = complex if cplx else float
+    cplx_links = links is not None and np.iscomplexobj(links)
+    scal = float if cplx_links else (complex if cplx else float)
     gauged = links is not None
 
     offsets, hops, mask_slot, masks = [], [], [], []
@@ -152,7 +170,12 @@ def _parity_hop(L: int, H: np.ndarray, target_parity: int, bc: str,
 
 @dataclasses.dataclass
 class EOContext:
-    """Schur operator + the site permutations to split/assemble full fields."""
+    """Schur operator + the site permutations to split/assemble full fields.
+
+    ``cdtype`` is set for U(1)-gauged complex systems: the context then
+    operates on the REALIFIED system (bs = 2 x complex spin blocks, fields
+    are stacked re/im spin planes) and ``solve_dirac_eo`` converts complex
+    right-hand sides at the boundary."""
 
     schur: SchurEvenOperator
     hop_eo: ConstBlockDIAOperator
@@ -162,10 +185,25 @@ class EOContext:
     odd_sites: np.ndarray
     ns: int
     bs: int
+    cdtype: object = None
 
     @property
     def n(self) -> int:
         return self.bs * self.ns
+
+    def complex_to_real(self, B: np.ndarray) -> np.ndarray:
+        """Complex (cbs*ns, k) -> realified (2*cbs*ns, k): re spins first."""
+        cbs = self.bs // 2
+        Bv = np.asarray(B).reshape(cbs, self.ns, -1)
+        return np.concatenate([Bv.real, Bv.imag], axis=0).reshape(
+            self.n, -1)
+
+    def real_to_complex(self, X: np.ndarray) -> np.ndarray:
+        cbs = self.bs // 2
+        Xv = np.asarray(X).reshape(self.bs, self.ns, -1)
+        cdt = np.dtype(jnp.dtype(self.cdtype).name)
+        return (Xv[:cbs] + 1j * Xv[cbs:]).reshape(
+            cbs * self.ns, -1).astype(cdt)
 
 
 def dirac_eo(
@@ -204,27 +242,29 @@ def dirac_gauged_eo(
     L: int, m: float = 0.5, bc: str = "periodic", dtype=jnp.float32,
     seed: int = 7, gauge_seed: int = 11,
 ) -> EOContext:
-    """Even-odd Schur form of the GAUGED (Z2 link) operator.
+    """Even-odd Schur form of the GAUGED operator.
 
     Same half-lattice derivation as ``dirac_eo``; the parity hops carry
     link values in their masks, so the Schur solve runs the const-hop MXU
     kernel exactly like the ungauged case (matrix equality with
-    ``dirac_gauged`` is unit-tested). Complex (U(1)) links are not routed
-    here yet — use ``dirac_gauged_cbdia`` (full system) for those."""
+    ``dirac_gauged`` is unit-tested). Real dtypes carry Z2 links; complex
+    dtypes U(1) phases via the realified K1/K2 form — the returned context
+    then works on the realified system (``cdtype`` set, spin blocks
+    doubled) and ``solve_dirac_eo`` handles complex RHS conversion."""
     if L % 2:
         raise ValueError("even-odd reduction needs even L")
     if L < 4:
         raise ValueError("even-odd reduction needs L >= 4")
     np_dtype = np.dtype(jnp.dtype(dtype).name)
-    if np.issubdtype(np_dtype, np.complexfloating):
-        raise NotImplementedError(
-            "gauged even-odd supports real (Z2) links; complex U(1) goes "
-            "through dirac_gauged_cbdia on the full system"
-        )
-    H = hopping_matrices(seed, hermitian=False).astype(np_dtype)
+    cplx = np.issubdtype(np_dtype, np.complexfloating)
+    H = hopping_matrices(seed, hermitian=cplx).astype(np_dtype)
     grng = np.random.default_rng(gauge_seed)
     ns = L**_NDIM
-    links = grng.choice([-1.0, 1.0], size=(_NDIM, ns)).astype(np_dtype)
+    if cplx:
+        links = np.exp(
+            2j * np.pi * grng.random((_NDIM, ns))).astype(np_dtype)
+    else:
+        links = grng.choice([-1.0, 1.0], size=(_NDIM, ns)).astype(np_dtype)
     c = float(m * m + 2.0 * _NDIM)
     hop_eo = _parity_hop(L, H, 0, bc, np_dtype, links=links)
     hop_oe = _parity_hop(L, H, 1, bc, np_dtype, links=links)
@@ -237,7 +277,9 @@ def dirac_gauged_eo(
     return EOContext(
         schur=schur, hop_eo=hop_eo, hop_oe=hop_oe, c=c,
         even_sites=even_sites, odd_sites=odd_sites,
-        ns=ns, bs=BS,
+        ns=ns, bs=2 * BS if cplx else BS,
+        cdtype=(jnp.complex64 if np_dtype == np.complex64 else
+                jnp.complex128) if cplx else None,
     )
 
 
@@ -333,8 +375,18 @@ def solve_dirac_eo(eo: EOContext, B, solver=None, *, tol: float = 1e-6,
     dispatches costs ~0.1 s each through this sandbox's device tunnel).
     Passing a custom ``solver(op, rhs, **kwargs) -> (X, info)`` uses the
     composable eager path instead. Returns (X (n, k), info) — info reports
-    the Schur solve."""
+    the Schur solve. Complex RHS on a U(1)-gauged context (``eo.cdtype``)
+    are converted through the realified field codec on the host (this
+    sandbox's TPU backend has no complex ops)."""
     from blockcg_tpu.solvers.sbcgrq import _sbcgrq_impl, solve_sbcgrq
+
+    if eo.cdtype is not None and np.iscomplexobj(B):
+        Br = eo.complex_to_real(np.asarray(jax.device_get(B)))
+        Xr, info = solve_dirac_eo(
+            eo, jnp.asarray(Br), solver, tol=tol, max_iter=max_iter,
+            qr_passes=qr_passes, replace_every=replace_every, **kwargs,
+        )
+        return eo.real_to_complex(np.asarray(jax.device_get(Xr))), info
 
     if solver is not None or kwargs or not _on_device(jnp.asarray(B)):
         if solver is None:

@@ -62,6 +62,7 @@ _TPU_SMOKE = {
     "test_repeat_solve_bitwise_identical",
     "test_shifted_sbcgrq_laplacian_f32",
     "test_eo_f32_pallas_interpret",
+    "test_gauged_eo_f32_solve",
 }
 
 

@@ -157,3 +157,40 @@ def test_gauged_eo_open_bc():
     rel = (np.linalg.norm(R, axis=0)
            / np.linalg.norm(np.asarray(B), axis=0)).max()
     assert rel < 1e-9
+
+
+def test_gauged_eo_f32_solve():
+    """f32 end-to-end gauged even-odd solve (on-chip smoke eligible)."""
+    from blockcg_tpu.problems import dirac_gauged, dirac_gauged_eo
+    from blockcg_tpu.problems.dirac_eo import solve_dirac_eo
+
+    L = 4
+    eo = dirac_gauged_eo(L, m=0.5, dtype=jnp.float32)
+    full = dirac_gauged(L, m=0.5, dtype=jnp.float32)
+    rng = np.random.default_rng(33)
+    B = jnp.asarray(rng.standard_normal((full.n, 4)), dtype=jnp.float32)
+    X, info = solve_dirac_eo(eo, B, tol=1e-5, max_iter=300)
+    R = np.asarray(full(X), np.float64) - np.asarray(B, np.float64)
+    rel = (np.linalg.norm(R, axis=0)
+           / np.linalg.norm(np.asarray(B, np.float64), axis=0)).max()
+    assert rel < 1e-4
+
+
+def test_gauged_eo_u1_solve_matches_full():
+    """U(1) gauged even-odd (realified half-lattice hops) == direct
+    complex gauged solve."""
+    from blockcg_tpu.problems import dirac_gauged, dirac_gauged_eo
+    from blockcg_tpu.problems.dirac import bdia_scipy
+    from blockcg_tpu.problems.dirac_eo import solve_dirac_eo
+
+    L = 4
+    eo = dirac_gauged_eo(L, m=0.5, dtype=jnp.complex128)
+    full = dirac_gauged(L, m=0.5, dtype=jnp.complex128)
+    a = bdia_scipy(full)
+    rng = np.random.default_rng(41)
+    B = (rng.standard_normal((full.n, 3))
+         + 1j * rng.standard_normal((full.n, 3)))
+    X, info = solve_dirac_eo(eo, B, tol=1e-11, max_iter=800)
+    R = a @ np.asarray(X) - B
+    rel = (np.linalg.norm(R, axis=0) / np.linalg.norm(B, axis=0)).max()
+    assert rel < 1e-9
