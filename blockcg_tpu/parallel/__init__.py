@@ -19,6 +19,10 @@ from blockcg_tpu.parallel.api import (
     solve_sbcgrq_dist,
     solve_shifted_sbcgrq_dist,
 )
+from blockcg_tpu.parallel.dist_ops import (  # noqa: F401
+    DistSchurEvenOperator,
+    partition_dirac_eo,
+)
 
 __all__ = [
     "ring_halos",
@@ -35,4 +39,6 @@ __all__ = [
     "solve_bcg_dist",
     "solve_sbcgrq_dist",
     "solve_shifted_sbcgrq_dist",
+    "DistSchurEvenOperator",
+    "partition_dirac_eo",
 ]

@@ -573,3 +573,83 @@ def from_dist_order(X: np.ndarray, bs: int, D: int) -> np.ndarray:
     ns_l = ns // D
     Xv = X.reshape(D, bs, ns_l, -1)
     return np.transpose(Xv, (1, 0, 2, 3)).reshape(n, -1)
+
+
+@dataclasses.dataclass
+class DistSchurEvenOperator(MatmatMixin):
+    """Site-sharded Schur-complement operator S_e = c I - H_eo H_oe / c on
+    even-parity merged half fields — the distributed form of
+    operators.schur.SchurEvenOperator. Each parity hop is a
+    DistConstBlockDIAOperator doing its own ring halo exchange, so one
+    Schur apply costs two halo rounds (inherent to the composition); all
+    other traffic is local."""
+
+    hop_eo: object  # DistConstBlockDIAOperator
+    hop_oe: object
+    c: float
+
+    @property
+    def axis_name(self) -> str:
+        return self.hop_oe.axis_name
+
+    @property
+    def bs(self) -> int:
+        return self.hop_oe.bs
+
+    @property
+    def dtype(self):
+        return self.hop_oe.dtype
+
+    def to_internal(self, Xt):
+        return self.hop_oe.to_internal(Xt)
+
+    def from_internal(self, Xm):
+        return self.hop_oe.from_internal(Xm)
+
+    def result_from_internal_np(self, Xm):
+        return self.hop_oe.result_from_internal_np(Xm)
+
+    def coeff_expand(self, C):
+        return self.hop_oe.coeff_expand(C)
+
+    def gram_contract(self, G):
+        return self.hop_oe.gram_contract(G)
+
+    def norms2_contract(self, v):
+        return self.hop_oe.norms2_contract(v)
+
+    def field_pspec(self):
+        return self.hop_oe.field_pspec()
+
+    def matmat_t(self, Xm: jax.Array) -> jax.Array:
+        c = jnp.asarray(self.c, dtype=jnp.real(Xm).dtype)
+        return c * Xm - self.hop_eo.matmat_t(self.hop_oe.matmat_t(Xm)) / c
+
+    def in_specs(self):
+        return DistSchurEvenOperator(
+            hop_eo=self.hop_eo.in_specs(),
+            hop_oe=self.hop_oe.in_specs(),
+            c=self.c,
+        )
+
+
+jax.tree_util.register_dataclass(
+    DistSchurEvenOperator,
+    data_fields=["hop_eo", "hop_oe"],
+    meta_fields=["c"],
+)
+
+
+def partition_dirac_eo(eo, D: int, axis_name: str = "rows",
+                       g: int | None = None) -> DistSchurEvenOperator:
+    """Partition an EOContext's Schur system over D site-contiguous shards
+    of the half lattice (both parity hops via ``partition_cbdia``; gauged
+    value-masked crossings supported). Solve with
+    ``parallel.solve_sbcgrq_dist(dist_schur, rhs_e, mesh)`` — the rhs/odd
+    reconstruction steps (eo_split / eo_assemble and the two single-hop
+    applies) stay host-side or single-device as in ``solve_dirac_eo``."""
+    return DistSchurEvenOperator(
+        hop_eo=partition_cbdia(eo.hop_eo, D, axis_name=axis_name, g=g),
+        hop_oe=partition_cbdia(eo.hop_oe, D, axis_name=axis_name, g=g),
+        c=eo.c,
+    )

@@ -226,3 +226,24 @@ def test_dist_gauged_fused_gram_matches_global():
         np.asarray(Xm, np.float64) @ np.asarray(want_y, np.float64).T))
     np.testing.assert_allclose(np.asarray(got_g), np.asarray(want_g),
                                rtol=1e-4, atol=1e-3)
+
+
+def test_dist_schur_eo_solve_matches_single():
+    """Distributed even-odd Schur solve (two halo rounds per apply) on the
+    fake mesh == single-device Schur solve. Gauged (Z2) variant."""
+    from blockcg_tpu.parallel import partition_dirac_eo
+    from blockcg_tpu.problems import dirac_gauged_eo
+    from blockcg_tpu.problems.dirac_eo import dirac_eo
+
+    for eo in (dirac_eo(8, m=0.5, dtype=jnp.float32),
+               dirac_gauged_eo(8, m=0.5, dtype=jnp.float32)):
+        dschur = partition_dirac_eo(eo, D)
+        mesh = row_mesh(D)
+        n2 = eo.n // 2
+        rng = np.random.default_rng(15)
+        rhs = jnp.asarray(rng.standard_normal((n2, 3)), dtype=jnp.float32)
+        Xd, info_d = solve_sbcgrq_dist(dschur, rhs, mesh, tol=1e-5,
+                                       max_iter=200)
+        Xs, info_s = bc.solve_sbcgrq(eo.schur, rhs, tol=1e-5, max_iter=200)
+        assert abs(int(info_d.iterations) - int(info_s.iterations)) <= 2
+        assert np.abs(np.asarray(Xd) - np.asarray(Xs)).max() < 1e-4
