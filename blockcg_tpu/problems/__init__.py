@@ -20,6 +20,7 @@ from blockcg_tpu.problems.dirac_eo import (
     eo_assemble,
     eo_split,
     solve_dirac_eo,
+    solve_dirac_eo_dist,
 )
 from blockcg_tpu.problems.random_spd import random_spd, random_block
 from blockcg_tpu.problems.presets import PRESETS
@@ -42,6 +43,7 @@ __all__ = [
     "eo_assemble",
     "eo_split",
     "solve_dirac_eo",
+    "solve_dirac_eo_dist",
     "random_spd",
     "random_block",
     "PRESETS",

@@ -32,7 +32,7 @@ from blockcg_tpu.operators.schur import SchurEvenOperator
 from blockcg_tpu.problems.dirac import BS, _NDIM, hopping_matrices
 
 __all__ = ["dirac_eo", "dirac_gauged_eo", "eo_split", "eo_assemble",
-           "solve_dirac_eo", "EOContext"]
+           "solve_dirac_eo", "solve_dirac_eo_dist", "EOContext"]
 
 
 def _half_coords(L: int, parity: int):
@@ -439,3 +439,33 @@ def solve_dirac_eo(eo: EOContext, B, solver=None, *, tol: float = 1e-6,
         _EO_PIPELINE_CACHE[key] = fn
     return fn(eo.schur, jnp.asarray(_q0(eo)), jnp.asarray(B), tol,
               max_iter, qr_passes, replace_every)
+
+
+def solve_dirac_eo_dist(eo: EOContext, B, mesh, D: int | None = None, *,
+                        tol: float = 1e-6, max_iter: int = 1000,
+                        qr_passes: int = 2):
+    """Distributed even-odd solve: the half-size Schur system runs
+    row-sharded over ``mesh`` (parallel.solve_sbcgrq_dist); the cheap
+    boundary steps (split, rhs transform, odd reconstruction, assemble)
+    stay single-device. Complex (U(1)) contexts convert at the host
+    boundary like ``solve_dirac_eo``. Returns (X (n, k), info)."""
+    from blockcg_tpu.parallel import partition_dirac_eo, solve_sbcgrq_dist
+
+    if eo.cdtype is not None and np.iscomplexobj(B):
+        Br = eo.complex_to_real(np.asarray(jax.device_get(B)))
+        Xr, info = solve_dirac_eo_dist(
+            eo, jnp.asarray(Br), mesh, D, tol=tol, max_iter=max_iter,
+            qr_passes=qr_passes,
+        )
+        return eo.real_to_complex(np.asarray(jax.device_get(Xr))), info
+
+    D = D if D is not None else mesh.devices.size
+    dschur = partition_dirac_eo(eo, D)
+    be, bo = eo_split(eo, B)
+    be_j, bo_j = jnp.asarray(be), jnp.asarray(bo)
+    rhs = be_j + eo.hop_eo.matmat_t(bo_j.T).T / eo.c
+    Xe, info = solve_sbcgrq_dist(dschur, rhs, mesh, tol=tol,
+                                 max_iter=max_iter, qr_passes=qr_passes)
+    Xe_j = jnp.asarray(Xe)
+    xo = (bo_j + eo.hop_oe.matmat_t(Xe_j.T).T) / eo.c
+    return eo_assemble(eo, Xe_j, xo), info

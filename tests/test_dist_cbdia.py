@@ -247,3 +247,20 @@ def test_dist_schur_eo_solve_matches_single():
         Xs, info_s = bc.solve_sbcgrq(eo.schur, rhs, tol=1e-5, max_iter=200)
         assert abs(int(info_d.iterations) - int(info_s.iterations)) <= 2
         assert np.abs(np.asarray(Xd) - np.asarray(Xs)).max() < 1e-4
+
+
+def test_solve_dirac_eo_dist_end_to_end():
+    """Full distributed EO pipeline: split -> dist Schur -> reconstruct."""
+    from blockcg_tpu.problems import dirac_gauged, dirac_gauged_eo
+    from blockcg_tpu.problems.dirac_eo import solve_dirac_eo_dist
+
+    eo = dirac_gauged_eo(8, m=0.5, dtype=jnp.float32)
+    full = dirac_gauged(8, m=0.5, dtype=jnp.float32)
+    mesh = row_mesh(D)
+    rng = np.random.default_rng(16)
+    B = jnp.asarray(rng.standard_normal((full.n, 3)), dtype=jnp.float32)
+    X, info = solve_dirac_eo_dist(eo, B, mesh, tol=1e-5, max_iter=300)
+    R = np.asarray(full(jnp.asarray(X)), np.float64) - np.asarray(B, np.float64)
+    rel = (np.linalg.norm(R, axis=0)
+           / np.linalg.norm(np.asarray(B, np.float64), axis=0)).max()
+    assert rel < 1e-4
