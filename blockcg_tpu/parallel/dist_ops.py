@@ -505,7 +505,7 @@ def partition_cbdia(op, D: int, axis_name: str = "rows", g: int | None = None):
         else:
             eb = base.reshape(D, ns_l)
             ev = eb[:, ns_l - o :] if o > 0 else eb[:, : -o]
-            vals = jnp.asarray(ev.reshape(1, D * abs(o)).astype(np.float32))
+            vals = jnp.asarray(ev.reshape(1, D * abs(o)).astype(dtype))
         crossings.append((d, o, gg, abs(o) // gg))
         cross_vals.append(vals)
 
@@ -575,55 +575,28 @@ def from_dist_order(X: np.ndarray, bs: int, D: int) -> np.ndarray:
     return np.transpose(Xv, (1, 0, 2, 3)).reshape(n, -1)
 
 
+from blockcg_tpu.operators.schur import SchurEvenOperator
+
+
 @dataclasses.dataclass
-class DistSchurEvenOperator(MatmatMixin):
+class DistSchurEvenOperator(SchurEvenOperator):
     """Site-sharded Schur-complement operator S_e = c I - H_eo H_oe / c on
     even-parity merged half fields — the distributed form of
-    operators.schur.SchurEvenOperator. Each parity hop is a
+    operators.schur.SchurEvenOperator (whose apply formula and field/codec
+    delegations are INHERITED; each parity hop is a
     DistConstBlockDIAOperator doing its own ring halo exchange, so one
-    Schur apply costs two halo rounds (inherent to the composition); all
-    other traffic is local."""
-
-    hop_eo: object  # DistConstBlockDIAOperator
-    hop_oe: object
-    c: float
+    Schur apply costs two halo rounds — inherent to the composition; all
+    other traffic is local)."""
 
     @property
     def axis_name(self) -> str:
         return self.hop_oe.axis_name
 
-    @property
-    def bs(self) -> int:
-        return self.hop_oe.bs
-
-    @property
-    def dtype(self):
-        return self.hop_oe.dtype
-
-    def to_internal(self, Xt):
-        return self.hop_oe.to_internal(Xt)
-
-    def from_internal(self, Xm):
-        return self.hop_oe.from_internal(Xm)
-
-    def result_from_internal_np(self, Xm):
-        return self.hop_oe.result_from_internal_np(Xm)
-
-    def coeff_expand(self, C):
-        return self.hop_oe.coeff_expand(C)
-
-    def gram_contract(self, G):
-        return self.hop_oe.gram_contract(G)
-
-    def norms2_contract(self, v):
-        return self.hop_oe.norms2_contract(v)
-
     def field_pspec(self):
         return self.hop_oe.field_pspec()
 
-    def matmat_t(self, Xm: jax.Array) -> jax.Array:
-        c = jnp.asarray(self.c, dtype=jnp.real(Xm).dtype)
-        return c * Xm - self.hop_eo.matmat_t(self.hop_oe.matmat_t(Xm)) / c
+    def result_from_internal_np(self, Xm):
+        return self.hop_oe.result_from_internal_np(Xm)
 
     def in_specs(self):
         return DistSchurEvenOperator(

@@ -133,7 +133,7 @@ def _parity_hop(L: int, H: np.ndarray, target_parity: int, bc: str,
         np_dtype if not cplx
         else np.float32 if np_dtype == np.complex64 else np.float64
     )
-    cplx_links = links is not None and np.iscomplexobj(links)
+    # cplx_links (computed above): realified K1/K2 blocks are real scalars
     scal = float if cplx_links else (complex if cplx else float)
     gauged = links is not None
 
@@ -441,31 +441,56 @@ def solve_dirac_eo(eo: EOContext, B, solver=None, *, tol: float = 1e-6,
               max_iter, qr_passes, replace_every)
 
 
+# Partition plans are rebuilt only when the (context, D) pair changes —
+# host-side mask splitting + device uploads per call would dominate repeat
+# solves (same rationale as parallel.api._SHARD_FN_CACHE). Keyed by id()
+# with a weakref finalizer (EOContext dataclasses aren't hashable).
+_EO_PARTITION_CACHE: dict = {}
+
+
 def solve_dirac_eo_dist(eo: EOContext, B, mesh, D: int | None = None, *,
                         tol: float = 1e-6, max_iter: int = 1000,
-                        qr_passes: int = 2):
+                        qr_passes: int = 2, replace_every: int = 0,
+                        record_history: bool = False, dschur=None):
     """Distributed even-odd solve: the half-size Schur system runs
     row-sharded over ``mesh`` (parallel.solve_sbcgrq_dist); the cheap
     boundary steps (split, rhs transform, odd reconstruction, assemble)
     stay single-device. Complex (U(1)) contexts convert at the host
-    boundary like ``solve_dirac_eo``. Returns (X (n, k), info)."""
+    boundary like ``solve_dirac_eo``. Pass a prebuilt ``dschur``
+    (parallel.partition_dirac_eo) to control partitioning; otherwise the
+    plan is built once per (context, D) and cached. Returns
+    (X (n, k), info)."""
     from blockcg_tpu.parallel import partition_dirac_eo, solve_sbcgrq_dist
 
     if eo.cdtype is not None and np.iscomplexobj(B):
         Br = eo.complex_to_real(np.asarray(jax.device_get(B)))
         Xr, info = solve_dirac_eo_dist(
             eo, jnp.asarray(Br), mesh, D, tol=tol, max_iter=max_iter,
-            qr_passes=qr_passes,
+            qr_passes=qr_passes, replace_every=replace_every,
+            record_history=record_history, dschur=dschur,
         )
         return eo.real_to_complex(np.asarray(jax.device_get(Xr))), info
 
     D = D if D is not None else mesh.devices.size
-    dschur = partition_dirac_eo(eo, D)
+    if dschur is None:
+        import weakref
+
+        key = (id(eo), D)
+        dschur = _EO_PARTITION_CACHE.get(key)
+        if dschur is None:
+            dschur = partition_dirac_eo(eo, D)
+            try:
+                weakref.finalize(eo, _EO_PARTITION_CACHE.pop, key, None)
+                _EO_PARTITION_CACHE[key] = dschur
+            except TypeError:  # non-weakrefable: skip caching
+                pass
     be, bo = eo_split(eo, B)
     be_j, bo_j = jnp.asarray(be), jnp.asarray(bo)
     rhs = be_j + eo.hop_eo.matmat_t(bo_j.T).T / eo.c
-    Xe, info = solve_sbcgrq_dist(dschur, rhs, mesh, tol=tol,
-                                 max_iter=max_iter, qr_passes=qr_passes)
+    Xe, info = solve_sbcgrq_dist(
+        dschur, rhs, mesh, tol=tol, max_iter=max_iter, qr_passes=qr_passes,
+        replace_every=replace_every, record_history=record_history,
+    )
     Xe_j = jnp.asarray(Xe)
     xo = (bo_j + eo.hop_oe.matmat_t(Xe_j.T).T) / eo.c
     return eo_assemble(eo, Xe_j, xo), info

@@ -264,3 +264,31 @@ def test_solve_dirac_eo_dist_end_to_end():
     rel = (np.linalg.norm(R, axis=0)
            / np.linalg.norm(np.asarray(B, np.float64), axis=0)).max()
     assert rel < 1e-4
+
+
+def test_dist_gauged_f64_cross_vals_exact():
+    """Regression: crossing edge values keep the mask dtype (f64 links were
+    once truncated to f32, flooring distributed accuracy at ~1e-8)."""
+    from blockcg_tpu.problems import dirac_gauged_eo
+    from blockcg_tpu.parallel import partition_dirac_eo
+
+    eo = dirac_gauged_eo(8, m=0.5, dtype=jnp.complex128)
+    dschur = partition_dirac_eo(eo, D)
+    for v in dschur.hop_eo.cross_vals:
+        if v is not None:
+            assert v.dtype == jnp.float64, v.dtype
+    mesh = row_mesh(D)
+    rng = np.random.default_rng(17)
+    # merged (m = bs*k, ns2) half field, k = 2; apply equality at f64
+    Xm = jnp.asarray(rng.standard_normal((2 * eo.bs, eo.ns // 2)))
+    Xs = jax.device_put(Xm, jax.NamedSharding(mesh, P(None, "rows")))
+    fn = shard_map(
+        lambda o, x: o.matmat_t(x),
+        mesh=mesh,
+        in_specs=(dschur.in_specs(), P(None, "rows")),
+        out_specs=P(None, "rows"),
+        check_vma=False,
+    )
+    got = np.asarray(jax.jit(fn)(dschur, Xs))
+    want = np.asarray(eo.schur.matmat_t(Xm))
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-13
