@@ -114,8 +114,16 @@ def astype(op, dtype):
     complex128), so the refinement driver's true-residual operator really
     is wide for Hermitian systems. Used by solve_refined to get an f64/
     c128 (XLA-emulated on TPU) operator from the f32/c64 compute operator.
+
+    Operators whose width lives in STRUCTURAL metadata (not array leaves —
+    e.g. the realified wrapper's cdtype) override ``astype_op``; the plain
+    tree_map below cannot change those.
     """
     import jax.numpy as jnp
+
+    hook = getattr(op, "astype_op", None)
+    if hook is not None:
+        return hook(dtype)
 
     dtype = jnp.dtype(dtype)
     cdtype = jnp.complex128 if dtype.itemsize == 8 else jnp.complex64

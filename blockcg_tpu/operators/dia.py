@@ -39,8 +39,14 @@ class DIAOperator(MatmatMixin):
 
     @property
     def nnz(self) -> int:
+        """Structural nonzeros. Default assumes TRUNCATED diagonals
+        (n - |o| entries each — correct for the Dirichlet constructors);
+        toroidal operators whose wrap entries are populated should set
+        ``_nnz`` (builders do) or throughput metrics undercount."""
         n = self.n
-        return sum(n - abs(o) for o in self.offsets)
+        return getattr(
+            self, "_nnz", sum(n - abs(o) for o in self.offsets)
+        )
 
     @property
     def bandwidth(self) -> int:

@@ -145,6 +145,26 @@ class RealifiedHermitianOperator(MatmatMixin):
             return self.matmat_t(Xt), None
         return self.real_op.matmat_gram_t(Xt)
 
+    def astype_op(self, dtype):
+        """Width change (operators.base.astype hook): the wrapper's width
+        lives in ``cdtype`` (meta), so tree_map alone cannot widen it —
+        rebuild with the real core cast and cdtype matched."""
+        from blockcg_tpu.operators.base import astype as _astype
+
+        dtype = jnp.dtype(dtype)
+        wide = dtype.itemsize >= 8  # f64 or c128 request -> c128
+        cdt = jnp.complex128 if wide else jnp.complex64
+        rdt = jnp.float64 if wide else jnp.float32
+        w = RealifiedHermitianOperator(
+            real_op=_astype(self.real_op, rdt),
+            cbs=self.cbs,
+            num_sites=self.num_sites,
+            cdtype=cdt,
+        )
+        if hasattr(self, "_nnz"):
+            object.__setattr__(w, "_nnz", self._nnz)
+        return w
+
     def matmat_t(self, Xt: jax.Array) -> jax.Array:
         if jnp.issubdtype(Xt.dtype, jnp.complexfloating):
             # Public complex boundary: encode, apply real, decode.

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from blockcg_tpu.ops.stencil import plan as _plan
+from blockcg_tpu.ops.stencil import order_by_plan, plan as _plan
 
 
 def plan(n_sites: int, k: int, bs: int, offsets: tuple[int, ...]):
@@ -115,7 +115,7 @@ def block_stencil_spmm_t(
     nb = ns // R
     nh = ns // H if H else 1
 
-    order = [offsets.index(o) for o in p.near + p.far]
+    order = order_by_plan(offsets, p.near + p.far)
     blocks_ord = blocks[jnp.asarray(order)] if order != list(range(noff)) else blocks
     diags2d = blocks_ord.reshape(noff * bs * bs, ns)
     Xv = Xt.reshape(k, bs, ns) if flat else Xt
@@ -278,7 +278,7 @@ def _bsm_impl(blocks, offsets, Xm, with_gram, interpret):
     nb = ns // R
     nh = ns // H if H else 1
 
-    order = [offsets.index(o) for o in p.near + p.far]
+    order = order_by_plan(offsets, p.near + p.far)
     blocks_ord = blocks[jnp.asarray(order)] if order != list(range(noff)) else blocks
     diags2d = blocks_ord.reshape(noff * bs * bs, ns)
 

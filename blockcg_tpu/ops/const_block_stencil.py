@@ -43,7 +43,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from blockcg_tpu.ops.stencil import plan as _plan
+from blockcg_tpu.ops.stencil import order_by_plan as _order_by_plan, plan as _plan
 
 
 def n_groups(hops: tuple) -> int:
@@ -71,18 +71,6 @@ def plan(
     )
 
 
-
-def _order_by_plan(offsets, plan_order):
-    """Map the planner's (near + far) offset sequence back to diagonal
-    indices, duplicate-offset-safe (value-masked operators may carry the
-    same offset twice, e.g. the U(1)-gauged realified K1/K2 pair)."""
-    remaining = list(range(len(offsets)))
-    order = []
-    for o in plan_order:
-        j = next(i for i in remaining if offsets[i] == o)
-        order.append(j)
-        remaining.remove(j)
-    return order
 
 def _group_offsets(hops: tuple, mask_slot: tuple[int, ...]):
     """Group ordered diagonal indices by identical hop matrix."""

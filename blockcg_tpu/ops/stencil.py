@@ -108,6 +108,19 @@ def plan(
     return best
 
 
+def order_by_plan(offsets, plan_order):
+    """Map the planner's (near + far) offset sequence back to diagonal
+    indices, duplicate-offset-safe (value-masked operators may carry the
+    same offset twice, e.g. the U(1)-gauged realified K1/K2 pair)."""
+    remaining = list(range(len(offsets)))
+    order = []
+    for o in plan_order:
+        j = next(i for i in remaining if offsets[i] == o)
+        order.append(j)
+        remaining.remove(j)
+    return order
+
+
 def _kernel(near, far, H, with_gram, diags_ref, *refs):
     # refs layout: [xprev, xcur, xnext][:nref-? ...], far windows, y_ref,
     # (g_ref if with_gram), (w_ref scratch if H > 0)
@@ -174,7 +187,7 @@ def _spmm_impl(diags, offsets, Xt, with_gram, interpret):
     nh = n // H if H else 1  # halo-sized blocks
 
     # Reorder diagonals so the kernel sees near ones first.
-    order = [offsets.index(o) for o in p.near + p.far]
+    order = order_by_plan(offsets, p.near + p.far)
     diags_ord = diags[jnp.asarray(order)] if order != list(range(ndiag)) else diags
 
     in_specs = [

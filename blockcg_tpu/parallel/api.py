@@ -217,10 +217,12 @@ def solve_shifted_sbcgrq_dist(
         check_vma=True,
     ))
     Xs, info = fn(dop, Bt, sig)
-    outs = []
-    for j in range(int(sig.shape[0])):
-        outs.append(np.asarray(_field_result(dop, mesh, Xs[j])))
-    return jnp.asarray(np.stack(outs)), info
+    outs = [_field_result(dop, mesh, Xs[j]) for j in range(int(sig.shape[0]))]
+    if jax.process_count() > 1:
+        # Pod runs cannot gather: per-shift results stay distributed
+        # (shard-major row order, see _field_result) — stack on device.
+        return jnp.stack([jnp.asarray(o) for o in outs]), info
+    return jnp.asarray(np.stack([np.asarray(o) for o in outs])), info
 
 
 def solve_cg_dist(

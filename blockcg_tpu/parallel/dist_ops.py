@@ -139,9 +139,11 @@ def partition_dia(op: DIAOperator, D: int, axis_name: str = "rows") -> DistDIAOp
 class DistBlockDIAOperator(MatmatMixin):
     """Row(site)-sharded BlockDIA operator.
 
-    Sharding is over *sites*; each local shard keeps all bs spin planes
-    (row ordering: shard-major, then spin, then site — use
-    ``to_dist_order`` / ``from_dist_order`` to convert block fields).
+    Sharding is over *sites*; each local shard keeps all bs spin planes.
+    The ``solve_*_dist`` entry points take B/X in NATURAL spin-major GLOBAL
+    ordering (row = a*ns + s) — do NOT pre-permute. ``to_dist_order`` /
+    ``from_dist_order`` exist only for interpreting raw flat (k, bs*ns_l)
+    shard buffers from the low-level ``matmat_t`` convention.
 
     blocks_int: (noff, bs, bs, ns) with cross-shard slots zeroed,
       P(None, None, None, 'rows'); blocks_bl/br: (noff, bs, bs, D*bw).
@@ -316,6 +318,16 @@ class DistConstBlockDIAOperator(MatmatMixin):
     def norms2_contract(self, v):
         return self.local.norms2_contract(v)
 
+    def _crossing_map(self, o, ns_l, halo_l, halo_r):
+        """(dst0, src0, src_halo) for a crossing diagonal — the single
+        source of truth for the halo-sourced boundary mapping (shared by
+        the plain apply and the fused gram path)."""
+        if o > 0:
+            # rows [ns_l - o, ns_l) <- neighbor's first o sites
+            return ns_l - o, 0, halo_r
+        # rows [0, -o) <- left neighbor's last -o sites (halo holds bw)
+        return 0, self.bw + o, halo_l
+
     def matmat_t(self, Xm: jax.Array) -> jax.Array:
         """Xm: (m, ns_l) merged local internal field."""
         import os
@@ -336,14 +348,7 @@ class DistConstBlockDIAOperator(MatmatMixin):
         for ci, (d, o, g, nblocks) in enumerate(self.crossings):
             hop = self.local.hops[d]
             vals = self.cross_vals[ci] if self.cross_vals else None
-            if o > 0:
-                # rows [ns_l - o, ns_l) <- neighbor's first o sites
-                dst0, src = ns_l - o, halo_r
-                src0 = 0
-            else:
-                # rows [0, -o) <- left neighbor's last -o sites
-                dst0, src = 0, halo_l
-                src0 = self.bw + o  # halo holds bw sites; take the last -o
+            dst0, src0, src = self._crossing_map(o, ns_l, halo_l, halo_r)
             if use_pallas:
                 Ym = cbs.slab_m_accumulate_from(
                     hop, g, nblocks, dst0 // g, src0 // g, src, Ym, None,
@@ -387,12 +392,7 @@ class DistConstBlockDIAOperator(MatmatMixin):
         for ci, (d, o, g, nblocks) in enumerate(self.crossings):
             hop = self.local.hops[d]
             vals = self.cross_vals[ci] if self.cross_vals else None
-            if o > 0:
-                dst0, src = ns_l - o, halo_r
-                src0 = 0
-            else:
-                dst0, src = 0, halo_l
-                src0 = self.bw + o
+            dst0, src0, src = self._crossing_map(o, ns_l, halo_l, halo_r)
             Ym, Gm_part = cbs.slab_m_accumulate_from(
                 hop, g, nblocks, dst0 // g, src0 // g, src, Ym, Xm, vals,
                 with_gram=True, interpret=interpret,

@@ -245,7 +245,6 @@ def dirac_gauged(
         c = coords[ax]
         phi = links[ax]  # link from site s toward +mu
         # -mu coupling of row s uses the link anchored at the NEIGHBOR s-mu.
-        up = (s + st * np.where(c == L - 1, 1 - L, 1)) % ns
         dn = (s + st * np.where(c == 0, L - 1, -1)) % ns
         phi_dn = np.conj(links[ax][dn]) if cplx else links[ax][dn]
         if bc == "periodic" and ax == 0:

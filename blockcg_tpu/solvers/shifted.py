@@ -42,14 +42,17 @@ def _shifted_cg_impl(op, b, sigmas, tol, max_iter, axis_name, record_history):
     rho0 = bnorm2
     xs0 = jnp.zeros((nshift,) + b.shape, dtype)
     ps0 = jnp.broadcast_to(b, (nshift,) + b.shape).astype(dtype)
-    zeta0 = jnp.ones((nshift,), dtype)   # zeta^i
-    zeta_m0 = jnp.ones((nshift,), dtype)  # zeta^{i-1}
+    # The shift recurrence scalars (zeta, alpha, beta) are REAL for
+    # Hermitian A and real shifts — only the vectors carry the dtype.
+    zeta0 = jnp.ones((nshift,), rdtype)   # zeta^i
+    zeta_m0 = jnp.ones((nshift,), rdtype)  # zeta^{i-1}
     hist0 = jnp.full((max_iter,), jnp.nan, rdtype) if record_history else None
 
     # state: (xs, ps, r, p, rho, zeta, zeta_m, alpha_old, beta_old, it, hist)
     state0 = (
         xs0, ps0, r0, p0, rho0, zeta0, zeta_m0,
-        jnp.asarray(1.0, dtype), jnp.asarray(0.0, dtype), jnp.int32(0), hist0,
+        jnp.asarray(1.0, rdtype), jnp.asarray(0.0, rdtype), jnp.int32(0),
+        hist0,
     )
 
     def shifted_resnorm2(zeta, rho):
@@ -64,7 +67,10 @@ def _shifted_cg_impl(op, b, sigmas, tol, max_iter, axis_name, record_history):
     def body(state):
         xs, ps, r, p, rho, zeta, zeta_m, a_old, b_old, it, hist = state
         z = op.matvec(p)
-        denom = psum_if(jnp.vdot(p, z), axis_name)
+        # p^H A p and r^H r are real for Hermitian A — take the real part
+        # explicitly (the imaginary rounding residue would otherwise flip
+        # the while_loop carry to a complex dtype and fail to trace).
+        denom = psum_if(jnp.real(jnp.vdot(p, z)), axis_name)
         alpha = rho / denom
         # zeta recurrence (Jegerlehner eq. (2.44)-style, seed sigma = 0)
         num = zeta * zeta_m * a_old
@@ -79,7 +85,7 @@ def _shifted_cg_impl(op, b, sigmas, tol, max_iter, axis_name, record_history):
 
         xs = xs + alpha_s[:, None] * ps
         r_new = r - alpha * z
-        rho_new = psum_if(jnp.vdot(r_new, r_new), axis_name)
+        rho_new = psum_if(jnp.real(jnp.vdot(r_new, r_new)), axis_name)
         beta = rho_new / rho
         beta_s = beta * (zeta_new / zeta) ** 2
         ps = zeta_new[:, None] * r_new[None, :] + beta_s[:, None] * ps
@@ -129,7 +135,7 @@ def solve_shifted_cg(
     """
     if b.ndim != 1:
         raise ValueError("solve_shifted_cg expects a single (n,) RHS")
-    sig = jnp.asarray(sigmas, dtype=b.dtype)
+    sig = jnp.asarray(sigmas, dtype=jnp.real(b).dtype)
     xs, info = _shifted_cg_impl(
         op, b, sig, tol, max_iter, axis_name, record_history
     )

@@ -105,3 +105,27 @@ def test_block_stencil_merged_gram():
                                rtol=1e-6, atol=1e-6)
     want_g = np.asarray(Xm, np.float64) @ np.asarray(want_y, np.float64).T
     np.testing.assert_allclose(np.asarray(G), want_g, rtol=1e-4, atol=1e-3)
+
+
+def test_block_stencil_duplicate_offsets():
+    """Regression: duplicate-offset reorder in both block kernels."""
+    from blockcg_tpu.operators.bdia import BlockDIAOperator
+    from blockcg_tpu.ops.block_stencil import (
+        block_stencil_spmm_m_t, block_stencil_spmm_t,
+    )
+
+    rng = np.random.default_rng(53)
+    n = 256
+    blocks = rng.standard_normal((3, 2, 2, n)).astype(np.float32)
+    offsets = (0, 1, 1)
+    bop = BlockDIAOperator(blocks=jnp.asarray(blocks), offsets=offsets)
+    Xv = jnp.asarray(rng.standard_normal((4, 2, n)), jnp.float32)
+    got = block_stencil_spmm_t(bop.blocks, offsets, Xv, interpret=True)
+    np.testing.assert_allclose(np.asarray(got),
+                               np.asarray(bop._matmat_v_xla(Xv)),
+                               rtol=1e-5, atol=1e-5)
+    Xm = jnp.asarray(rng.standard_normal((8, n)), jnp.float32)
+    got_m = block_stencil_spmm_m_t(bop.blocks, offsets, Xm, interpret=True)
+    np.testing.assert_allclose(np.asarray(got_m),
+                               np.asarray(bop._matmat_m_xla(Xm)),
+                               rtol=1e-5, atol=1e-5)

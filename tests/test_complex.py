@@ -131,3 +131,24 @@ def test_realified_nnz_and_shape():
     assert rop.shape == op.shape
     assert rop.nnz == op.nnz
     assert rop.real_op.n == 2 * op.n
+
+
+def test_refined_realified_reaches_1e10():
+    """Regression: astype must widen the realified wrapper's cdtype (once a
+    meta field tree_map couldn't change — refinement stalled at ~6e-8)."""
+    import blockcg_tpu as bc
+    from blockcg_tpu.operators.base import astype
+
+    rng = np.random.default_rng(50)
+    V = rng.standard_normal((64, 96)) + 1j * rng.standard_normal((64, 96))
+    A = (V @ V.conj().T + 64 * np.eye(64)).astype(np.complex64)
+    rop = realify(DenseOperator(A=jnp.asarray(A)))
+    wide = astype(rop, jnp.float64)
+    assert wide.cdtype == jnp.complex128
+    B = (rng.standard_normal((64, 3))
+         + 1j * rng.standard_normal((64, 3))).astype(np.complex64)
+    X, info = bc.solve_refined(rop, B, tol=1e-10)
+    R = A.astype(np.complex128) @ np.asarray(X, np.complex128) - B
+    rel = (np.linalg.norm(R, axis=0) / np.linalg.norm(B, axis=0)).max()
+    assert rel < 1e-9
+    assert bool(info.converged.all())

@@ -52,3 +52,21 @@ def test_shifted_cg_rejects_block():
     op = DenseOperator(A=jnp.asarray(random_spd(20, seed=5)))
     with pytest.raises(ValueError):
         solve_shifted_cg(op, jnp.zeros((20, 2)), [0.0])
+
+
+def test_shifted_cg_complex_hermitian():
+    """Regression: complex HPD systems once failed at trace time (complex
+    rho in a real while_loop carry)."""
+    from blockcg_tpu.operators import DenseOperator
+    from blockcg_tpu.solvers.shifted import solve_shifted_cg
+
+    rng = np.random.default_rng(51)
+    V = rng.standard_normal((64, 96)) + 1j * rng.standard_normal((64, 96))
+    A = (V @ V.conj().T + 64 * np.eye(64)).astype(np.complex128)
+    op = DenseOperator(A=jnp.asarray(A))
+    b = jnp.asarray(rng.standard_normal(64) + 1j * rng.standard_normal(64))
+    sig = [0.0, 0.5, 2.0]
+    X, info = solve_shifted_cg(op, b, sig, tol=1e-10, max_iter=500)
+    for j, sg in enumerate(sig):
+        r = (A + sg * np.eye(64)) @ np.asarray(X[:, j]) - np.asarray(b)
+        assert np.linalg.norm(r) / np.linalg.norm(np.asarray(b)) < 1e-9

@@ -127,3 +127,18 @@ def test_dia_matmat_gram_fallback_none():
     assert G is None
     np.testing.assert_allclose(np.asarray(Y), np.asarray(op.matmat_t(Xt)),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_stencil_duplicate_offsets():
+    """Regression: duplicate offsets once mapped to the same diagonal in
+    the kernel reorder (one applied twice, one dropped)."""
+    rng = np.random.default_rng(52)
+    n, k = 256, 8
+    diags = rng.standard_normal((3, n)).astype(np.float32)
+    offsets = (0, 1, 1)
+    op = DIAOperator(diags=jnp.asarray(diags), offsets=offsets)
+    Xt = jnp.asarray(rng.standard_normal((k, n)), jnp.float32)
+    got = stencil_spmm_t(op.diags, offsets, Xt, interpret=True)
+    want = op._matmat_t_xla(Xt)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-5, atol=1e-5)
