@@ -205,3 +205,64 @@ def test_bcg_and_bcgdq_on_merged_block_operator():
         rel = (np.linalg.norm(r, axis=0)
                / np.linalg.norm(np.asarray(B), axis=0)).max()
         assert rel < 1e-4, solver
+
+
+def test_sbcgrq_zero_rhs_column():
+    """A zero column in B must not poison the solve (bnorm guard + QR
+    jitter): the other columns converge, the zero column returns zero."""
+    op = laplacian_dia((32, 32), dtype=jnp.float64)
+    rng = np.random.default_rng(70)
+    B = rng.standard_normal((op.n, 4))
+    B[:, 2] = 0.0
+    X, info = solve_sbcgrq(op, jnp.asarray(B), tol=1e-10, max_iter=500)
+    Xn = np.asarray(X)
+    assert np.isfinite(Xn).all()
+    assert np.abs(Xn[:, 2]).max() < 1e-8
+    a = laplacian_scipy((32, 32))
+    for j in (0, 1, 3):
+        r = a @ Xn[:, j] - B[:, j]
+        assert np.linalg.norm(r) / np.linalg.norm(B[:, j]) < 1e-9
+
+
+def test_sbcgrq_duplicate_rhs_columns():
+    """Identical RHS columns (rank-deficient B) — the rQ stabilization's
+    jittered Cholesky must keep the solve finite and correct."""
+    op = laplacian_dia((32, 32), dtype=jnp.float64)
+    rng = np.random.default_rng(71)
+    b = rng.standard_normal(op.n)
+    B = np.stack([b, b, rng.standard_normal(op.n)], axis=1)
+    X, info = solve_sbcgrq(op, jnp.asarray(B), tol=1e-9, max_iter=500)
+    a = laplacian_scipy((32, 32))
+    Xn = np.asarray(X)
+    for j in range(3):
+        r = a @ Xn[:, j] - B[:, j]
+        assert np.linalg.norm(r) / np.linalg.norm(B[:, j]) < 1e-8
+
+
+def test_sbcgrq_warm_start():
+    """X0 warm start: starting at the exact solution converges immediately;
+    starting nearby converges faster than from zero."""
+    op = laplacian_dia((32, 32), dtype=jnp.float64)
+    rng = np.random.default_rng(72)
+    B = jnp.asarray(rng.standard_normal((op.n, 3)))
+    X, i0 = solve_sbcgrq(op, B, tol=1e-10, max_iter=500)
+    _, i_exact = solve_sbcgrq(op, B, X0=X, tol=1e-8, max_iter=500)
+    assert int(i_exact.iterations) <= 1
+    Xn = np.asarray(X) + 1e-6 * rng.standard_normal(np.asarray(X).shape)
+    _, i_near = solve_sbcgrq(op, B, X0=jnp.asarray(Xn), tol=1e-8,
+                                max_iter=500)
+    assert int(i_near.iterations) < int(i0.iterations)
+
+
+def test_block_solvers_k_equals_n():
+    """k = n (square RHS block): converges in ~1 block iteration."""
+    n = 24
+    A = random_spd(n, seed=73)
+    op = DenseOperator(A=jnp.asarray(A))
+    rng = np.random.default_rng(73)
+    B = jnp.asarray(rng.standard_normal((n, n)))
+    X, info = solve_sbcgrq(op, B, tol=1e-10, max_iter=50)
+    assert int(info.iterations) <= 3
+    r = A @ np.asarray(X) - np.asarray(B)
+    assert (np.linalg.norm(r, axis=0)
+            / np.linalg.norm(np.asarray(B), axis=0)).max() < 1e-9
