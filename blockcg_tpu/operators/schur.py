@@ -89,3 +89,71 @@ jax.tree_util.register_dataclass(
     data_fields=["hop_eo", "hop_oe"],
     meta_fields=["c"],
 )
+
+
+@dataclasses.dataclass
+class EONormalOperator(MatmatMixin):
+    """``mu I - H_eo H_oe`` on even-parity half fields — the shift-invariant
+    base operator of the MULTI-SHIFT even-odd reduction.
+
+    The shifted full systems (A + sigma) X = B reduce on the evens to
+    ((c+sigma)^2 - H_eo H_oe) x_e = (c+sigma) b_e + H_eo b_o: every shift
+    shares the operator K = H_eo H_oe, so with mu = (c+sigma_min)^2 this
+    SPD operator seeds one block-Krylov space for ALL shifts
+    (problems.dirac_eo.solve_dirac_eo_shifted); note S_e(sigma) =
+    (mu_sigma - K)/(c+sigma) — same matrix scaled, so conditioning equals
+    the plain even-odd Schur system's."""
+
+    hop_eo: object
+    hop_oe: object
+    mu: float
+
+    @property
+    def bs(self) -> int:
+        return self.hop_oe.bs
+
+    @property
+    def ns(self) -> int:
+        return self.hop_oe.ns
+
+    @property
+    def n(self) -> int:
+        return self.hop_oe.n
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (self.n, self.n)
+
+    @property
+    def nnz(self) -> int:
+        return getattr(self, "_nnz", self.hop_eo.nnz + self.hop_oe.nnz + self.n)
+
+    @property
+    def dtype(self):
+        return self.hop_oe.dtype
+
+    def to_internal(self, Xt):
+        return self.hop_oe.to_internal(Xt)
+
+    def from_internal(self, Xv):
+        return self.hop_oe.from_internal(Xv)
+
+    def coeff_expand(self, C):
+        return self.hop_oe.coeff_expand(C)
+
+    def gram_contract(self, G):
+        return self.hop_oe.gram_contract(G)
+
+    def norms2_contract(self, v):
+        return self.hop_oe.norms2_contract(v)
+
+    def matmat_t(self, Xt: jax.Array) -> jax.Array:
+        mu = jnp.asarray(self.mu, dtype=jnp.real(Xt).dtype)
+        return mu * Xt - self.hop_eo.matmat_t(self.hop_oe.matmat_t(Xt))
+
+
+jax.tree_util.register_dataclass(
+    EONormalOperator,
+    data_fields=["hop_eo", "hop_oe"],
+    meta_fields=["mu"],
+)

@@ -21,6 +21,7 @@ from blockcg_tpu.problems.dirac_eo import (
     eo_split,
     solve_dirac_eo,
     solve_dirac_eo_dist,
+    solve_dirac_eo_shifted,
 )
 from blockcg_tpu.problems.random_spd import random_spd, random_block
 from blockcg_tpu.problems.presets import PRESETS
@@ -44,6 +45,7 @@ __all__ = [
     "eo_split",
     "solve_dirac_eo",
     "solve_dirac_eo_dist",
+    "solve_dirac_eo_shifted",
     "random_spd",
     "random_block",
     "PRESETS",

@@ -32,7 +32,8 @@ from blockcg_tpu.operators.schur import SchurEvenOperator
 from blockcg_tpu.problems.dirac import BS, _NDIM, hopping_matrices
 
 __all__ = ["dirac_eo", "dirac_gauged_eo", "eo_split", "eo_assemble",
-           "solve_dirac_eo", "solve_dirac_eo_dist", "EOContext"]
+           "solve_dirac_eo", "solve_dirac_eo_dist", "solve_dirac_eo_shifted",
+           "EOContext"]
 
 
 def _half_coords(L: int, parity: int):
@@ -494,3 +495,59 @@ def solve_dirac_eo_dist(eo: EOContext, B, mesh, D: int | None = None, *,
     Xe_j = jnp.asarray(Xe)
     xo = (bo_j + eo.hop_oe.matmat_t(Xe_j.T).T) / eo.c
     return eo_assemble(eo, Xe_j, xo), info
+
+
+def solve_dirac_eo_shifted(eo: EOContext, B, sigmas, *, tol: float = 1e-6,
+                           max_iter: int = 1000, qr_passes: int = 2):
+    """Multi-shift solve of the FULL systems ``(A + sigma_j) X_j = B``
+    through ONE even-odd-reduced block-Krylov space (the RHMC pattern:
+    rational-approximation solves with even-odd preconditioning).
+
+    Derivation: with f_j = c + sigma_j and K = H_eo H_oe, the even-site
+    Schur systems are (f_j^2 - K) x_e = f_j b_e + H_eo b_o. Every shift
+    shares K, so with base mu0 = (c + min sigma)^2 all systems are
+    non-negative shifts (f_j^2 - mu0) of the SPD ``EONormalOperator``
+    mu0 - K. The sigma-dependent RHS splits by linearity into a fixed
+    2k-column block [b_e | H_eo b_o]: one multi-shift block solve yields
+    Y1(sigma), Y2(sigma) and x_e = f Y1 + Y2; odd sites reconstruct as
+    x_o = (b_o + H_oe x_e) / f. Costs one SpMM of K (= both parity hops)
+    per iteration TOTAL across all shifts, at the even-odd-preconditioned
+    iteration count."""
+    from blockcg_tpu.operators.schur import EONormalOperator
+    from blockcg_tpu.solvers.shifted_block import solve_shifted_sbcgrq
+
+    if eo.cdtype is not None and np.iscomplexobj(B):
+        Br = eo.complex_to_real(np.asarray(jax.device_get(B)))
+        Xr, info = solve_dirac_eo_shifted(
+            eo, jnp.asarray(Br), sigmas, tol=tol, max_iter=max_iter,
+            qr_passes=qr_passes,
+        )
+        return np.stack(
+            [eo.real_to_complex(np.asarray(Xr[j]))
+             for j in range(Xr.shape[0])]
+        ), info
+
+    sig = np.atleast_1d(np.asarray(sigmas, dtype=np.float64))
+    if (sig < 0).any():
+        raise ValueError("shifts must be non-negative")
+    f = eo.c + sig
+    mu0 = float(f.min()) ** 2
+    kop = EONormalOperator(hop_eo=eo.hop_eo, hop_oe=eo.hop_oe, mu=mu0)
+
+    be, bo = eo_split(eo, B)
+    be_j, bo_j = jnp.asarray(be), jnp.asarray(bo)
+    k = be_j.shape[1]
+    heo_bo = eo.hop_eo.matmat_t(bo_j.T).T
+    B2 = jnp.concatenate([be_j, heo_bo], axis=1)  # (n_e, 2k)
+
+    mus = [float(fj * fj - mu0) for fj in f]
+    Ys, info = solve_shifted_sbcgrq(
+        kop, B2, mus, tol=tol, max_iter=max_iter, qr_passes=qr_passes,
+    )
+    outs = []
+    for j, fj in enumerate(f):
+        Yj = jnp.asarray(Ys[j])
+        xe = jnp.asarray(fj, Yj.dtype) * Yj[:, :k] + Yj[:, k:]
+        xo = (bo_j + eo.hop_oe.matmat_t(xe.T).T) / jnp.asarray(fj, Yj.dtype)
+        outs.append(np.asarray(jax.device_get(eo_assemble(eo, xe, xo))))
+    return np.stack(outs), info

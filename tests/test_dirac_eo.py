@@ -194,3 +194,48 @@ def test_gauged_eo_u1_solve_matches_full():
     R = a @ np.asarray(X) - B
     rel = (np.linalg.norm(R, axis=0) / np.linalg.norm(B, axis=0)).max()
     assert rel < 1e-9
+
+
+def test_shifted_eo_matches_direct_shifted_solves():
+    """Multi-shift even-odd: one Krylov space solves (A + sigma_j) X = B for
+    all shifts, matching direct per-shift solves of the FULL operator."""
+    import blockcg_tpu as bc
+    from blockcg_tpu.problems import dirac_cbdia, dirac_eo
+    from blockcg_tpu.problems.dirac import bdia_scipy
+    from blockcg_tpu.problems.dirac_eo import solve_dirac_eo_shifted
+
+    L = 4
+    eo = dirac_eo(L, m=0.5, dtype=jnp.float64)
+    full = dirac_cbdia(L, m=0.5, dtype=jnp.float64)
+    a = bdia_scipy(full.to_block_dia())
+    rng = np.random.default_rng(80)
+    B = jnp.asarray(rng.standard_normal((full.n, 3)))
+    sigmas = [0.0, 0.7, 2.5]
+    Xs, info = solve_dirac_eo_shifted(eo, B, sigmas, tol=1e-11, max_iter=800)
+    n = full.n
+    for j, sg in enumerate(sigmas):
+        R = (a + sg * np.eye(n)) @ np.asarray(Xs[j]) - np.asarray(B)
+        rel = (np.linalg.norm(R, axis=0)
+               / np.linalg.norm(np.asarray(B), axis=0)).max()
+        assert rel < 1e-9, (sg, rel)
+
+
+def test_shifted_eo_gauged():
+    """Gauged (Z2) multi-shift even-odd solves."""
+    from blockcg_tpu.problems import dirac_gauged, dirac_gauged_eo
+    from blockcg_tpu.problems.dirac import bdia_scipy
+    from blockcg_tpu.problems.dirac_eo import solve_dirac_eo_shifted
+
+    L = 4
+    eo = dirac_gauged_eo(L, m=0.5, dtype=jnp.float64)
+    full = dirac_gauged(L, m=0.5, dtype=jnp.float64)
+    a = bdia_scipy(full)
+    rng = np.random.default_rng(81)
+    B = jnp.asarray(rng.standard_normal((full.n, 2)))
+    sigmas = [0.1, 1.5]
+    Xs, info = solve_dirac_eo_shifted(eo, B, sigmas, tol=1e-11, max_iter=800)
+    for j, sg in enumerate(sigmas):
+        R = (a + sg * np.eye(full.n)) @ np.asarray(Xs[j]) - np.asarray(B)
+        rel = (np.linalg.norm(R, axis=0)
+               / np.linalg.norm(np.asarray(B), axis=0)).max()
+        assert rel < 1e-9, (sg, rel)
