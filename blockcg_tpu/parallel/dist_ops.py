@@ -626,3 +626,65 @@ def partition_dirac_eo(eo, D: int, axis_name: str = "rows",
         hop_oe=partition_cbdia(eo.hop_oe, D, axis_name=axis_name, g=g),
         c=eo.c,
     )
+
+
+@dataclasses.dataclass
+class DistEONormalOperator(MatmatMixin):
+    """Site-sharded ``mu I - H_eo H_oe`` (multi-shift even-odd base
+    operator; see operators.schur.EONormalOperator) over distributed
+    parity hops — two halo rounds per apply."""
+
+    hop_eo: object  # DistConstBlockDIAOperator
+    hop_oe: object
+    mu: float
+
+    @property
+    def axis_name(self) -> str:
+        return self.hop_oe.axis_name
+
+    @property
+    def bs(self) -> int:
+        return self.hop_oe.bs
+
+    @property
+    def dtype(self):
+        return self.hop_oe.dtype
+
+    def to_internal(self, Xt):
+        return self.hop_oe.to_internal(Xt)
+
+    def from_internal(self, Xm):
+        return self.hop_oe.from_internal(Xm)
+
+    def result_from_internal_np(self, Xm):
+        return self.hop_oe.result_from_internal_np(Xm)
+
+    def coeff_expand(self, C):
+        return self.hop_oe.coeff_expand(C)
+
+    def gram_contract(self, G):
+        return self.hop_oe.gram_contract(G)
+
+    def norms2_contract(self, v):
+        return self.hop_oe.norms2_contract(v)
+
+    def field_pspec(self):
+        return self.hop_oe.field_pspec()
+
+    def matmat_t(self, Xm: jax.Array) -> jax.Array:
+        mu = jnp.asarray(self.mu, dtype=jnp.real(Xm).dtype)
+        return mu * Xm - self.hop_eo.matmat_t(self.hop_oe.matmat_t(Xm))
+
+    def in_specs(self):
+        return DistEONormalOperator(
+            hop_eo=self.hop_eo.in_specs(),
+            hop_oe=self.hop_oe.in_specs(),
+            mu=self.mu,
+        )
+
+
+jax.tree_util.register_dataclass(
+    DistEONormalOperator,
+    data_fields=["hop_eo", "hop_oe"],
+    meta_fields=["mu"],
+)

@@ -239,3 +239,24 @@ def test_shifted_eo_gauged():
         rel = (np.linalg.norm(R, axis=0)
                / np.linalg.norm(np.asarray(B), axis=0)).max()
         assert rel < 1e-9, (sg, rel)
+
+
+def test_shifted_eo_u1_complex():
+    """U(1) multi-shift even-odd through the realified codec."""
+    from blockcg_tpu.problems import dirac_gauged, dirac_gauged_eo
+    from blockcg_tpu.problems.dirac import bdia_scipy
+    from blockcg_tpu.problems.dirac_eo import solve_dirac_eo_shifted
+
+    L = 4
+    eo = dirac_gauged_eo(L, m=0.5, dtype=jnp.complex128)
+    full = dirac_gauged(L, m=0.5, dtype=jnp.complex128)
+    a = bdia_scipy(full)
+    rng = np.random.default_rng(82)
+    B = (rng.standard_normal((full.n, 2))
+         + 1j * rng.standard_normal((full.n, 2)))
+    sigmas = [0.0, 1.0]
+    Xs, info = solve_dirac_eo_shifted(eo, B, sigmas, tol=1e-11, max_iter=800)
+    for j, sg in enumerate(sigmas):
+        R = (a + sg * np.eye(full.n)) @ np.asarray(Xs[j]) - B
+        rel = (np.linalg.norm(R, axis=0) / np.linalg.norm(B, axis=0)).max()
+        assert rel < 1e-9, (sg, rel)

@@ -292,3 +292,33 @@ def test_dist_gauged_f64_cross_vals_exact():
     got = np.asarray(jax.jit(fn)(dschur, Xs))
     want = np.asarray(eo.schur.matmat_t(Xm))
     assert np.abs(got - want).max() / np.abs(want).max() < 1e-13
+
+
+def test_dist_eo_normal_shifted_matches_single():
+    """Distributed multi-shift EO base operator: shifted block solve over
+    the fake mesh == single-device."""
+    from blockcg_tpu.operators.schur import EONormalOperator
+    from blockcg_tpu.parallel import (
+        DistEONormalOperator, partition_cbdia, solve_shifted_sbcgrq_dist,
+    )
+    from blockcg_tpu.problems.dirac_eo import dirac_gauged_eo
+    from blockcg_tpu.solvers.shifted_block import solve_shifted_sbcgrq
+
+    eo = dirac_gauged_eo(8, m=0.5, dtype=jnp.float32)
+    mu0 = (eo.c + 0.0) ** 2
+    kop = EONormalOperator(hop_eo=eo.hop_eo, hop_oe=eo.hop_oe, mu=mu0)
+    dkop = DistEONormalOperator(
+        hop_eo=partition_cbdia(eo.hop_eo, D),
+        hop_oe=partition_cbdia(eo.hop_oe, D),
+        mu=mu0,
+    )
+    mesh = row_mesh(D)
+    rng = np.random.default_rng(18)
+    n2 = eo.n // 2
+    B = jnp.asarray(rng.standard_normal((n2, 3)), dtype=jnp.float32)
+    mus = [0.0, 3.0]
+    Xd, info_d = solve_shifted_sbcgrq_dist(dkop, B, mus, mesh, tol=1e-5,
+                                           max_iter=200)
+    Xs, info_s = solve_shifted_sbcgrq(kop, B, mus, tol=1e-5, max_iter=200)
+    assert abs(int(info_d.iterations) - int(info_s.iterations)) <= 2
+    assert np.abs(np.asarray(Xd) - np.asarray(Xs)).max() < 1e-4
