@@ -32,7 +32,6 @@ from blockcg_tpu.solvers.common import (
     jax.jit, static_argnames=("max_iter", "axis_name", "record_history")
 )
 def _bcg_impl(op, Bt, X0t, tol, max_iter, axis_name, record_history):
-    dtype = Bt.dtype
     rdtype = jnp.real(Bt).dtype
     bnorm2 = row_norms2_t(Bt, axis_name, codec=op)
     bnorm2 = jnp.where(bnorm2 > 0, bnorm2, jnp.asarray(1.0, rdtype))

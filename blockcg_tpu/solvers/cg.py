@@ -18,13 +18,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from blockcg_tpu.types import SolverInfo
-from blockcg_tpu.solvers.common import f_matmat_gram, psum_if
-
-
-def _vdot(u, v, axis_name):
-    """Conjugating inner product; real part (exact for the CG quantities
-    r^H r and p^H A p, which are real for Hermitian A)."""
-    return psum_if(jnp.real(jnp.vdot(u, v)), axis_name)
+from blockcg_tpu.solvers.common import f_matmat_gram, vdot_real as _vdot
 
 
 def _to_field(op, v):

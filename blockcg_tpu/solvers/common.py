@@ -77,6 +77,12 @@ def gram_t(Ut: jax.Array, Vt: jax.Array, axis_name: str | None = None,
     return psum_if(_gc(codec, G), axis_name)
 
 
+def vdot_real(u, v, axis_name: str | None = None):
+    """Conjugating inner product, real part — exact for the CG-family
+    quantities r^H r and p^H A p, which are real for Hermitian A."""
+    return psum_if(jnp.real(jnp.vdot(u, v)), axis_name)
+
+
 def row_norms2_t(Ut: jax.Array, axis_name: str | None = None,
                  codec=None) -> jax.Array:
     """Squared column norms of U (real), from a field (k, ...) -> (k,)."""

@@ -46,21 +46,23 @@ _SPECTRUM_CACHE: dict = {}
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_iter", "qr_passes", "record_history")
+    jax.jit, static_argnames=("max_iter", "qr_passes", "axis_name",
+                              "record_history")
 )
-def _cheb_cycle(pop, Bt, Xt, bnorm, tol, max_iter, qr_passes, record_history):
+def _cheb_cycle(pop, Bt, Xt, bnorm, tol, max_iter, qr_passes, axis_name,
+                record_history):
     """One certified cycle on lanes-major internal fields:
     true residual -> M r -> inner SBCGrQ on (MA) D = M r -> X += D."""
     base = pop.base
     Rt = Bt - base.matmat_t(Xt)
     MRt = pop.apply_m_t(Rt)
     Dt, info = _sbcgrq_impl(
-        pop, MRt, jnp.zeros_like(MRt), tol, max_iter, qr_passes, 0, None,
-        record_history,
+        pop, MRt, jnp.zeros_like(MRt), tol, max_iter, qr_passes, 0,
+        axis_name, record_history,
     )
     Xt = Xt + Dt
     relres = jnp.sqrt(
-        row_norms2_t(Bt - base.matmat_t(Xt), None, codec=base)) / bnorm
+        row_norms2_t(Bt - base.matmat_t(Xt), axis_name, codec=base)) / bnorm
     return Xt, relres, info
 
 
@@ -74,6 +76,7 @@ def solve_sbcgrq_cheb(
     max_iter: int = 1000,
     max_cycles: int = 3,
     qr_passes: int = 2,
+    axis_name: str | None = None,
     record_history: bool = False,
 ) -> tuple[jax.Array, SolverInfo]:
     """Solve ``A X = B`` by Chebyshev-preconditioned SBCGrQ.
@@ -82,7 +85,14 @@ def solve_sbcgrq_cheb(
     info.iterations sums inner iterations over outer cycles; info.matvecs
     counts actual SpMMs (inner applies, rhs transforms, and outer
     true-residual checks); info.history (if recorded) covers the LAST
-    cycle only."""
+    cycle only. For row-sharded use inside shard_map set ``axis_name``
+    AND pass ``spectrum=`` explicitly (the power-iteration estimator is
+    single-device)."""
+    if axis_name is not None and spectrum is None:
+        raise ValueError(
+            "distributed solve_sbcgrq_cheb requires an explicit spectrum= "
+            "(the power-iteration estimator is single-device)"
+        )
     if max_cycles < 1:
         raise ValueError("max_cycles must be >= 1")
     if spectrum is not None:
@@ -101,7 +111,7 @@ def solve_sbcgrq_cheb(
     pop = ChebyshevOperator(base=op, lo=lo, hi=hi, degree=degree)
 
     Bt = op.to_internal(B.T)
-    bnorm = jnp.sqrt(row_norms2_t(Bt, None, codec=op))
+    bnorm = jnp.sqrt(row_norms2_t(Bt, axis_name, codec=op))
     bnorm = jnp.where(bnorm > 0, bnorm, 1.0)
     Xt = jnp.zeros_like(Bt)
     iters = 0
@@ -109,7 +119,8 @@ def solve_sbcgrq_cheb(
     relres = None
     for _ in range(max_cycles):
         Xt, relres, info = _cheb_cycle(
-            pop, Bt, Xt, bnorm, tol, max_iter, qr_passes, record_history
+            pop, Bt, Xt, bnorm, tol, max_iter, qr_passes, axis_name,
+            record_history
         )
         iters += int(info.iterations)
         # per cycle: 2 true-residual applies + (degree - 1) SpMMs in the

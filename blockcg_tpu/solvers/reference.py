@@ -43,7 +43,7 @@ def ref_bcg(A, B, tol=1e-10, max_iter=10000):
     bnorm = np.linalg.norm(B, axis=0)
     bnorm = np.where(bnorm > 0, bnorm, 1.0)
     it = 0
-    while np.sqrt(np.diag(S)).max() and (np.sqrt(np.diag(S)) / bnorm).max() > tol:
+    while (np.sqrt(np.diag(S)) / bnorm).max() > tol:
         if it >= max_iter:
             break
         Z = A @ P

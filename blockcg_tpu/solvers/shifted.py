@@ -18,22 +18,30 @@ from __future__ import annotations
 import functools
 from typing import Any
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax import lax
 
 from blockcg_tpu.types import SolverInfo
-from blockcg_tpu.solvers.common import psum_if
+from blockcg_tpu.solvers.common import (f_matmat_gram, psum_if,
+                                        row_norms2_t)
 
 
 @functools.partial(
     jax.jit, static_argnames=("max_iter", "axis_name", "record_history")
 )
 def _shifted_cg_impl(op, b, sigmas, tol, max_iter, axis_name, record_history):
+    """``b`` is a lanes-major single-row field ``(1, ...)`` in the operator's
+    internal view (block operators would otherwise pay a lane relayout per
+    apply — see solvers/cg.py); per-shift state carries a leading nshift
+    axis over it."""
     dtype = b.dtype
     rdtype = jnp.real(b).dtype
     nshift = sigmas.shape[0]
-    bnorm2 = psum_if(jnp.real(jnp.vdot(b, b)), axis_name)
+    fdims = (slice(None),) + (None,) * b.ndim  # broadcast (nshift,) -> fields
+    bnorm2 = row_norms2_t(b, axis_name, codec=op)[0]
     bnorm2 = jnp.where(bnorm2 > 0, bnorm2, jnp.asarray(1.0, rdtype))
     tol2 = jnp.asarray(tol, rdtype) ** 2 * bnorm2
 
@@ -46,31 +54,29 @@ def _shifted_cg_impl(op, b, sigmas, tol, max_iter, axis_name, record_history):
     # Hermitian A and real shifts — only the vectors carry the dtype.
     zeta0 = jnp.ones((nshift,), rdtype)   # zeta^i
     zeta_m0 = jnp.ones((nshift,), rdtype)  # zeta^{i-1}
+    # Per-shift squared residual norms, CARRIED so frozen (converged)
+    # shifts keep reporting the norm at which they froze (recomputing
+    # zeta^2 rho at exit would keep shrinking with the still-iterating
+    # seed and underreport frozen shifts by orders of magnitude).
+    res20 = jnp.full((nshift,), bnorm2, rdtype)
     hist0 = jnp.full((max_iter,), jnp.nan, rdtype) if record_history else None
 
-    # state: (xs, ps, r, p, rho, zeta, zeta_m, alpha_old, beta_old, it, hist)
     state0 = (
         xs0, ps0, r0, p0, rho0, zeta0, zeta_m0,
-        jnp.asarray(1.0, rdtype), jnp.asarray(0.0, rdtype), jnp.int32(0),
-        hist0,
+        jnp.asarray(1.0, rdtype), jnp.asarray(0.0, rdtype), res20,
+        jnp.int32(0), hist0,
     )
 
-    def shifted_resnorm2(zeta, rho):
-        # ||r_sigma||^2 = zeta^2 ||r||^2
-        return zeta * zeta * rho
-
     def cond(state):
-        _, _, _, _, rho, zeta, _, _, _, it, _ = state
-        active = shifted_resnorm2(zeta, rho) > tol2
-        return jnp.logical_and(it < max_iter, jnp.any(active))
+        res2, it = state[9], state[10]
+        return jnp.logical_and(it < max_iter, jnp.any(res2 > tol2))
 
     def body(state):
-        xs, ps, r, p, rho, zeta, zeta_m, a_old, b_old, it, hist = state
-        z = op.matvec(p)
-        # p^H A p and r^H r are real for Hermitian A — take the real part
-        # explicitly (the imaginary rounding residue would otherwise flip
-        # the while_loop carry to a complex dtype and fail to trace).
-        denom = psum_if(jnp.real(jnp.vdot(p, z)), axis_name)
+        xs, ps, r, p, rho, zeta, zeta_m, a_old, b_old, res2, it, hist = state
+        # SpMM with the p^H A p reduction fused when the operator supports
+        # it (real for Hermitian A — f_matmat_gram's Gram is conjugated).
+        z, M = f_matmat_gram(op, p, axis_name)
+        denom = jnp.real(M[0, 0])
         alpha = rho / denom
         # zeta recurrence (Jegerlehner eq. (2.44)-style, seed sigma = 0)
         num = zeta * zeta_m * a_old
@@ -79,29 +85,28 @@ def _shifted_cg_impl(op, b, sigmas, tol, max_iter, axis_name, record_history):
         alpha_s = alpha * zeta_new / zeta
 
         # freeze converged shifts (their zeta/den can degenerate)
-        active = shifted_resnorm2(zeta, rho) > tol2
+        active = res2 > tol2
         zeta_new = jnp.where(active, zeta_new, zeta)
         alpha_s = jnp.where(active, alpha_s, 0.0)
 
-        xs = xs + alpha_s[:, None] * ps
+        xs = xs + alpha_s[fdims] * ps
         r_new = r - alpha * z
-        rho_new = psum_if(jnp.real(jnp.vdot(r_new, r_new)), axis_name)
+        rho_new = row_norms2_t(r_new, axis_name, codec=op)[0]
         beta = rho_new / rho
         beta_s = beta * (zeta_new / zeta) ** 2
-        ps = zeta_new[:, None] * r_new[None, :] + beta_s[:, None] * ps
+        ps = zeta_new[fdims] * r_new[None] + beta_s[fdims] * ps
         p_new = r_new + beta * p
+        res2 = jnp.where(active, zeta_new * zeta_new * rho_new, res2)
         if hist is not None:
-            worst = jnp.max(shifted_resnorm2(zeta_new, rho_new) / bnorm2)
-            hist = hist.at[it].set(jnp.sqrt(worst))
+            hist = hist.at[it].set(jnp.sqrt(jnp.max(res2) / bnorm2))
         return (
             xs, ps, r_new, p_new, rho_new, zeta_new, zeta, alpha, beta,
-            it + 1, hist,
+            res2, it + 1, hist,
         )
 
-    xs, ps, r, p, rho, zeta, zeta_m, a_old, b_old, it, hist = lax.while_loop(
-        cond, body, state0
-    )
-    relres = jnp.sqrt(shifted_resnorm2(zeta, rho) / bnorm2)
+    state = lax.while_loop(cond, body, state0)
+    xs, res2, it, hist = state[0], state[9], state[10], state[11]
+    relres = jnp.sqrt(res2 / bnorm2)
     info = SolverInfo(
         iterations=it,
         relres=relres,
@@ -136,7 +141,13 @@ def solve_shifted_cg(
     if b.ndim != 1:
         raise ValueError("solve_shifted_cg expects a single (n,) RHS")
     sig = jnp.asarray(sigmas, dtype=jnp.real(b).dtype)
+    bf = op.to_internal(b[None, :])
     xs, info = _shifted_cg_impl(
-        op, b, sig, tol, max_iter, axis_name, record_history
+        op, bf, sig, tol, max_iter, axis_name, record_history
     )
-    return xs.T, info
+    cols = [op.from_internal(xs[j])[0] for j in range(sig.shape[0])]
+    if isinstance(cols[0], np.ndarray):  # host complex codec (realified ops)
+        import numpy as _np
+
+        return _np.stack(cols, axis=1), info
+    return jnp.stack(cols, axis=1), info

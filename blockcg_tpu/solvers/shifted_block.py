@@ -82,9 +82,11 @@ def _smm_f(op, a, b):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("max_iter", "qr_passes", "axis_name")
+    jax.jit, static_argnames=("max_iter", "qr_passes", "axis_name",
+                              "record_history")
 )
-def _shifted_sbcgrq_impl(op, Bt, sigmas, tol, max_iter, qr_passes, axis_name):
+def _shifted_sbcgrq_impl(op, Bt, sigmas, tol, max_iter, qr_passes, axis_name,
+                         record_history=False):
     dtype = Bt.dtype
     rdtype = jnp.real(Bt).dtype
     ns = sigmas.shape[0]
@@ -105,12 +107,15 @@ def _shifted_sbcgrq_impl(op, Bt, sigmas, tol, max_iter, qr_passes, axis_name):
         nrm = jnp.sqrt(jnp.sum(jnp.real(coef * jnp.conj(coef)), axis=1))
         return nrm / bnorm[None, :]
 
+    hist0 = jnp.full((max_iter,), jnp.nan, rdtype) if record_history else None
+
     def cond(state):
-        (_, _, _, _, _, _, _, _, rel, it) = state
+        rel, it = state[8], state[9]
         return jnp.logical_and(it < max_iter, jnp.any(rel > tol_arr))
 
     def body(state):
-        (Xs, Cs, Qt, Pt, rho_prev, M_prev, Dinv_prev, z_prev, rel, it) = state
+        (Xs, Cs, Qt, Pt, rho_prev, M_prev, Dinv_prev, z_prev, rel, it,
+         hist) = state
         Zt, M = f_matmat_gram(op, Pt, axis_name)  # P^H A P = alpha^{-1}
         alpha = chol_inverse_spd(M)
 
@@ -143,7 +148,9 @@ def _shifted_sbcgrq_impl(op, Bt, sigmas, tol, max_iter, qr_passes, axis_name):
         # shifted residual coefficient: rho_{i+1} M_i eta
         coef = _smm(jnp.broadcast_to(kk_mm(rho, M), (ns, k, k)), eta)
         rel = relres_of(coef)
-        return (Xs, Cs, Qt, Pt, rho, M, Dinv, z, rel, it + 1)
+        if hist is not None:
+            hist = hist.at[it].set(jnp.max(rel))
+        return (Xs, Cs, Qt, Pt, rho, M, Dinv, z, rel, it + 1, hist)
 
     def vary(x):
         # Zero-initialized per-shift fields start replicated; the loop body
@@ -165,8 +172,9 @@ def _shifted_sbcgrq_impl(op, Bt, sigmas, tol, max_iter, qr_passes, axis_name):
         jnp.broadcast_to(S0, (ns, k, k)),            # z_{-1} placeholder
         jnp.full((ns, k), jnp.inf, rdtype),          # rel
         jnp.int32(0),
+        hist0,
     )
-    (Xs, Cs, Qt, Pt, rho, M, Dinv, z, rel, it) = lax.while_loop(
+    (Xs, Cs, Qt, Pt, rho, M, Dinv, z, rel, it, hist) = lax.while_loop(
         cond, body, state0
     )
     info = SolverInfo(
@@ -174,7 +182,7 @@ def _shifted_sbcgrq_impl(op, Bt, sigmas, tol, max_iter, qr_passes, axis_name):
         relres=rel,
         converged=rel <= tol_arr,
         matvecs=it,  # Q_0 comes from QR of B directly: no setup apply
-        history=None,
+        history=hist,
     )
     return Xs, info
 
@@ -188,6 +196,7 @@ def solve_shifted_sbcgrq(
     max_iter: int = 1000,
     qr_passes: int = 2,
     axis_name: str | None = None,
+    record_history: bool = False,
 ) -> tuple[jax.Array, SolverInfo]:
     """Solve ``(A + sigma_j I) X_j = B`` for all shifts with one Krylov space.
 
@@ -208,7 +217,7 @@ def solve_shifted_sbcgrq(
     sig = jnp.atleast_1d(jnp.asarray(sigmas))
     Bt = op.to_internal(B.T)
     Xs, info = _shifted_sbcgrq_impl(
-        op, Bt, sig, tol, max_iter, qr_passes, axis_name
+        op, Bt, sig, tol, max_iter, qr_passes, axis_name, record_history
     )
     import numpy as np
 
