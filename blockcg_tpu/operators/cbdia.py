@@ -99,14 +99,32 @@ class ConstBlockDIAOperator(MatmatMixin):
         return v.reshape(self.bs, -1).sum(axis=0)
 
     def _main_statics(self):
-        """Main-kernel diagonals: all minus the slab-routed ones."""
+        """Main-kernel diagonals: all minus the slab-routed ones. Mask
+        slots are RE-INDEXED against the used subset (``used`` is the
+        static tuple of original slot rows), so slab-routed diagonals'
+        masks are not streamed through the main kernel (dead rows would
+        cost bandwidth on every tile and shrink the planner's tile)."""
         drop = {e[0] for e in self.slabs}
         keep = [d for d in range(len(self.offsets)) if d not in drop]
+        slots = [self.mask_slot[d] for d in keep]
+        used = tuple(sorted({sl for sl in slots if sl >= 0}))
+        remap = {sl: i for i, sl in enumerate(used)}
         return (
             tuple(self.hops[d] for d in keep),
             tuple(self.offsets[d] for d in keep),
-            tuple(self.mask_slot[d] for d in keep),
+            tuple(remap[sl] if sl >= 0 else -1 for sl in slots),
+            used,
         )
+
+    def _main_masks(self, used: tuple):
+        """Mask rows streamed by the main kernel (sliced to used slots)."""
+        if self.masks is None or not used:
+            return None
+        if used == tuple(range(self.masks.shape[0])):
+            return self.masks  # no gather copy when nothing is dropped
+        import numpy as _np
+
+        return self.masks[jnp.asarray(_np.asarray(used))]
 
     def _is_internal(self, Xt: jax.Array) -> bool:
         return Xt.shape[-1] == self.ns
@@ -125,8 +143,8 @@ class ConstBlockDIAOperator(MatmatMixin):
     def _pallas_ok(self, Xm, interpret: bool) -> bool:
         from blockcg_tpu.ops import const_block_stencil as cbs
 
-        nmask = 0 if self.masks is None else self.masks.shape[0]
-        hops_m, offs_m, _ = self._main_statics()
+        hops_m, offs_m, _, used = self._main_statics()
+        nmask = len(used) if self.masks is not None else 0
         return self._env_ok(Xm.dtype, interpret) and cbs.available_m(
             self.ns, Xm.shape[0], offs_m, nmask, groups=cbs.n_groups(hops_m)
         )
@@ -146,10 +164,11 @@ class ConstBlockDIAOperator(MatmatMixin):
                 self.matmat_t(self.to_internal(Xt), interpret=interpret)
             )
         Xm = Xt
-        hops_m, offs_m, mslot_m = self._main_statics()
+        hops_m, offs_m, mslot_m, used = self._main_statics()
         if self._pallas_ok(Xm, interpret):
             Ym = cbs.const_block_stencil_spmm_m_t(
-                hops_m, offs_m, mslot_m, self.masks, Xm, interpret=interpret
+                hops_m, offs_m, mslot_m, self._main_masks(used), Xm,
+                interpret=interpret
             )
             for d, g, nblocks, dst_mul, dst_off, src_shift in self.slabs:
                 Ym = cbs.slab_m_accumulate(
@@ -162,14 +181,14 @@ class ConstBlockDIAOperator(MatmatMixin):
             # reshape, so the legacy 3D kernel (which pads k to 8 sublanes
             # — same cost as the old layout) still serves single-RHS solves
             # whose m = bs is not 8-aligned.
-            nmask = 0 if self.masks is None else self.masks.shape[0]
+            nmask = len(used) if self.masks is not None else 0
             if self._env_ok(Xm.dtype, interpret) and cbs.available(
                 self.ns, 1, self.bs, offs_m, nmask,
                 groups=cbs.n_groups(hops_m)
             ):
                 Xv = Xm.reshape(1, self.bs, self.ns)
                 Yv = cbs.const_block_stencil_spmm_t(
-                    hops_m, offs_m, mslot_m, self.masks, Xv,
+                    hops_m, offs_m, mslot_m, self._main_masks(used), Xv,
                     interpret=interpret,
                 )
                 for d, g, nblocks, dst_mul, dst_off, src_shift in self.slabs:
@@ -192,11 +211,12 @@ class ConstBlockDIAOperator(MatmatMixin):
                                        interpret=interpret)
             return self.from_internal(Ym), G
         Xm = Xt
-        hops_m, offs_m, mslot_m = self._main_statics()
+        hops_m, offs_m, mslot_m, used = self._main_statics()
         if not self._pallas_ok(Xm, interpret):
             return self.matmat_t(Xm, interpret=interpret), None
         Ym, Gm = cbs.const_block_stencil_spmm_m_gram_t(
-            hops_m, offs_m, mslot_m, self.masks, Xm, interpret=interpret
+            hops_m, offs_m, mslot_m, self._main_masks(used), Xm,
+            interpret=interpret
         )
         for d, g, nblocks, dst_mul, dst_off, src_shift in self.slabs:
             # Slab kernel applies the wrap AND accumulates its Gram

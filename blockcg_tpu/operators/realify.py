@@ -44,6 +44,22 @@ def _doubled_block(h: np.ndarray) -> np.ndarray:
     return np.block([[hr, -hi], [hi, hr]])
 
 
+def real_mask_dtype(np_dtype) -> np.dtype:
+    """Real dtype matching a complex one's width (mask/value arrays)."""
+    return np.float32 if np.dtype(np_dtype) == np.complex64 else np.float64
+
+
+def k1k2_blocks(B: np.ndarray, rdt) -> tuple[np.ndarray, np.ndarray]:
+    """Canonical realified split of a complex-scaled block:
+    ``phi * B = phi_r * K1(B) + phi_i * K2(B)`` with
+    K1 = [[Br, -Bi], [Bi, Br]] and K2 = [[-Bi, -Br], [Br, -Bi]] —
+    the single source of truth for U(1)-gauged value-masked operators
+    (problems/dirac.py and problems/dirac_eo.py both build from this)."""
+    br, bi = B.real.astype(rdt), B.imag.astype(rdt)
+    return (np.block([[br, -bi], [bi, br]]),
+            np.block([[-bi, -br], [br, -bi]]))
+
+
 @dataclasses.dataclass
 class RealifiedHermitianOperator(MatmatMixin):
     """Complex Hermitian operator realized as a real symmetric one.

@@ -15,10 +15,10 @@ field view (unpadded sublanes — see ops/const_block_stencil.py); the
 (k, bs, ns) 3D-view kernel remains for the distributed wrapper's local
 shards and k = 1 fields.
 
-Periodic boundary wraps are *extra diagonals* with masked coefficients
-(emitted by problems/dirac.py), so the kernel itself has no wrap logic; the
-clamped halo garbage is killed by zero coefficients exactly as in the scalar
-kernel.
+Halo and far windows are fetched TOROIDALLY (mod ns, matching the scalar
+kernel); periodic boundary wraps on non-slowest axes are *extra diagonals*
+with masked coefficients (emitted by problems/dirac.py) whose zero entries
+kill the unwanted wrapped-window couplings.
 """
 
 from __future__ import annotations

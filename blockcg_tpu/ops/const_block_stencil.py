@@ -669,7 +669,7 @@ def available_m(
 # only the boundary slabs, accumulating in place via input-output aliasing.
 
 
-def _slab_kernel(hop, bs, g, src_mul, src_off, y_in_ref, x_ref, y_ref):
+def _slab_kernel(hop, bs, y_in_ref, x_ref, y_ref):
     k = y_ref.shape[0]
     acc = [y_in_ref[:, a, :] for a in range(bs)]
     for b in range(bs):
@@ -710,7 +710,7 @@ def slab_block_accumulate(
         return (dst_mul * j + dst_off) % nb
 
     return pl.pallas_call(
-        functools.partial(_slab_kernel, hop, bs, g, dst_mul, dst_off),
+        functools.partial(_slab_kernel, hop, bs),
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec((k, bs, g), lambda j: (0, 0, dst(j)),

@@ -10,8 +10,8 @@ Windowing: grid step i owns output lanes [i*R, (i+1)*R). Each diagonal offset
 o is served one of two ways, chosen by the planner:
 
 - near (|o| <= H):   a halo'd window [prev H | cur R | next H] of Xt, built
-                     from three BlockSpecs with clamped index maps;
-                     contribution = c_d * W[:, H+o : H+o+R].
+                     from three BlockSpecs with TOROIDAL (mod-n) index
+                     maps; contribution = c_d * W[:, H+o : H+o+R].
 - far  (o = m*R):    its own (k, R) BlockSpec window at block index i+m
                      (exactly lane-aligned — no slicing);
                      contribution = c_d * far_window.

@@ -63,7 +63,7 @@ def _host_aware_asarray(x: np.ndarray):
     return jnp.asarray(x)
 
 
-def _coords(ns: int, L: int) -> list[np.ndarray]:
+def _coords(ns: int, L: int) -> tuple[list[np.ndarray], list[int]]:
     idx = np.arange(ns)
     strides = [L ** (_NDIM - 1 - ax) for ax in range(_NDIM)]
     return [(idx // strides[ax]) % L for ax in range(_NDIM)], strides
@@ -320,11 +320,10 @@ def dirac_gauged_cbdia(
         def tup_r(block: np.ndarray) -> tuple:
             return tuple(tuple(float(v) for v in row) for row in block)
 
+        from blockcg_tpu.operators.realify import k1k2_blocks
+
         def k1k2(Hc: np.ndarray):
-            hr, hi = Hc.real.astype(rdt), Hc.imag.astype(rdt)
-            K1 = np.block([[hr, -hi], [hi, hr]])
-            K2 = np.block([[-hi, -hr], [hr, -hi]])
-            return K1, K2
+            return k1k2_blocks(Hc, rdt)  # canonical realified convention
 
         cdiag = (m * m + 2.0 * _NDIM) * np.eye(bs_r, dtype=rdt)
         hops.append(tup_r(cdiag))

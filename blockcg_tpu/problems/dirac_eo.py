@@ -96,13 +96,14 @@ def _parity_hop(L: int, H: np.ndarray, target_parity: int, bc: str,
     cplx_links = links is not None and np.iscomplexobj(links)
     if cplx_links:
         # U(1) links: realified form phi*B = phi_r*K1(B) + phi_i*K2(B) —
-        # two real value-masked diagonals per hop on doubled spin blocks.
-        rdt_blocks = np.float32 if np_dtype == np.complex64 else np.float64
+        # two real value-masked diagonals per hop on doubled spin blocks
+        # (canonical convention: operators/realify.py).
+        from blockcg_tpu.operators.realify import k1k2_blocks, real_mask_dtype
+
+        rdt_blocks = real_mask_dtype(np_dtype)
 
         def k1k2(B):
-            br, bi = B.real.astype(rdt_blocks), B.imag.astype(rdt_blocks)
-            return (np.block([[br, -bi], [bi, br]]),
-                    np.block([[-bi, -br], [br, -bi]]))
+            return k1k2_blocks(B, rdt_blocks)
 
     for ax in range(_NDIM):
         for sgn, block in ((+1, H[ax]), (-1, H[ax].conj().T)):
@@ -212,6 +213,8 @@ def dirac_eo(
     seed: int = 7,
 ) -> EOContext:
     """Even-odd Schur form of the dirac_cbdia/dirac_bdia matrix."""
+    if bc not in ("periodic", "open"):
+        raise ValueError(f"bc must be 'periodic' or 'open', got {bc!r}")
     if L % 2:
         raise ValueError("even-odd reduction needs even L")
     if L < 4:
@@ -252,6 +255,8 @@ def dirac_gauged_eo(
     dtypes U(1) phases via the realified K1/K2 form — the returned context
     then works on the realified system (``cdtype`` set, spin blocks
     doubled) and ``solve_dirac_eo`` handles complex RHS conversion."""
+    if bc not in ("periodic", "open"):
+        raise ValueError(f"bc must be 'periodic' or 'open', got {bc!r}")
     if L % 2:
         raise ValueError("even-odd reduction needs even L")
     if L < 4:

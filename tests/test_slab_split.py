@@ -43,7 +43,7 @@ def test_slab_kernel_matches_oracle(L, k):
 def test_slab_split_improves_main_plan_32():
     """With the z-wraps slab-routed, the 32^4 main plan drops 2 far windows."""
     op = dirac_cbdia(32, m=0.5, bc="periodic", dtype=jnp.float32)
-    hops_m, offs_m, _ = op._main_statics()
+    hops_m, offs_m, _, _used = op._main_statics()
     p_main = plan(op.num_sites, 12, 4, offs_m, nmask=12, groups=5)
     p_full = plan(op.num_sites, 12, 4, op.offsets, nmask=12, groups=5)
     assert p_main is not None and p_full is not None
