@@ -31,6 +31,8 @@ from blockcg_tpu.solvers import (
     solve_cg,
     solve_bcg,
     solve_bcgdq,
+    solve_pbcg,
+    jacobi_preconditioner,
     solve_bcgrq,
     solve_sbcgrq,
     solve_refined,

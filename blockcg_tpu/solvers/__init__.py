@@ -6,6 +6,8 @@ from blockcg_tpu.solvers.sbcgrq import solve_sbcgrq
 # Dubrulle-ladder naming parity (BIT 41 (2001)): the reference README's
 # "BCGrQ" is the residual-QR member of the ladder — our SBCGrQ.
 solve_bcgrq = solve_sbcgrq
+from blockcg_tpu.solvers.pbcg import (jacobi_preconditioner,
+                                      solve_pbcg)
 from blockcg_tpu.solvers.poly import solve_sbcgrq_cheb
 from blockcg_tpu.solvers.refine import solve_refined
 from blockcg_tpu.solvers.shifted import solve_shifted_cg
@@ -16,6 +18,8 @@ __all__ = [
     "solve_cg",
     "solve_bcg",
     "solve_bcgdq",
+    "solve_pbcg",
+    "jacobi_preconditioner",
     "solve_bcgrq",
     "solve_sbcgrq",
     "solve_refined",
