@@ -32,6 +32,7 @@ from blockcg_tpu.solvers import (
     solve_bcg,
     solve_bcgdq,
     solve_pbcg,
+    solve_psbcgrq,
     jacobi_preconditioner,
     solve_bcgrq,
     solve_sbcgrq,

@@ -7,7 +7,7 @@ from blockcg_tpu.solvers.sbcgrq import solve_sbcgrq
 # "BCGrQ" is the residual-QR member of the ladder — our SBCGrQ.
 solve_bcgrq = solve_sbcgrq
 from blockcg_tpu.solvers.pbcg import (jacobi_preconditioner,
-                                      solve_pbcg)
+                                      solve_pbcg, solve_psbcgrq)
 from blockcg_tpu.solvers.poly import solve_sbcgrq_cheb
 from blockcg_tpu.solvers.refine import solve_refined
 from blockcg_tpu.solvers.shifted import solve_shifted_cg
@@ -19,6 +19,7 @@ __all__ = [
     "solve_bcg",
     "solve_bcgdq",
     "solve_pbcg",
+    "solve_psbcgrq",
     "jacobi_preconditioner",
     "solve_bcgrq",
     "solve_sbcgrq",

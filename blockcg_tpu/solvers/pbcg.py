@@ -189,3 +189,111 @@ def solve_pbcg(
         op, M, Bt, X0t, tol, max_iter, axis_name, record_history
     )
     return op.from_internal(Xt).T, info
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_iter", "qr_passes", "axis_name",
+                              "record_history")
+)
+def _psbcgrq_impl(op, M, Bt, X0t, tol, max_iter, qr_passes, axis_name,
+                  record_history):
+    """Preconditioned SBCGrQ: Dubrulle's rQ stabilization carried out in
+    the M-inner product. Residuals factor as R = Q S with Q^H M Q = I
+    (M-CholQR: G = V^H (M V), Q = V L^{-H}); the direction seed becomes
+    P = M Q + P rho^H. Reduces exactly to SBCGrQ at M = I and to PCG at
+    k = 1. The free per-RHS monitor ||S e_j|| is the M-NORM of the
+    residual, reported relative to ||B_j||_M."""
+    rdtype = jnp.real(Bt).dtype
+    MB = _apply_m(M, Bt)
+    bnorm = jnp.sqrt(jnp.maximum(
+        jnp.real(jnp.diagonal(f_gram(Bt, MB, axis_name, codec=op))), 0.0))
+    bnorm = jnp.where(bnorm > 0, bnorm, jnp.asarray(1.0, rdtype))
+    tol_arr = jnp.asarray(tol, rdtype)
+
+    from blockcg_tpu.solvers.common import (
+        chol_inverse_spd, kk_mm, qr_factors_from_gram,
+    )
+
+    def cholqr_m(Vt, passes):
+        """M-inner-product CholeskyQR: returns (Qt, MQt, R) with
+        Q^H M Q = I and V = Q R. MQ comes free via linearity of M."""
+        rho = None
+        Qt, MQt = Vt, _apply_m(M, Vt)
+        for p in range(passes):
+            G = f_gram(Qt, MQt, axis_name, codec=op)
+            Mi, Ri = qr_factors_from_gram(G)
+            rho = Ri if rho is None else kk_mm(Ri, rho)
+            Qt = f_mm_update(Mi, Qt, codec=op)
+            if p < passes - 1:
+                MQt = _apply_m(M, Qt)  # re-measure (CholeskyQR2 semantics)
+            else:
+                MQt = f_mm_update(Mi, MQt, codec=op)  # M Q = Mi (M V)
+        return Qt, MQt, rho
+
+    def fresh(Xt):
+        Rt = Bt - op.matmat_t(Xt)
+        Qt, MQt, S = cholqr_m(Rt, qr_passes)
+        return Qt, MQt, S
+
+    Q0t, MQ0t, S0 = fresh(X0t)
+    hist0 = jnp.full((max_iter,), jnp.nan, rdtype) if record_history else None
+
+    def relres_of(S):
+        return jnp.sqrt(jnp.sum(jnp.real(S * jnp.conj(S)), axis=0)) / bnorm
+
+    def cond(state):
+        S, it = state[2], state[4]
+        return jnp.logical_and(it < max_iter, jnp.any(relres_of(S) > tol_arr))
+
+    def body(state):
+        Xt, Qt, S, Pt, it, hist = state
+        Wt, T = f_matmat_gram(op, Pt, axis_name)   # W = A P, T = P^H A P
+        alpha = chol_inverse_spd(T)
+        alpha_t = jnp.conj(alpha)
+        Xt = f_mm_update(kk_mm(S.T, alpha_t), Pt, Xt, codec=op)
+        Vt = f_mm_update(-alpha_t, Wt, Qt, codec=op)   # Q - W alpha
+        Qt, MQt, rho = cholqr_m(Vt, qr_passes)
+        S = kk_mm(rho, S)
+        Pt = f_mm_update(jnp.conj(rho), Pt, MQt, codec=op)  # M Q + P rho^H
+        if hist is not None:
+            hist = hist.at[it].set(jnp.max(relres_of(S)))
+        return (Xt, Qt, S, Pt, it + 1, hist)
+
+    state0 = (X0t, Q0t, S0, MQ0t, jnp.int32(0), hist0)
+    Xt, Qt, S, Pt, it, hist = lax.while_loop(cond, body, state0)
+    relres = relres_of(S)
+    info = SolverInfo(
+        iterations=it,
+        relres=relres,
+        converged=relres <= tol_arr,
+        matvecs=it + 1,
+        history=hist,
+    )
+    return Xt, info
+
+
+def solve_psbcgrq(
+    op: Any,
+    B: jax.Array,
+    M: Any,
+    X0: jax.Array | None = None,
+    *,
+    tol: float = 1e-6,
+    max_iter: int = 1000,
+    qr_passes: int = 2,
+    axis_name: str | None = None,
+    record_history: bool = False,
+) -> tuple[jax.Array, SolverInfo]:
+    """Preconditioned stabilized block CG: SBCGrQ with its thin QR carried
+    out in the M-inner product (M SPD, applied as an operator). Convergence
+    is monitored in the M-norm. Reduces to ``solve_sbcgrq`` at M = I."""
+    if B.ndim == 1:
+        raise ValueError("solve_psbcgrq expects an (n, k) block")
+    if qr_passes < 1:
+        raise ValueError("qr_passes must be >= 1")
+    Bt = op.to_internal(B.T)
+    X0t = jnp.zeros_like(Bt) if X0 is None else op.to_internal(X0.T)
+    Xt, info = _psbcgrq_impl(
+        op, M, Bt, X0t, tol, max_iter, qr_passes, axis_name, record_history
+    )
+    return op.from_internal(Xt).T, info

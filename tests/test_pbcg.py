@@ -76,3 +76,60 @@ def test_pbcg_on_merged_block_operator():
     rel = (np.linalg.norm(r, axis=0)
            / np.linalg.norm(np.asarray(B), axis=0)).max()
     assert rel < 1e-4
+
+
+def test_psbcgrq_identity_equals_sbcgrq():
+    from blockcg_tpu.solvers.pbcg import JacobiPreconditioner
+
+    n, k = 256, 4
+    rng = np.random.default_rng(10)
+    V = rng.standard_normal((n, 2 * n))
+    A = V @ V.T + n * np.eye(n)
+    op = DenseOperator(A=jnp.asarray(A))
+    M = JacobiPreconditioner(dinv_int=jnp.ones((1, n)))
+    B = jnp.asarray(rng.standard_normal((n, k)))
+    Xp, ip = bc.solve_psbcgrq(op, B, M, tol=1e-10, max_iter=500)
+    Xs, isb = bc.solve_sbcgrq(op, B, tol=1e-10, max_iter=500)
+    assert abs(int(ip.iterations) - int(isb.iterations)) <= 1
+    assert np.abs(np.asarray(Xp) - np.asarray(Xs)).max() < 1e-7
+
+
+def test_psbcgrq_jacobi_scaled_system():
+    n, k = 1024, 6
+    a = _scaled_spd_dia(n, seed=11)
+    op = DIAOperator.from_scipy(a, dtype=jnp.float64)
+    M = jacobi_preconditioner(op)
+    rng = np.random.default_rng(12)
+    B = jnp.asarray(rng.standard_normal((n, k)))
+    Xp, ip = bc.solve_psbcgrq(op, B, M, tol=1e-10, max_iter=2000)
+    Xu, iu = bc.solve_sbcgrq(op, B, tol=1e-10, max_iter=2000)
+    rel = np.abs(
+        np.linalg.norm(a @ np.asarray(Xp) - np.asarray(B), axis=0)
+        / np.linalg.norm(np.asarray(B), axis=0)
+    ).max()
+    # The monitor is the M-NORM relative residual (standard for PCG); the
+    # 2-norm residual can exceed it by up to sqrt(kappa(M)) on this badly
+    # scaled system — assert against that bound, not the raw tol.
+    d = a.diagonal()
+    bound = 1e-10 * np.sqrt(d.max() / d.min()) * 10
+    assert rel < max(bound, 1e-7), (rel, bound)
+    assert int(ip.iterations) < int(iu.iterations) * 0.7, (
+        int(ip.iterations), int(iu.iterations))
+
+
+def test_psbcgrq_rank_robust_vs_pbcg():
+    """Duplicate RHS columns: the rQ stabilization keeps the solve exact
+    where plain PBCG's k x k Grams degenerate."""
+    n = 512
+    a = _scaled_spd_dia(n, seed=13, spread=2.0)
+    op = DIAOperator.from_scipy(a, dtype=jnp.float64)
+    M = jacobi_preconditioner(op)
+    rng = np.random.default_rng(14)
+    b = rng.standard_normal(n)
+    B = jnp.asarray(np.stack([b, b, rng.standard_normal(n)], axis=1))
+    Xp, ip = bc.solve_psbcgrq(op, B, M, tol=1e-9, max_iter=2000)
+    rel = np.abs(
+        np.linalg.norm(a @ np.asarray(Xp) - np.asarray(B), axis=0)
+        / np.linalg.norm(np.asarray(B), axis=0)
+    ).max()
+    assert rel < 1e-7
