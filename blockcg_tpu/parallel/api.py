@@ -261,3 +261,47 @@ def solve_cg_dist(
         check_vma=True,
     ))
     return fn(dop, bl)
+
+
+def solve_psbcgrq_dist(
+    dop,
+    B: jax.Array,
+    M,
+    mesh: Mesh,
+    *,
+    tol: float = 1e-6,
+    max_iter: int = 1000,
+    qr_passes: int = 2,
+    record_history: bool = False,
+) -> tuple[jax.Array, SolverInfo]:
+    """Row-sharded preconditioned SBCGrQ. ``M`` is a JacobiPreconditioner
+    (its ``dinv_int`` rides sharded on the site axis) or any pytree
+    operator applying shard-locally on the internal field view."""
+    from blockcg_tpu.solvers.pbcg import JacobiPreconditioner, _psbcgrq_impl
+
+    axis = dop.axis_name
+    Bt = _put_field(dop, B, mesh, axis)
+
+    def body(op, m_, bt):
+        x0 = jnp.zeros_like(bt)
+        return _psbcgrq_impl(
+            op, m_, bt, x0, tol, max_iter, qr_passes, axis, record_history,
+        )
+
+    if isinstance(M, JacobiPreconditioner):
+        m_specs = JacobiPreconditioner(
+            dinv_int=P(None, axis) if M.dinv_int.ndim == 2 else P(axis)
+        )
+    else:
+        m_specs = M.in_specs()
+    key = ("psbcgrq", _dop_key(dop, mesh), float(tol), max_iter, qr_passes,
+           record_history, jax.tree_util.tree_structure(M))
+    fn = _cached_jit(key, lambda: shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(dop.in_specs(), m_specs, _field_pspec(dop, axis)),
+        out_specs=(_field_pspec(dop, axis), _info_specs(record_history)),
+        check_vma=True,
+    ))
+    Xt, info = fn(dop, M, Bt)
+    return _field_result(dop, mesh, Xt), info

@@ -195,3 +195,31 @@ def test_solve_shifted_sbcgrq_dist_matches_single():
     Xs, info_s = solve_shifted_sbcgrq(op, B, sigmas, tol=1e-9, max_iter=500)
     assert abs(int(info_d.iterations) - int(info_s.iterations)) <= 2
     assert np.abs(np.asarray(Xd) - np.asarray(Xs)).max() < 1e-7
+
+
+def test_solve_psbcgrq_dist_matches_single():
+    """Row-sharded preconditioned SBCGrQ (Jacobi on a scaled system)."""
+    import scipy.sparse as sp
+
+    from blockcg_tpu.parallel import solve_psbcgrq_dist
+    from blockcg_tpu.solvers.pbcg import jacobi_preconditioner
+    import blockcg_tpu as bc
+    from blockcg_tpu.operators import DIAOperator
+
+    n, D = 1024, 4
+    rng = np.random.default_rng(20)
+    s = np.exp(1.5 * rng.standard_normal(n))
+    base = sp.diags(
+        [np.full(n - 1, -1.0), np.full(n, 4.0), np.full(n - 1, -1.0)],
+        [-1, 0, 1]).tocsr()
+    Ds = sp.diags(np.sqrt(s))
+    a = (Ds @ base @ Ds).tocsr()
+    op = DIAOperator.from_scipy(a, dtype=jnp.float64)
+    M = jacobi_preconditioner(op)
+    dop = partition_dia(op, D)
+    mesh = row_mesh(D)
+    B = jnp.asarray(rng.standard_normal((n, 3)))
+    Xd, info_d = solve_psbcgrq_dist(dop, B, M, mesh, tol=1e-9, max_iter=500)
+    Xs, info_s = bc.solve_psbcgrq(op, B, M, tol=1e-9, max_iter=500)
+    assert abs(int(info_d.iterations) - int(info_s.iterations)) <= 2
+    assert np.abs(np.asarray(Xd) - np.asarray(Xs)).max() < 1e-7
