@@ -47,3 +47,21 @@ print(f"refined  n={op.n:>9} k=32 cycles={int(info.iterations)} "
 # Many shifts, one Krylov space: (A + sigma I) X = B for all sigma at once.
 Xs, info = bc.solve_shifted_sbcgrq(op, B[:, :8], [0.0, 0.5, 2.0], tol=1e-6)
 print(f"shifted  n={op.n:>9} k=8 x 3 shifts, SpMMs={int(info.matvecs)}")
+
+# Badly scaled systems: Jacobi-preconditioned stabilized block CG.
+import scipy.sparse as sp
+from blockcg_tpu.operators import DIAOperator
+
+n = 1 << 14
+scale = np.exp(2.0 * rng.standard_normal(n))
+base = sp.diags([np.full(n - 1, -1.0), np.full(n, 4.0),
+                 np.full(n - 1, -1.0)], [-1, 0, 1]).tocsr()
+Ds = sp.diags(np.sqrt(scale))
+a = (Ds @ base @ Ds).tocsr()
+sop = DIAOperator.from_scipy(a, dtype=jnp.float32)
+M = bc.jacobi_preconditioner(sop)
+Bs = jnp.asarray(rng.standard_normal((n, 8)), dtype=jnp.float32)
+_, iu = bc.solve_sbcgrq(sop, Bs, tol=1e-5, max_iter=2000)
+_, ipc = bc.solve_psbcgrq(sop, Bs, M, tol=1e-5, max_iter=2000)
+print(f"psbcgrq  n={n:>9} jacobi: {int(ipc.iterations)} iters "
+      f"(unpreconditioned: {int(iu.iterations)})")
