@@ -63,6 +63,7 @@ _TPU_SMOKE = {
     "test_shifted_sbcgrq_laplacian_f32",
     "test_eo_f32_pallas_interpret",
     "test_gauged_eo_f32_solve",
+    "test_pbcg_on_merged_block_operator",
 }
 
 
