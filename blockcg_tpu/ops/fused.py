@@ -280,6 +280,120 @@ def mm_update_gram(
     )(*args)
 
 
+# -------------------------------------------------------- mm2_update_gram --
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def mm2_update_gram(
+    M1: jax.Array, B1: jax.Array, M2: jax.Array, B2: jax.Array, *,
+    interpret: bool = False,
+):
+    """Y = M1 @ B1 + M2 @ B2 ;  G = Y Y^T — one pass over the fields.
+
+    The SBCGrQ residual-direction update with Q kept IMPLICIT: carrying the
+    residual basis as (M_qr, W) with Q = M_qr @ W (never materialized) turns
+    V = Q - Z alpha into this two-matmul form and saves the tail kernel the
+    Q write — 3 field passes here, 5 in px_update, vs 3 + 6 with an explicit
+    Q (VERDICT round-1 item 1: the iteration tail was the structural floor).
+    """
+    interpret = interpret or _env_interpret()
+    k, bs, lanes = _field_dims(B1)
+    R = _require_tile(_pick_tile(k, bs, lanes, 3), k, bs, lanes)
+    nb = lanes // R
+
+    def kernel(m1_ref, m2_ref, b1_ref, b2_ref, y_ref, g_ref):
+        i = pl.program_id(0)
+        m1 = m1_ref[:, :]
+        m2 = m2_ref[:, :]
+        g = None
+        for bi in range(max(bs, 1)):
+            if bs == 0:
+                y = _dot_kk(m1, b1_ref[:]) + _dot_kk(m2, b2_ref[:])
+                y_ref[:] = y
+            else:
+                y = _dot_kk(m1, b1_ref[:, bi, :]) + _dot_kk(m2, b2_ref[:, bi, :])
+                y_ref[:, bi, :] = y
+            t = _dot_gram(y, y)
+            g = t if g is None else g + t
+
+        @pl.when(i == 0)
+        def _():
+            g_ref[:, :] = g
+
+        @pl.when(i > 0)
+        def _():
+            g_ref[:, :] += g
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[_kk_spec((k, k)), _kk_spec((k, k)), _spec(k, bs, R),
+                  _spec(k, bs, R)],
+        out_specs=(_spec(k, bs, R), _kk_spec((k, k))),
+        out_shape=(
+            jax.ShapeDtypeStruct(B1.shape, jnp.float32),
+            jax.ShapeDtypeStruct((k, k), jnp.float32),
+        ),
+        interpret=interpret,
+    )(M1, M2, B1, B2)
+
+
+def mm2_update_gram_available(B1) -> bool:
+    k, bs, lanes = _field_dims(B1)
+    return _ok(B1) and _pick_tile(k, bs, lanes, 3) is not None
+
+
+# -------------------------------------------------------------- px_update --
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def px_update(
+    M1: jax.Array, W: jax.Array, rho: jax.Array, P: jax.Array,
+    C: jax.Array, X: jax.Array, *, interpret: bool = False,
+):
+    """Pn = M1 @ W + rho @ P ;  Xn = X + C @ P — one pass, no Q write.
+
+    The implicit-Q SBCGrQ iteration tail (see mm2_update_gram): the final
+    CholQR transform folds into the search-direction update, so Q is never
+    stored — 5 field passes (read W, P, X; write Pn, Xn)."""
+    interpret = interpret or _env_interpret()
+    k, bs, lanes = _field_dims(W)
+    R = _require_tile(_pick_tile(k, bs, lanes, 5), k, bs, lanes)
+    nb = lanes // R
+
+    def kernel(m1_ref, rho_ref, c_ref, w_ref, p_ref, x_ref, pn_ref, xn_ref):
+        m1 = m1_ref[:, :]
+        rh = rho_ref[:, :]
+        cc = c_ref[:, :]
+        if bs == 0:
+            p = p_ref[:]
+            pn_ref[:] = _dot_kk(m1, w_ref[:]) + _dot_kk(rh, p)
+            xn_ref[:] = x_ref[:] + _dot_kk(cc, p)
+        else:
+            for b in range(bs):
+                p = p_ref[:, b, :]
+                pn_ref[:, b, :] = _dot_kk(m1, w_ref[:, b, :]) + _dot_kk(rh, p)
+                xn_ref[:, b, :] = x_ref[:, b, :] + _dot_kk(cc, p)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[_kk_spec((k, k)), _kk_spec((k, k)), _kk_spec((k, k)),
+                  _spec(k, bs, R), _spec(k, bs, R), _spec(k, bs, R)],
+        out_specs=(_spec(k, bs, R), _spec(k, bs, R)),
+        out_shape=(
+            jax.ShapeDtypeStruct(P.shape, jnp.float32),
+            jax.ShapeDtypeStruct(X.shape, jnp.float32),
+        ),
+        interpret=interpret,
+    )(M1, rho, C, W, P, X)
+
+
+def px_update_available(W) -> bool:
+    k, bs, lanes = _field_dims(W)
+    return _ok(W) and _pick_tile(k, bs, lanes, 5) is not None
+
+
 # ------------------------------------------------------------- cheb_step --
 
 

@@ -35,13 +35,14 @@ def row_mesh(num_devices: int | None = None, axis_name: str = "rows") -> Mesh:
     return jax.make_mesh((len(devs),), (axis_name,), devices=devs)
 
 
-def _info_specs(record_history: bool):
+def _info_specs(record_history: bool, per_rhs: bool = False):
     return SolverInfo(
         iterations=P(),
         relres=P(),
         converged=P(),
         matvecs=P(),
         history=P() if record_history else None,
+        per_rhs_iters=P() if per_rhs else None,
     )
 
 
@@ -88,14 +89,19 @@ def solve_sbcgrq_dist(
     *,
     tol: float = 1e-6,
     max_iter: int = 1000,
-    qr_passes: int = 2,
+    qr_passes: int = 1,
     replace_every: int = 0,
     record_history: bool = False,
+    replace_kappa: float = 0.0,
 ) -> tuple[jax.Array, SolverInfo]:
     """Row-sharded SBCGrQ. ``dop`` is a Dist*Operator from parallel.dist_ops;
-    ``B`` is (n, k) in the operator's distributed row ordering."""
+    ``B`` is (n, k) in the operator's distributed row ordering. Defaults
+    mirror solve_sbcgrq: adaptive 1-pass QR; replacement opt-in. The
+    kappa/adaptive predicates are computed from post-psum k x k Grams, so
+    every device takes the same lax.cond branch."""
     axis = dop.axis_name
     Bt = _put_field(dop, B, mesh, axis)
+    replace_kappa = float(replace_kappa)
 
     def body(op, bt):
         x0 = jnp.zeros_like(bt)
@@ -103,15 +109,17 @@ def solve_sbcgrq_dist(
             op, bt, x0, tol, max_iter,
             qr_passes=qr_passes, replace_every=replace_every,
             axis_name=axis, record_history=record_history,
+            replace_kappa=replace_kappa,
         )
 
     key = ("sbcgrq", _dop_key(dop, mesh), float(tol), max_iter, qr_passes,
-           replace_every, record_history)
+           replace_every, record_history, replace_kappa)
     fn = _cached_jit(key, lambda: shard_map(
         body,
         mesh=mesh,
         in_specs=(dop.in_specs(), _field_pspec(dop, axis)),
-        out_specs=(_field_pspec(dop, axis), _info_specs(record_history)),
+        out_specs=(_field_pspec(dop, axis),
+                   _info_specs(record_history, per_rhs=True)),
         check_vma=True,
     ))
     Xt, info = fn(dop, Bt)

@@ -205,6 +205,34 @@ def f_mm_update_gram(M, Bt, At=None, axis_name: str | None = None,
     return Y, gram_t(Y, Y, axis_name, codec)
 
 
+def f_mm2_update_gram(M1, B1t, M2, B2t, axis_name: str | None = None,
+                      codec=None):
+    """(Y = M1 @ B1 + M2 @ B2, G = Y Y^T) in one pass (codec-aware).
+
+    The implicit-Q residual-direction update: V = Q - Z alpha with
+    Q = M_qr @ W never materialized (ops/fused.py mm2_update_gram)."""
+    from blockcg_tpu.ops import fused
+
+    M1, M2 = _ce(codec, M1), _ce(codec, M2)
+    if fused.mm2_update_gram_available(B1t):
+        Y, G = fused.mm2_update_gram(M1, B1t, M2, B2t)
+        return Y, psum_if(_gc(codec, G), axis_name)
+    Y = mm(M1, B1t) + mm(M2, B2t)
+    return Y, gram_t(Y, Y, axis_name, codec)
+
+
+def f_px_update(M1, Wt, rho, Pt, C, Xt, codec=None):
+    """(Pn = M1 @ W + rho @ P, Xn = X + C @ P) in one pass — the implicit-Q
+    SBCGrQ iteration tail (no Q write; ops/fused.py px_update)."""
+    from blockcg_tpu.ops import fused
+
+    M1, rho, C = _ce(codec, M1), _ce(codec, rho), _ce(codec, C)
+    if fused.px_update_available(Wt):
+        return fused.px_update(M1, Wt, rho, Pt, C, Xt)
+    Pn = mm(M1, Wt) + mm(rho, Pt)
+    return Pn, Xt + mm(C, Pt)
+
+
 def f_qr_p_update(M2, Q1t, rho, Pt, codec=None):
     """(Q = M2 @ Q1, Pn = Q + rho @ P) in one pass (codec-aware)."""
     from blockcg_tpu.ops import fused
@@ -243,12 +271,18 @@ def kk_mm(a, b):
     return jnp.matmul(a, b, precision=HIGHEST, preferred_element_type=a.dtype)
 
 
-def qr_factors_from_gram(G):
+def qr_factors_from_gram(G, want_cond: bool = False):
     """One equilibrated CholeskyQR pass from a precomputed Gram ``G = V V^T``
     (lanes-major): returns (M1, R1) with ``Q = M1 @ V`` and ``V = Q R1``.
 
     The equilibration norms are ``diag(G)`` — no separate norm pass. Same
-    math as ``_cholqr_once_t`` (which recomputes the Gram from V)."""
+    math as ``_cholqr_once_t`` (which recomputes the Gram from V).
+
+    ``want_cond`` additionally returns the 1-norm condition estimate
+    ``kappa_1(G1) = ||G1||_1 ||G1^{-1}||_1`` of the EQUILIBRATED Gram — the
+    quantity that bounds one-pass CholeskyQR's orthogonality loss
+    (~eps * kappa_1). All k x k work: G1^{-1} = Rinv Rinv^H from the factor
+    already in hand."""
     dg = jnp.real(jnp.diagonal(G))
     d = lax.rsqrt(jnp.maximum(dg, jnp.finfo(dg.dtype).tiny))
     G1 = G * d[:, None] * d[None, :]
@@ -256,24 +290,107 @@ def qr_factors_from_gram(G):
     Rinv_s = tri_inverse_upper(L.conj().T)
     M1 = Rinv_s.T * d[None, :]
     R1 = L.conj().T / d[None, :]
+    if want_cond:
+        G1inv = kk_mm(Rinv_s, Rinv_s.conj().T)
+        cond1 = (jnp.max(jnp.sum(jnp.abs(G1), axis=0))
+                 * jnp.max(jnp.sum(jnp.abs(G1inv), axis=0)))
+        return M1, R1, cond1
     return M1, R1
 
 
+def qr_gram_refine(M1, R1, G):
+    """k x k-only second CholeskyQR pass, computed FROM THE GRAM (zero field
+    passes): ``H = M1 G M1^H`` is Q1^H Q1 as implied by G; factoring H and
+    folding it into the transform repairs the FACTORIZATION error of an
+    ill-conditioned or jitter-repaired first pass — the mechanism that makes
+    one-pass CholeskyQR of a (near-)rank-deficient block blow up. It cannot
+    see the field-level rounding of the Gram accumulation itself; the
+    kappa-triggered residual replacement (solvers/sbcgrq.py) covers that."""
+    # Lanes-major transform: Q1 = V M1^T (column world), so
+    # Q1^H Q1 = conj(M1) G M1^T — NOT M1 G M1^H (differs for complex G).
+    H = kk_mm(jnp.conj(M1), kk_mm(G, M1.T))
+    H = 0.5 * (H + H.conj().T)
+    M2, R2 = qr_factors_from_gram(H)
+    return kk_mm(M2, M1), kk_mm(R2, R1)
+
+
 def qr_passes_from_gram(G, Wt, passes: int, axis_name: str | None = None,
-                        codec=None):
+                        codec=None, want_cond: bool = False):
     """Run CholeskyQR passes given a precomputed Gram, DEFERRING the final
     orthonormalization so the caller can fuse it (with the P update in
     SBCGrQ, or a plain f_mm_update). Returns (M_last, W_last, rho): apply
     ``mm(M_last, W_last)``-style to finish; ``rho`` is the accumulated R
-    factor (V = Q rho). Shared by the SBCGrQ/BCGdQ/shifted-block bodies."""
+    factor (V = Q rho). Shared by the SBCGrQ/BCGdQ/shifted-block bodies.
+    ``want_cond`` appends the first pass's kappa_1(G1) estimate.
+
+    ``passes=1`` is ADAPTIVE, the TPU default: the k x k Gram-side
+    refinement (``qr_gram_refine``, zero field passes) always runs, and a
+    REAL second field pass is taken under ``lax.cond`` only when
+    kappa_1(G1) exceeds ``0.5 / sqrt(eps)`` — beyond that the Gram-side
+    triple product cancels below working precision (the kappa^2 limit of
+    CholeskyQR) and only a recomputed field Gram can repair the basis
+    (exact rank deficiency: duplicate/zero RHS columns). The predicate is
+    replicated across devices (G is post-psum), so under shard_map every
+    device takes the same branch."""
+    if passes == 1:
+        Mi, Ri, cond1 = qr_factors_from_gram(G, want_cond=True)
+        rdtype = jnp.real(jnp.empty((), G.dtype)).dtype
+        kappa_crit = 0.5 / jnp.sqrt(jnp.finfo(rdtype).eps)
+
+        def two_pass(args):
+            Mi, Ri, Wt = args
+            Wt2, G2 = f_mm_update_gram(Mi, Wt, None, axis_name, codec)
+            Mi2, Ri2 = qr_factors_from_gram(G2)
+            return Mi2, Wt2, kk_mm(Ri2, Ri)
+
+        def refine_only(args):
+            Mi, Ri, Wt = args
+            Mi, Ri = qr_gram_refine(Mi, Ri, G)
+            return Mi, Wt, Ri
+
+        Mi, Wt, rho = lax.cond(
+            cond1 > kappa_crit, two_pass, refine_only, (Mi, Ri, Wt)
+        )
+        if want_cond:
+            return Mi, Wt, rho, cond1
+        return Mi, Wt, rho
+
     rho = None
     Mi = None
+    cond1 = None
     for p in range(passes):
-        Mi, Ri = qr_factors_from_gram(G)
+        if p == 0 and want_cond:
+            Mi, Ri, cond1 = qr_factors_from_gram(G, want_cond=True)
+        else:
+            Mi, Ri = qr_factors_from_gram(G)
         rho = Ri if rho is None else kk_mm(Ri, rho)
         if p < passes - 1:
             Wt, G = f_mm_update_gram(Mi, Wt, None, axis_name, codec)
+    if want_cond:
+        return Mi, Wt, rho, cond1
     return Mi, Wt, rho
+
+
+def residual_rebase(S, Sn):
+    """Unitary change of basis between a drifted and a freshly recomputed
+    residual factorization: ``R = Qn Sn = (Qn U^H)(U Sn)`` with
+    ``U = Q^H Qn = S Sn^{-1}`` (both Q's orthonormal, same span => U
+    unitary). Re-expressing the fresh pair in the OLD basis keeps the
+    solver's ``P^T Q = I`` invariant intact through a residual replacement —
+    replacing (Q, S) by the raw fresh pair rotates the basis under P and
+    diverges (measured: config-3 replace_every=10 blew up to relres ~1e3).
+
+    All k x k: one triangular solve. Regularized so exactly-zero residual
+    columns (converged RHS, deflation padding) map through the identity."""
+    rdt = jnp.real(jnp.empty((), S.dtype)).dtype
+    d = (jnp.finfo(rdt).eps * jnp.max(jnp.abs(jnp.diagonal(Sn)))
+         + jnp.finfo(rdt).tiny).astype(S.dtype)
+    E = d * jnp.eye(S.shape[0], dtype=S.dtype)
+    # U (Sn + dI) = (S + dI); Sn upper triangular with positive diagonal.
+    Ut = jax.scipy.linalg.solve_triangular(
+        (Sn + E).T, (S + E).T, lower=True
+    )
+    return Ut.T
 
 
 def cholqr_fused_t(Vt, passes: int = 2, axis_name: str | None = None,

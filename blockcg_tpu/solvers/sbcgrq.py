@@ -11,24 +11,47 @@ Reference equivalent: R7 (SURVEY.md §3.1); recurrence per SURVEY.md §1.2
         [Q, r] = thinQR(Q - Z a)           # re-orthonormalize the residual
         S   = r S                          # true residual R = Q S throughout
         P   = Q + P r^T
+        # per-RHS monitor: ||R e_j|| = ||S e_j|| (Q orthonormal)
 
 Invariant (unit-tested): ``B - A X == Q S`` at every iteration. Convergence
 monitoring (T-C4) is free: per-RHS residual norms are the column norms of the
 k x k ``S`` because Q has orthonormal columns — no (n,k) reduction needed.
 
-Internal layout is lanes-major (see solvers/common.py) in the operator's
-field view — flat (k, n) or (k, bs, ns) for block operators. Transposed
-recurrence (alpha^T = conj(alpha): it is a Hermitian inverse; rho^{H,T} =
-conj(rho)):
+TPU pass-count structure (VERDICT round-1 item 1): Q is never materialized.
+The residual basis is carried as the pair ``(M_qr, W)`` with ``Q = M_qr @ W``
+(M_qr the deferred CholQR transform, k x k), so per iteration the field
+traffic is
 
-    Xt += S^T conj(alpha) Pt ;  Vt = Qt - conj(alpha) Zt
-    Pt  = Qt + conj(rho) Pt
+    SpMM (read P, write Z, Gram fused)                      2 passes + A
+    V = M_qr W - alpha Z, Gram V V^H fused                  3 passes
+    P' = M_qr' V + rho^H P ;  X' = X + (alpha S)^T-style P  5 passes
 
-The thin QR is distributed CholeskyQR2 (T-C3): the only cross-device traffic
+= 10 HBM field passes at qr_passes=1 (vs 13 with an explicit Q and
+CholeskyQR2). Transposed lanes-major forms as before (alpha^T = conj(alpha),
+rho^{H,T} = conj(rho)).
+
+The thin QR is distributed CholeskyQR (T-C3): the only cross-device traffic
 per iteration is one halo exchange inside ``op`` plus two k x k psums
-(SURVEY.md §4.3). Residual replacement (T-C5): every ``replace_every``
-iterations the true residual is recomputed with one extra SpMM and Q/S/P are
-refreshed, repairing f32 drift.
+(SURVEY.md §4.3).
+
+Residual replacement (T-C5): every ``replace_every`` iterations — or
+adaptively, whenever the equilibrated QR Gram's condition estimate
+``kappa_1(G1)`` exceeds ``replace_kappa`` — the true residual is recomputed
+with one extra SpMM and Q/S are refreshed. Two semantics (``replace_mode``):
+
+- ``"restart"`` (default): P is reset to the fresh Q — a full restart of
+  the block recurrence. Robust in every dtype; costs Krylov momentum when
+  replacements are frequent (measured: config-3 replace_every=25 inflates
+  iterations 103 -> 333), so pair it with sparse schedules.
+- ``"rebase"``: P is KEPT and the fresh factorization is re-expressed in
+  the old Q basis via the unitary U = S Sn^{-1} folded into the deferred
+  Mqr transform (``common.residual_rebase``) — zero extra field passes and
+  zero iteration inflation. Exact in f64 (measured: replace_every=1 matches
+  the unreplaced iteration count). NOT safe in f32: once columns converge
+  below ~sqrt(eps), the drift between S and Sn is O(1) relative in those
+  columns and the triangular solve amplifies it (measured divergence at
+  replace_every<=10). Use for f64 solves; f32 deep solves should go through
+  solvers/refine.py instead.
 """
 
 from __future__ import annotations
@@ -43,12 +66,14 @@ from jax import lax
 from blockcg_tpu.types import SolverInfo
 from blockcg_tpu.solvers.common import (
     chol_inverse_spd,
-    cholqr_fused_t,
+    f_gram,
     f_matmat_gram,
-    f_mm_update_gram,
-    f_qr_px_update,
+    f_mm2_update_gram,
+    f_mm_update,
+    f_px_update,
     kk_mm,
     qr_passes_from_gram,
+    residual_rebase,
     row_norms2_t,
 )
 
@@ -61,24 +86,34 @@ from blockcg_tpu.solvers.common import (
         "replace_every",
         "axis_name",
         "record_history",
+        "replace_kappa",
+        "replace_mode",
     ),
 )
 def _sbcgrq_impl(
-    op, Bt, X0t, tol, max_iter, qr_passes, replace_every, axis_name, record_history
+    op, Bt, X0t, tol, max_iter, qr_passes, replace_every, axis_name,
+    record_history, active_floor=0, replace_kappa=0.0,
+    replace_mode="restart",
 ):
     rdtype = jnp.real(Bt).dtype
     bnorm = jnp.sqrt(row_norms2_t(Bt, axis_name, codec=op))
     bnorm = jnp.where(bnorm > 0, bnorm, jnp.asarray(1.0, rdtype))
+    # tol may be a scalar or a per-RHS (k,) vector (deflation stages solve
+    # correction systems whose targets differ per column, solvers/deflate.py).
     tol_arr = jnp.asarray(tol, rdtype)
+    floor = jnp.asarray(active_floor, jnp.int32)
 
     def fresh_qs(Xt):
-        """True residual, re-factorized: one extra SpMM + thin QR."""
+        """True residual, re-factorized in DEFERRED form (Q = Mi @ W never
+        materialized): one extra SpMM + Gram + thin-QR factors."""
         Rt = Bt - op.matmat_t(Xt)
-        Qt, S = cholqr_fused_t(Rt, passes=qr_passes, axis_name=axis_name,
-                               codec=op)
-        return Qt, S
+        G = f_gram(Rt, Rt, axis_name, codec=op)
+        return qr_passes_from_gram(G, Rt, qr_passes, axis_name, codec=op)
 
-    Q0t, S0 = fresh_qs(X0t)
+    Mi0, W0t, S0 = fresh_qs(X0t)
+    k = S0.shape[0]
+    # P0 = Q0 — the one place Q is materialized (init only).
+    Q0t = f_mm_update(Mi0, W0t, codec=op)
     hist0 = jnp.full((max_iter,), jnp.nan, rdtype) if record_history else None
 
     def relres_of(S):
@@ -86,53 +121,80 @@ def _sbcgrq_impl(
         return jnp.sqrt(jnp.sum(jnp.real(S * jnp.conj(S)), axis=0)) / bnorm
 
     def cond(state):
-        _, _, S, _, it, _, _ = state
-        return jnp.logical_and(it < max_iter, jnp.any(relres_of(S) > tol_arr))
+        _, _, _, S, _, it, _, _, _ = state
+        # Continue while more than ``active_floor`` RHS are unconverged:
+        # floor 0 is the plain stop rule; a deflation outer loop sets the
+        # floor to the next stage's width so this stage hands over as soon
+        # as the block is half-idle (T-C4 deflation, solvers/deflate.py).
+        n_active = jnp.sum((relres_of(S) > tol_arr).astype(jnp.int32))
+        return jnp.logical_and(it < max_iter, n_active > floor)
 
     def body(state):
-        Xt, Qt, S, Pt, it, mv, hist = state
+        Xt, Wt, Mqr, S, Pt, it, mv, hist, per_rhs = state
+        per_rhs = per_rhs + (relres_of(S) > tol_arr).astype(jnp.int32)
         # SpMM with the P^H A P Gram fused into the kernel when the operator
         # supports it (stencil ops emit it from tiles already in VMEM).
         Zt, M = f_matmat_gram(op, Pt, axis_name)
         alpha = chol_inverse_spd(M)  # Hermitian
-        # Lanes-major transposed recurrence: the column-world updates
-        # X += P(alpha S) and V = Q - Z alpha transpose to
-        # Xt += S^T alpha^T Pt and Vt = Qt - alpha^T Zt, and alpha^T =
-        # conj(alpha) for the Hermitian inverse (no-op when real).
-        # Every (n, k)-sized step below is a fused one-HBM-pass kernel
-        # (T-K2): the V update also emits V V^H, whose diagonal carries the
-        # CholQR equilibration norms — the QR needs no extra field passes.
+        # Lanes-major transposed recurrence: the column-world update
+        # V = Q - Z alpha transposes to Vt = Qt - alpha^T Zt with
+        # alpha^T = conj(alpha) (Hermitian inverse; no-op when real), and
+        # Qt = Mqr @ Wt is applied on the fly — Q is never materialized.
+        # The V update also emits V V^H, whose diagonal carries the CholQR
+        # equilibration norms: the QR needs no extra field passes (T-K2).
         alpha_t = jnp.conj(alpha)
-        Vt, G = f_mm_update_gram(-alpha_t, Zt, Qt, axis_name, codec=op)
-        Mi, Wt, rho = qr_passes_from_gram(G, Vt, qr_passes, axis_name,
-                                         codec=op)
-        # Final QR pass fused with the search-direction AND solution
-        # updates (both read P; one pass). Column-world P = Q + P rho^H and
-        # X += P (alpha S) transpose to Pt = Qt + conj(rho) Pt and
-        # Xt += (S^T alpha^T) Pt — using the PRE-update Pt in both.
-        Qt, Pt, Xt = f_qr_px_update(
-            Mi, Wt, jnp.conj(rho), Pt, kk_mm(S.T, alpha_t), Xt, codec=op
+        Vt, G = f_mm2_update_gram(Mqr, Wt, -alpha_t, Zt, axis_name, codec=op)
+        Mqr2, Wt2, rho, cond1 = qr_passes_from_gram(
+            G, Vt, qr_passes, axis_name, codec=op, want_cond=True
+        )
+        # Fused tail (5 passes): P' = Mqr2 Wt2 + conj(rho) P and
+        # X' = X + (S^T alpha^T) P — both read the PRE-update P.
+        Pt, Xt = f_px_update(
+            Mqr2, Wt2, jnp.conj(rho), Pt, kk_mm(S.T, alpha_t), Xt, codec=op
         )
         S = kk_mm(rho, S)
         mv = mv + 1
 
-        if replace_every > 0:
-            def replace(args):
-                Xt, _, _, _, mv = args
-                Qn, Sn = fresh_qs(Xt)
-                return (Xt, Qn, Sn, Qn, mv + 1)
+        if replace_every > 0 or replace_kappa > 0:
+            if replace_mode == "rebase":
+                def replace(args):
+                    Xt, _, _, S, Pt, mv = args
+                    # Fresh true-residual factorization, re-expressed in the
+                    # OLD Q basis via the unitary U = S Sn^{-1} folded into
+                    # the deferred Mqr transform (zero extra field passes):
+                    # keeps the Krylov momentum (P untouched) AND the
+                    # P^T Q = I invariant. f64-only — see module docstring.
+                    Min, Wnt, Sn = fresh_qs(Xt)
+                    U = residual_rebase(S, Sn)
+                    return (Xt, Wnt, kk_mm(jnp.conj(U), Min), kk_mm(U, Sn),
+                            Pt, mv + 1)
+            else:
+                def replace(args):
+                    Xt, _, _, _, _, mv = args
+                    # Full restart: fresh factorization, P reset to the new
+                    # Q (materialized once — replacements are sparse).
+                    Min, Wnt, Sn = fresh_qs(Xt)
+                    Qn = f_mm_update(Min, Wnt, codec=op)
+                    return (Xt, Wnt, Min, Sn, Qn, mv + 1)
 
-            do = (it + 1) % replace_every == 0
-            Xt, Qt, S, Pt, mv = lax.cond(
-                do, replace, lambda a: a, (Xt, Qt, S, Pt, mv)
+            do = jnp.asarray(False)
+            if replace_every > 0:
+                do = (it + 1) % replace_every == 0
+            if replace_kappa > 0:
+                do = do | (cond1 > jnp.asarray(replace_kappa, cond1.dtype))
+            Xt, Wt2, Mqr2, S, Pt, mv = lax.cond(
+                do, replace, lambda a: a, (Xt, Wt2, Mqr2, S, Pt, mv)
             )
 
         if hist is not None:
             hist = hist.at[it].set(jnp.max(relres_of(S)))
-        return (Xt, Qt, S, Pt, it + 1, mv, hist)
+        return (Xt, Wt2, Mqr2, S, Pt, it + 1, mv, hist, per_rhs)
 
-    state0 = (X0t, Q0t, S0, Q0t, jnp.int32(0), jnp.int32(1), hist0)
-    Xt, Qt, S, Pt, it, mv, hist = lax.while_loop(cond, body, state0)
+    state0 = (X0t, W0t, Mi0, S0, Q0t, jnp.int32(0), jnp.int32(1), hist0,
+              jnp.zeros((k,), jnp.int32))
+    Xt, Wt, Mqr, S, Pt, it, mv, hist, per_rhs = lax.while_loop(
+        cond, body, state0
+    )
     relres = relres_of(S)
     info = SolverInfo(
         iterations=it,
@@ -140,6 +202,7 @@ def _sbcgrq_impl(
         converged=relres <= tol_arr,
         matvecs=mv,
         history=hist,
+        per_rhs_iters=per_rhs,
     )
     return Xt, info
 
@@ -151,22 +214,44 @@ def solve_sbcgrq(
     *,
     tol: float = 1e-6,
     max_iter: int = 1000,
-    qr_passes: int = 2,
+    qr_passes: int = 1,
     replace_every: int = 0,
     axis_name: str | None = None,
     record_history: bool = False,
+    active_floor: int = 0,
+    replace_kappa: float = 0.0,
+    replace_mode: str = "restart",
 ) -> tuple[jax.Array, SolverInfo]:
-    """Solve ``A X = B`` (A SPD, B (n, k)) by stabilized block CG (SBCGrQ)."""
+    """Solve ``A X = B`` (A SPD, B (n, k)) by stabilized block CG (SBCGrQ).
+
+    ``tol`` may be a scalar or a per-RHS (k,) vector. ``active_floor`` > 0
+    makes the loop hand over once at most that many RHS remain unconverged
+    (the deflation outer loop's stage-exit rule, solvers/deflate.py).
+
+    ``qr_passes`` defaults to 1: one CholeskyQR field pass per iteration
+    with a k x k Gram-side refinement, escalating to a real second pass
+    under ``lax.cond`` only when the Gram's condition estimate crosses
+    1/(2 sqrt(eps)) — rank-deficient or near-converged blocks
+    (common.qr_passes_from_gram). This is self-stabilizing; residual
+    replacement (``replace_every`` > 0 or the kappa trigger
+    ``replace_kappa`` > 0) additionally re-anchors the residual
+    factorization to the true residual. ``replace_mode`` picks the
+    replacement semantics: "restart" (robust, resets P) or "rebase"
+    (keeps P; f64 only — see module docstring).
+    """
     if B.ndim == 1:
         raise ValueError("solve_sbcgrq expects an (n, k) block; use solve_cg for k=1")
     if qr_passes < 1:
         raise ValueError("qr_passes must be >= 1")
+    if replace_mode not in ("restart", "rebase"):
+        raise ValueError("replace_mode must be 'restart' or 'rebase'")
     # Solver state lives in the operator's internal field view (e.g.
     # (k, bs, ns) for block operators) — converted once here, not per apply.
     Bt = op.to_internal(B.T)
     X0t = jnp.zeros_like(Bt) if X0 is None else op.to_internal(X0.T)
     Xt, info = _sbcgrq_impl(
         op, Bt, X0t, tol, max_iter, qr_passes, replace_every, axis_name,
-        record_history,
+        record_history, active_floor, replace_kappa=float(replace_kappa),
+        replace_mode=replace_mode,
     )
     return op.from_internal(Xt).T, info

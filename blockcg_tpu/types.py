@@ -51,6 +51,12 @@ class SolverInfo:
       matvecs: number of operator applications (SpMMs) performed.
       history: optional (max_iter,) max-relative-residual trace (NaN-padded),
         present only when ``SolverOptions.record_history`` was set.
+      per_rhs_iters: optional (k,) int32 — iterations each RHS column spent
+        unconverged (T-C4 "per-RHS iteration counts"; reference R9 reports a
+        single count, SURVEY.md §3.1). Solvers that monitor per RHS fill it.
+      matvec_cols: optional scalar — total SpMM column-passes (sum of
+        block-width x matvecs over deflation stages); the bandwidth-weighted
+        work metric that converged-column deflation reduces.
     """
 
     iterations: jax.Array
@@ -58,6 +64,8 @@ class SolverInfo:
     converged: jax.Array
     matvecs: jax.Array
     history: Any = None
+    per_rhs_iters: Any = None
+    matvec_cols: Any = None
 
     def __repr__(self) -> str:  # pragma: no cover - debug convenience
         try:

@@ -77,6 +77,39 @@ def test_qr_p_update(shape):
     np.testing.assert_allclose(np.asarray(Pn), wp, rtol=1e-5, atol=1e-4)
 
 
+@pytest.mark.parametrize("shape", [(8, 1024), (6, 4, 512)])
+def test_mm2_update_gram(shape):
+    """Implicit-Q residual-direction update: Y = M1 B1 + M2 B2, G = Y Y^T."""
+    k = shape[0]
+    M1, M2 = _kk(k, 30), _kk(k, 31)
+    B1, B2 = _field(shape, 32), _field(shape, 33)
+    Y, G = fused.mm2_update_gram(M1, B1, M2, B2, interpret=True)
+    m1, m2 = np.asarray(M1, np.float64), np.asarray(M2, np.float64)
+    b1, b2 = np.asarray(B1, np.float64), np.asarray(B2, np.float64)
+    want = np.tensordot(m1, b1, axes=(1, 0)) + np.tensordot(m2, b2, axes=(1, 0))
+    np.testing.assert_allclose(np.asarray(Y), want, rtol=1e-5, atol=1e-4)
+    wantG = want.reshape(k, -1) @ want.reshape(k, -1).T
+    np.testing.assert_allclose(np.asarray(G), wantG, rtol=1e-4, atol=1e-2)
+
+
+@pytest.mark.parametrize("shape", [(8, 1024), (6, 4, 512)])
+def test_px_update(shape):
+    """Implicit-Q iteration tail: Pn = M1 W + rho P, Xn = X + C P (no Q write)."""
+    k = shape[0]
+    M1, rho, C = _kk(k, 40), _kk(k, 41), _kk(k, 42)
+    W, P, X = _field(shape, 43), _field(shape, 44), _field(shape, 45)
+    Pn, Xn = fused.px_update(M1, W, rho, P, C, X, interpret=True)
+    m1, rh, cc = (np.asarray(a, np.float64) for a in (M1, rho, C))
+    w, p, x = (np.asarray(a, np.float64) for a in (W, P, X))
+    np.testing.assert_allclose(
+        np.asarray(Pn),
+        np.tensordot(m1, w, axes=(1, 0)) + np.tensordot(rh, p, axes=(1, 0)),
+        rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(Xn), x + np.tensordot(cc, p, axes=(1, 0)),
+        rtol=1e-5, atol=1e-4)
+
+
 def test_qr_factors_from_gram_matches_cholqr():
     """qr_factors_from_gram(V V^T) must reproduce _cholqr_once_t's factors."""
     Vt = _field((6, 2048), 12)

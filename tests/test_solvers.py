@@ -172,6 +172,43 @@ def test_sbcgrq_residual_replacement():
     assert res.max() <= 1e-9
 
 
+def test_sbcgrq_rebase_replacement_f64():
+    """replace_mode='rebase' (keep-P) in f64: replacement every iteration
+    must not inflate the iteration count — the unitary re-basing preserves
+    the Krylov momentum exactly (solvers/common.py residual_rebase)."""
+    A = random_spd(200, seed=16)
+    B = random_block(200, 6, seed=17)
+    op = DenseOperator(A=jnp.asarray(A))
+    X0, info0 = solve_sbcgrq(op, jnp.asarray(B), tol=1e-10, max_iter=300)
+    X, info = solve_sbcgrq(
+        op, jnp.asarray(B), tol=1e-10, max_iter=300, replace_every=1,
+        replace_mode="rebase",
+    )
+    assert bool(info.converged.all())
+    assert abs(int(info.iterations) - int(info0.iterations)) <= 3
+    res = np.linalg.norm(A @ np.asarray(X) - B, axis=0) / np.linalg.norm(B, axis=0)
+    assert res.max() <= 1e-9
+
+
+def test_sbcgrq_restart_replacement_f32_frequent():
+    """replace_mode='restart' must stay robust in f32 even with frequent
+    replacement and near-converged columns (the regime where keep-P rebasing
+    measurably diverges — see sbcgrq.py module docstring)."""
+    shape = (12, 12)
+    from blockcg_tpu.problems import laplacian_dia, laplacian_scipy
+
+    a = laplacian_scipy(shape)
+    op = laplacian_dia(shape, dtype=jnp.float32)
+    B = random_block(a.shape[0], 8, seed=21)
+    X, info = solve_sbcgrq(
+        op, jnp.asarray(B, jnp.float32), tol=1e-6, max_iter=500,
+        replace_every=10,
+    )
+    assert bool(info.converged.all())
+    res = np.linalg.norm(a @ np.asarray(X) - B, axis=0) / np.linalg.norm(B, axis=0)
+    assert res.max() <= 1e-5
+
+
 def test_sbcgrq_invariant_on_device():
     """Debug-mode invariant B - A X = Q S, checked by stepping the device
     solver with max_iter=j for increasing j (cheap at this size)."""
