@@ -36,6 +36,7 @@ from blockcg_tpu.solvers import (
     jacobi_preconditioner,
     solve_bcgrq,
     solve_sbcgrq,
+    solve_sbcgrq_deflated,
     solve_refined,
     solve_sbcgrq_cheb,
     solve_shifted_cg,
@@ -57,6 +58,7 @@ __all__ = [
     "solve_bcgdq",
     "solve_bcgrq",
     "solve_sbcgrq",
+    "solve_sbcgrq_deflated",
     "solve_refined",
     "solve_sbcgrq_cheb",
     "solve_shifted_cg",

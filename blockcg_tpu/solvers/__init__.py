@@ -2,6 +2,7 @@ from blockcg_tpu.solvers.cg import solve_cg
 from blockcg_tpu.solvers.bcg import solve_bcg
 from blockcg_tpu.solvers.bcgdq import solve_bcgdq
 from blockcg_tpu.solvers.sbcgrq import solve_sbcgrq
+from blockcg_tpu.solvers.deflate import solve_sbcgrq_deflated
 
 # Dubrulle-ladder naming parity (BIT 41 (2001)): the reference README's
 # "BCGrQ" is the residual-QR member of the ladder — our SBCGrQ.
@@ -23,6 +24,7 @@ __all__ = [
     "jacobi_preconditioner",
     "solve_bcgrq",
     "solve_sbcgrq",
+    "solve_sbcgrq_deflated",
     "solve_refined",
     "solve_sbcgrq_cheb",
     "solve_shifted_cg",
