@@ -20,6 +20,7 @@ inner_tol=1e-5. The residual-replacement machinery inside SBCGrQ
 
 from __future__ import annotations
 
+import functools
 from typing import Callable
 
 import jax
@@ -29,6 +30,23 @@ from blockcg_tpu.types import SolverInfo
 from blockcg_tpu.operators.base import astype as op_astype
 from blockcg_tpu.solvers.sbcgrq import solve_sbcgrq
 from blockcg_tpu.solvers.bcg import solve_bcg
+
+
+@functools.partial(jax.jit, static_argnames=("compute_dtype",))
+def _refine_cycle(op64, X, D, scale, B64, bnorm, compute_dtype):
+    """One compiled outer-refinement program (f64; XLA-emulated on TPU):
+    apply the previous cycle's correction, recompute the true residual,
+    rescale it per-RHS, and cast the next inner RHS — one dispatch per
+    cycle instead of the former eager chain (the ~30 ms-per-dispatch
+    tunnel made the eager version host-bound; same pattern as
+    poly.py:_cheb_cycle). First cycle passes D = 0."""
+    X = X + D.astype(X.dtype) * scale[None, :]
+    R = B64 - op64.matmat(X)
+    nrm = jnp.linalg.norm(R, axis=0)
+    relres = nrm / bnorm
+    sc = jnp.where(nrm > 0, nrm, jnp.ones_like(nrm))
+    R_next = (R / sc[None, :]).astype(compute_dtype)
+    return X, R_next, sc, relres
 
 
 def solve_refined(
@@ -101,39 +119,41 @@ def solve_refined(
                 X = ckpt[0].astype(f64)
                 if verbose:
                     print(f"[refine] resumed from {checkpoint_path} (cycle {ckpt[1]})")
-        R = B64 - op64.matmat(X) if checkpoint_path is not None else B64
-        relres = jnp.linalg.norm(R, axis=0) / bnorm
+        # Cycle 0 of the compiled outer program (D = 0): true residual,
+        # per-RHS scaling (so the f32 inner solver sees O(1) columns —
+        # residuals span decades across cycles), next inner RHS. One
+        # dispatch; the scale/relres host round-trips of the former eager
+        # version are gone.
+        zero_d = jnp.zeros(B.shape, compute_dtype)
+        ones = jnp.ones_like(bnorm)
+        X, R_in, scale, relres = _refine_cycle(
+            op64, X, zero_d, ones, B64, bnorm, jnp.dtype(compute_dtype)
+        )
         already_done = bool(jnp.max(relres) <= tol)
 
-    matvecs = 0
+    matvecs = 1
     cycles = 0
     if already_done:
         max_cycles = 0  # e.g. resumed from a converged checkpoint
     for cycles in range(1, max_cycles + 1):
-        with jax.enable_x64(True):
-            # Scale the correction system per-RHS so the f32 inner solver
-            # sees O(1) columns (residuals span decades across cycles).
-            scale = jnp.linalg.norm(R, axis=0)
-            scale = jnp.where(scale > 0, scale, 1.0)
-            R32 = (R / scale[None, :]).astype(compute_dtype)
-        D, inner_info = solve_fn(op, R32, inner_tol)
+        D, inner_info = solve_fn(op, R_in, inner_tol)
         matvecs += int(inner_info.matvecs)
         with jax.enable_x64(True):
-            X = X + D.astype(f64) * scale[None, :]
-            R = B64 - op64.matmat(X)
-            relres = jnp.linalg.norm(R, axis=0) / bnorm
+            X, R_in, scale, relres = _refine_cycle(
+                op64, X, jnp.asarray(D), scale, B64, bnorm,
+                jnp.dtype(compute_dtype),
+            )
         matvecs += 1
         if checkpoint_path is not None:
             from blockcg_tpu.utils.checkpoint import save_checkpoint
 
             save_checkpoint(checkpoint_path, X, iteration=cycles)
-        with jax.enable_x64(True):
-            done = bool(jnp.max(relres) <= tol)
-            if verbose:
-                print(
-                    f"[refine] cycle {cycles}: max relres = "
-                    f"{float(jnp.max(relres)):.3e}"
-                )
+        done = bool(jnp.max(relres) <= tol)
+        if verbose:
+            print(
+                f"[refine] cycle {cycles}: max relres = "
+                f"{float(jnp.max(relres)):.3e}"
+            )
         if done:
             break
 
