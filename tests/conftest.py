@@ -64,6 +64,9 @@ _TPU_SMOKE = {
     "test_eo_f32_pallas_interpret",
     "test_gauged_eo_f32_solve",
     "test_pbcg_on_merged_block_operator",
+    "test_tiled_solve_f32",
+    "test_shard_map_single_device_solve_f32",
+    "test_sbcgrq_restart_replacement_f32_frequent",
 }
 
 

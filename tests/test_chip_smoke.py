@@ -1,0 +1,50 @@
+"""f32 integration tests designed to run BOTH on the CPU suite and on the
+real chip (BLOCKCG_TEST_TPU=1 smoke subset — see conftest.py).
+
+VERDICT round-1 item 7: the smoke subset lacked (a) the tiled-MXU general-
+sparsity kernel and (b) any shard_map entry point. Both are f32-only and
+chip-compatible: the tiled kernel runs for real on the TPU backend
+(interpret mode on CPU), and a 1-device mesh exercises the full shard_map
+machinery (specs, check_vma, psum/ppermute lowering) on a single chip.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from blockcg_tpu import solve_sbcgrq
+from blockcg_tpu.operators import TiledOperator
+from blockcg_tpu.parallel import partition_dia, row_mesh, solve_sbcgrq_dist
+from blockcg_tpu.problems import laplacian_dia, laplacian_scipy, random_block
+
+
+def test_tiled_solve_f32():
+    """General-sparsity (tiled-MXU) SpMM driving a full f32 solve."""
+    a = laplacian_scipy((20, 20))  # n=400 -> padded to 512
+    op = TiledOperator.from_scipy(a, dtype=jnp.float32)
+    B = np.zeros((op.n, 4), np.float32)
+    B[:400] = random_block(400, 4, seed=8)
+    X, info = solve_sbcgrq(op, jnp.asarray(B), tol=1e-5, max_iter=400)
+    assert bool(info.converged.all())
+    res = np.linalg.norm(a @ np.asarray(X)[:400] - B[:400], axis=0)
+    res /= np.linalg.norm(B[:400], axis=0)
+    assert res.max() <= 5e-5
+
+
+def test_shard_map_single_device_solve_f32():
+    """Full distributed entry point on a 1-device mesh: compiles and solves
+    on a single chip (the ring ppermute maps to self; psums are no-ops).
+    Compares against the plain single-device solver."""
+    shape = (16, 16)
+    op = laplacian_dia(shape, dtype=jnp.float32)
+    B = jnp.asarray(random_block(op.n, 4, seed=9), jnp.float32)
+    mesh = row_mesh(1)
+    dop = partition_dia(op, 1)
+    X_d, info_d = solve_sbcgrq_dist(dop, B, mesh, tol=1e-5, max_iter=400)
+    assert bool(info_d.converged.all())
+    a = laplacian_scipy(shape)
+    res = np.linalg.norm(a @ np.asarray(X_d) - np.asarray(B), axis=0)
+    res /= np.linalg.norm(np.asarray(B), axis=0)
+    assert res.max() <= 5e-5
+    X_s, info_s = solve_sbcgrq(op, B, tol=1e-5, max_iter=400)
+    assert abs(int(info_d.iterations) - int(info_s.iterations)) <= 2
