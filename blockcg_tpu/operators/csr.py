@@ -104,10 +104,14 @@ class ELLOperator(MatmatMixin):
 
     @property
     def nnz(self) -> int:
-        # Padded slots have value exactly 0; report logical nnz lazily is
-        # host-side only, so count once on construction instead. Kept simple:
-        # full padded size (upper bound) unless _nnz was set by from_scipy.
-        return getattr(self, "_nnz", self.vals.shape[0] * self.vals.shape[1])
+        # Logical nnz: padded slots hold value exactly 0 (the documented
+        # construction convention), so a hand-built ELL is counted by its
+        # nonzeros — one host fetch, cached. from_scipy pre-sets the count.
+        cached = getattr(self, "_nnz", None)
+        if cached is None:
+            cached = int(np.count_nonzero(np.asarray(self.vals)))
+            object.__setattr__(self, "_nnz", cached)
+        return cached
 
     @property
     def dtype(self):

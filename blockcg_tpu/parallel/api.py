@@ -82,6 +82,35 @@ def _dop_key(dop, mesh):
     )
 
 
+def _sbcgrq_dist_fn(dop, mesh, tol, max_iter, qr_passes, replace_every,
+                    record_history, replace_kappa):
+    """Cached shard_map-jitted SBCGrQ over INTERNAL sharded fields — the
+    building block shared by the public entry point and the distributed
+    refinement driver (which feeds sharded residuals straight back in,
+    skipping the host-side field codecs between cycles)."""
+    axis = dop.axis_name
+
+    def body(op, bt):
+        x0 = jnp.zeros_like(bt)
+        return _sbcgrq_impl(
+            op, bt, x0, tol, max_iter,
+            qr_passes=qr_passes, replace_every=replace_every,
+            axis_name=axis, record_history=record_history,
+            replace_kappa=replace_kappa,
+        )
+
+    key = ("sbcgrq", _dop_key(dop, mesh), float(tol), max_iter, qr_passes,
+           replace_every, record_history, replace_kappa)
+    return _cached_jit(key, lambda: shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(dop.in_specs(), _field_pspec(dop, axis)),
+        out_specs=(_field_pspec(dop, axis),
+                   _info_specs(record_history, per_rhs=True)),
+        check_vma=True,
+    ))
+
+
 def solve_sbcgrq_dist(
     dop,
     B: jax.Array,
@@ -101,29 +130,126 @@ def solve_sbcgrq_dist(
     every device takes the same lax.cond branch."""
     axis = dop.axis_name
     Bt = _put_field(dop, B, mesh, axis)
-    replace_kappa = float(replace_kappa)
-
-    def body(op, bt):
-        x0 = jnp.zeros_like(bt)
-        return _sbcgrq_impl(
-            op, bt, x0, tol, max_iter,
-            qr_passes=qr_passes, replace_every=replace_every,
-            axis_name=axis, record_history=record_history,
-            replace_kappa=replace_kappa,
-        )
-
-    key = ("sbcgrq", _dop_key(dop, mesh), float(tol), max_iter, qr_passes,
-           replace_every, record_history, replace_kappa)
-    fn = _cached_jit(key, lambda: shard_map(
-        body,
-        mesh=mesh,
-        in_specs=(dop.in_specs(), _field_pspec(dop, axis)),
-        out_specs=(_field_pspec(dop, axis),
-                   _info_specs(record_history, per_rhs=True)),
-        check_vma=True,
-    ))
+    fn = _sbcgrq_dist_fn(dop, mesh, float(tol), max_iter, qr_passes,
+                         replace_every, record_history, float(replace_kappa))
     Xt, info = fn(dop, Bt)
     return _field_result(dop, mesh, Xt), info
+
+
+def _refine_cycle_dist_fn(dop64, mesh, compute_dtype):
+    """Cached shard_map-jitted outer-refinement cycle (T-C5 distributed):
+    apply the scaled correction, recompute the true residual with the f64
+    operator (one distributed SpMM: halo exchange + boundary corrections),
+    reduce per-RHS norms via psum, rescale, and cast the next inner RHS —
+    ONE dispatch per cycle, all field traffic stays sharded on the mesh."""
+    from blockcg_tpu.solvers.common import f_mm_update, row_norms2_t
+
+    axis = dop64.axis_name
+
+    def body(op64, Xt, Dt, scale, Bt64, bnorm):
+        sc_m = jnp.diag(scale).astype(Xt.dtype)
+        Xt = Xt + f_mm_update(sc_m, Dt.astype(Xt.dtype), codec=op64)
+        Rt = Bt64 - op64.matmat_t(Xt)
+        nrm = jnp.sqrt(row_norms2_t(Rt, axis, codec=op64))
+        relres = nrm / bnorm
+        sc = jnp.where(nrm > 0, nrm, jnp.ones_like(nrm))
+        inv_m = jnp.diag(1.0 / sc).astype(Rt.dtype)
+        Rn = f_mm_update(inv_m, Rt, codec=op64).astype(compute_dtype)
+        return Xt, Rn, sc, relres
+
+    fspec = _field_pspec(dop64, axis)
+    key = ("refine_cycle", _dop_key(dop64, mesh), str(jnp.dtype(compute_dtype)))
+    return _cached_jit(key, lambda: shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(dop64.in_specs(), fspec, fspec, P(), fspec, P()),
+        out_specs=(fspec, fspec, P(), P()),
+        check_vma=True,
+    ))
+
+
+def solve_refined_dist(
+    dop,
+    B: jax.Array,
+    mesh: Mesh,
+    *,
+    tol: float = 1e-10,
+    inner_tol: float = 1e-5,
+    max_cycles: int = 8,
+    inner_max_iter: int = 2000,
+    qr_passes: int = 1,
+    replace_every: int = 0,
+    dop64=None,
+    verbose: bool = False,
+) -> tuple[jax.Array, SolverInfo]:
+    """Row-sharded mixed-precision refinement to below-f32 tolerances.
+
+    The north-star composition (BASELINE.json: "<=1e-10 ... row-partitioned"):
+    f32 SBCGrQ inner solves run fully distributed (halo ppermute + k x k
+    psums), and the f64 outer true-residual cycle is ONE compiled sharded
+    program per cycle (one distributed SpMM + psum'd column norms) — the
+    n-sized data never leaves the mesh between cycles; only the k-sized
+    relres vector is fetched to drive the stop rule.
+
+    Mirrors solvers/refine.py:solve_refined (same per-RHS residual scaling
+    so the f32 inner solver sees O(1) columns). ``dop64`` overrides the f64
+    outer operator; default promotes ``dop`` (exact when the matrix data is
+    f32-representable — see solve_refined's op64 note).
+    """
+    from blockcg_tpu.operators.base import astype as op_astype
+
+    axis = dop.axis_name
+    compute_dtype = dop.dtype
+    cplx = jnp.issubdtype(jnp.dtype(B.dtype), jnp.complexfloating)
+    f64 = jnp.complex128 if cplx else jnp.float64
+    inner_fn = _sbcgrq_dist_fn(dop, mesh, float(inner_tol), inner_max_iter,
+                               qr_passes, replace_every, False, 0.0)
+
+    with jax.enable_x64(True):
+        if dop64 is None:
+            dop64 = op_astype(dop, f64)
+        Bt64 = _put_field(dop64, B.astype(f64), mesh, axis)
+        cycle = _refine_cycle_dist_fn(dop64, mesh, jnp.dtype(compute_dtype))
+        rdt = jnp.float64
+        k = B.shape[1]
+        Xt = jnp.zeros_like(Bt64)
+        zeros_d = jnp.zeros(Bt64.shape, compute_dtype)
+        ones = jnp.ones((k,), rdt)
+        # Cycle 0 (X = 0, D = 0, bnorm = 1): sc comes back as the per-RHS
+        # ||B|| column norms — the normalization for every later cycle.
+        # ``scale`` always carries the scaling that produced the Rt_in the
+        # NEXT inner solve consumes (its correction is un-scaled by it).
+        Xt, Rt_in, scale, _ = cycle(dop64, Xt, zeros_d, ones, Bt64, ones)
+        bnorm = scale
+        relres = ones
+
+    matvecs = 1
+    cycles = 0
+    for cycles in range(1, max_cycles + 1):
+        Dt, inner_info = inner_fn(dop, Rt_in)
+        matvecs += int(inner_info.matvecs)
+        with jax.enable_x64(True):
+            Xt, Rt_in, scale, relres = cycle(
+                dop64, Xt, Dt, scale, Bt64, bnorm
+            )
+        matvecs += 1
+        # The only per-cycle host fetch: the (k,)-sized relres vector. Use
+        # numpy for the max so the f64 values aren't truncated when the
+        # caller runs without global x64.
+        worst = float(np.max(np.asarray(relres)))
+        if verbose:
+            print(f"[refine-dist] cycle {cycles}: max relres = {worst:.3e}")
+        if worst <= tol:
+            break
+
+    with jax.enable_x64(True):
+        info = SolverInfo(
+            iterations=jnp.int32(cycles),
+            relres=relres,
+            converged=relres <= tol,
+            matvecs=jnp.int32(matvecs),
+        )
+        return _field_result(dop64, mesh, Xt), info
 
 
 def _field_result(dop, mesh, Xt):

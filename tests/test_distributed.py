@@ -223,3 +223,44 @@ def test_solve_psbcgrq_dist_matches_single():
     Xs, info_s = bc.solve_psbcgrq(op, B, M, tol=1e-9, max_iter=500)
     assert abs(int(info_d.iterations) - int(info_s.iterations)) <= 2
     assert np.abs(np.asarray(Xd) - np.asarray(Xs)).max() < 1e-7
+
+
+def test_solve_refined_dist_laplacian_1e10():
+    """North-star composition (BASELINE.json north_star): f32 SBCGrQ inner
+    solves fully row-sharded + f64 outer true-residual cycles, to 1e-10,
+    matching the single-device refinement driver."""
+    from blockcg_tpu import solve_refined
+    from blockcg_tpu.parallel import solve_refined_dist
+
+    shape = (12, 12, 12)
+    op = laplacian_dia(shape, dtype=jnp.float32)
+    a = laplacian_scipy(shape)
+    B = random_block(op.n, 8, seed=0)
+    mesh = row_mesh(8)
+    dop = partition_dia(op, 8)
+    X, info = solve_refined_dist(dop, jnp.asarray(B), mesh, tol=1e-10,
+                                 inner_tol=1e-5)
+    assert bool(info.converged.all())
+    res = np.linalg.norm(a @ np.asarray(X) - B, axis=0) / np.linalg.norm(B, axis=0)
+    assert res.max() <= 1e-10
+    # cycle count matches the single-device driver (same algorithm)
+    _, info_s = solve_refined(op, jnp.asarray(B), tol=1e-10, inner_tol=1e-5)
+    assert abs(int(info.iterations) - int(info_s.iterations)) <= 1
+
+
+def test_solve_refined_dist_bdia():
+    """Distributed refinement through the block-lattice (Dirac-like)
+    operator: halo'd block SpMM in the f64 outer cycle as well."""
+    from blockcg_tpu.parallel import solve_refined_dist
+
+    L, D = 4, 4
+    op = dirac_bdia(L, m=0.5, bc="periodic", dtype=jnp.float32)
+    a = bdia_scipy(op)
+    B = random_block(op.n, 4, seed=9)
+    mesh = row_mesh(D)
+    dop = partition_bdia(op, D)
+    X, info = solve_refined_dist(dop, jnp.asarray(B), mesh, tol=1e-10,
+                                 inner_tol=1e-4)
+    assert bool(info.converged.all())
+    res = np.linalg.norm(a @ np.asarray(X) - B, axis=0) / np.linalg.norm(B, axis=0)
+    assert res.max() <= 1e-10
