@@ -42,18 +42,83 @@ class TiledOperator(MatmatMixin):
         return getattr(self, "_nnz", self.ntiles * self.T * self.T)
 
     @property
+    def fill(self) -> float:
+        """Tile density: logical nnz / padded tile footprint — THE efficiency
+        knob of the sparse-tile kernel (throughput ~= fill x tile-load
+        bandwidth; see ops/spmm_tiled.py). Reported so benchmarks can chart
+        the density -> throughput curve honestly."""
+        return self.nnz / (self.ntiles * self.T * self.T)
+
+    @property
     def dtype(self):
-        return self.tiles.dtype
+        # Solver-facing dtype: bf16 tile STORAGE still computes/accumulates
+        # in f32 (in-kernel upcast), so fields stay f32.
+        t = self.tiles.dtype
+        return jnp.float32 if t == jnp.bfloat16 else t
+
+    def to_solver_order(self, B):
+        """Map an (n0, k) RHS in the ORIGINAL row order to the internal
+        (reordered + identity-padded) order the operator applies in.
+        Identity when the operator was built without ``reorder``."""
+        perm = getattr(self, "_perm", None)
+        n0 = getattr(self, "_n0", self.n)
+        B = jnp.asarray(B)
+        if perm is not None:
+            B = B[jnp.asarray(perm)]
+        if n0 != self.n:
+            pad = [(0, self.n - n0)] + [(0, 0)] * (B.ndim - 1)
+            B = jnp.pad(B, pad)
+        return B
+
+    def from_solver_order(self, X):
+        """Inverse of :meth:`to_solver_order`: drop padding rows and undo
+        the bandwidth-reducing permutation."""
+        n0 = getattr(self, "_n0", self.n)
+        X = X[:n0]
+        perm = getattr(self, "_perm", None)
+        if perm is not None:
+            iperm = np.argsort(np.asarray(perm))
+            X = X[jnp.asarray(iperm)]
+        return X
 
     @classmethod
     def from_scipy(
         cls, a, dtype=jnp.float32, force_numpy: bool = False,
-        max_pad_bytes: int = 8 << 30,
+        max_pad_bytes: int = 8 << 30, reorder: str | None = None,
+        tile_dtype=None,
     ):
+        """Build the sparse-tile operator.
+
+        Args:
+          reorder: ``"rcm"`` applies reverse Cuthill-McKee bandwidth
+            reduction (host-side, scipy.sparse.csgraph) BEFORE tiling —
+            scattered-but-local sparsity (meshes, geometric graphs)
+            densifies by 10-20x, which is the whole game for the tile
+            kernel (SURVEY.md §8 hard part 2). The operator then applies in
+            the permuted order; convert fields with ``to_solver_order`` /
+            ``from_solver_order`` (solves are permutation-equivariant, so
+            only the API-boundary vectors move).
+          tile_dtype: storage dtype for the tile values (default: ``dtype``).
+            ``jnp.bfloat16`` halves the padded-tile HBM traffic — the
+            measured bottleneck — while the kernel still upcasts to f32 in
+            VMEM and accumulates in f32 (matrix entries are rounded to bf16;
+            compose with solve_refined + an f64 ``op64`` for full accuracy,
+            exactly like the f32-matrix refinement story).
+        """
         from blockcg_tpu.native import tilize_csr
 
         a = a.tocsr()
-        n = a.shape[0]
+        n0 = n = a.shape[0]
+        perm = None
+        if reorder is not None:
+            if reorder != "rcm":
+                raise ValueError(f"unknown reorder {reorder!r} (use 'rcm')")
+            from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+            perm = np.asarray(
+                reverse_cuthill_mckee(a, symmetric_mode=True), dtype=np.int64
+            )
+            a = a[perm][:, perm].tocsr()
         T = 128
         if n % T:  # pad to a tile multiple with identity on the diagonal
             import scipy.sparse as sp
@@ -81,14 +146,18 @@ class TiledOperator(MatmatMixin):
         tiles, rt, ct, first = tilize_csr(
             a, T, force_numpy=force_numpy, dtype=np.dtype(jnp.dtype(dtype).name)
         )
+        store = jnp.dtype(dtype if tile_dtype is None else tile_dtype)
         op = cls(
-            tiles=jnp.asarray(tiles, dtype=dtype),
+            tiles=jnp.asarray(tiles, dtype=store),
             rt=jnp.asarray(rt),
             ct=jnp.asarray(ct),
             first=jnp.asarray(first),
             n=int(n),
         )
         object.__setattr__(op, "_nnz", int(a.nnz))
+        object.__setattr__(op, "_n0", int(n0))
+        if perm is not None:
+            object.__setattr__(op, "_perm", perm)
         return op
 
     def matmat_t(self, Xt: jax.Array) -> jax.Array:
@@ -110,8 +179,11 @@ class TiledOperator(MatmatMixin):
         T = self.T
         Xb = Xt.reshape(k, n // T, T)
         xg = Xb[:, self.ct, :]  # (k, ntiles, T)
+        tiles = self.tiles
+        if tiles.dtype != Xt.dtype:  # bf16 storage: upcast, f32 math
+            tiles = tiles.astype(Xt.dtype)
         contrib = jax.lax.dot_general(
-            xg, self.tiles,
+            xg, tiles,
             (((2,), (2,)), ((1,), (0,))),  # contract T, batch over tiles
             preferred_element_type=Xt.dtype,
             precision=jax.lax.Precision.HIGHEST,

@@ -36,9 +36,13 @@ T = 128  # tile side (MXU-native)
 
 def _kernel(rt_ref, ct_ref, first_ref, tile_ref, x_ref, y_ref):
     i = pl.program_id(0)
+    # bf16 tile STORAGE halves the padded-tile HBM read (the measured
+    # bottleneck at low fill); the upcast happens here in VMEM so the MXU
+    # still computes and accumulates in f32 against the full-precision X.
+    tile = tile_ref[0].astype(x_ref.dtype)
     contrib = jax.lax.dot_general(
         x_ref[:],                      # (k, T)
-        tile_ref[0],                   # (T, T); Y += X @ A_tile^T
+        tile,                          # (T, T); Y += X @ A_tile^T
         (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
@@ -80,7 +84,8 @@ def tiled_spmm_t(
                                memory_space=pltpu.VMEM),
     )
     flops = 2 * ntiles * k * T * T
-    bytes_accessed = 4 * (ntiles * T * T + ntiles * k * T * 2)
+    bytes_accessed = (tiles.dtype.itemsize * ntiles * T * T
+                      + 4 * ntiles * k * T * 2)
     return pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,

@@ -24,6 +24,11 @@ from blockcg_tpu.problems.dirac_eo import (
     solve_dirac_eo_shifted,
 )
 from blockcg_tpu.problems.random_spd import random_spd, random_block
+from blockcg_tpu.problems.unstructured import (
+    delaunay_laplacian,
+    rgg_laplacian,
+    uniform_random_spd,
+)
 from blockcg_tpu.problems.presets import PRESETS
 
 __all__ = [
@@ -48,5 +53,8 @@ __all__ = [
     "solve_dirac_eo_shifted",
     "random_spd",
     "random_block",
+    "delaunay_laplacian",
+    "rgg_laplacian",
+    "uniform_random_spd",
     "PRESETS",
 ]
