@@ -7,6 +7,7 @@ from blockcg_tpu.operators.cbdia import ConstBlockDIAOperator
 from blockcg_tpu.operators.tiled import TiledOperator
 from blockcg_tpu.operators.dense import DenseOperator
 from blockcg_tpu.operators.realify import RealifiedHermitianOperator, realify
+from blockcg_tpu.operators.auto import from_scipy_auto
 
 __all__ = [
     "LinearOperator",
@@ -21,4 +22,5 @@ __all__ = [
     "DenseOperator",
     "RealifiedHermitianOperator",
     "realify",
+    "from_scipy_auto",
 ]

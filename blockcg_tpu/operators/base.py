@@ -97,6 +97,19 @@ class MatmatMixin:
     #     k x k / (k,) (sum of diagonal spin blocks).
     # Defaults: identity (flat (k, n) fields).
 
+    # API-boundary row-order hooks. Operators that apply in a PERMUTED row
+    # order (e.g. the RCM-reordered tile operator) override these; the
+    # identity defaults let generic user code be written once for every
+    # format:  X = op.from_solver_order(solve(op, op.to_solver_order(B))).
+
+    def to_solver_order(self, B):
+        """(n, k) RHS in the original row order -> the operator's order."""
+        return B
+
+    def from_solver_order(self, X):
+        """Inverse of :meth:`to_solver_order`."""
+        return X
+
     def coeff_expand(self, C):
         return C
 

@@ -53,6 +53,17 @@ def main():
 
     import os
 
+    if args.distributed:
+        # Pod runs: make sure the async collective-permute path is on so the
+        # halo exchange can overlap the interior kernel (bench_comm.py's
+        # overlap check is the validator; these are the defaults on recent
+        # libtpu, asserted here so a regression is visible in the flags).
+        flags = os.environ.get("LIBTPU_INIT_ARGS", "")
+        for f in ("--xla_tpu_enable_async_collective_permute=true",):
+            if f not in flags:
+                flags = (flags + " " + f).strip()
+        os.environ["LIBTPU_INIT_ARGS"] = flags
+
     import jax
 
     if args.distributed:
