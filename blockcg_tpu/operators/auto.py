@@ -33,7 +33,10 @@ import jax.numpy as jnp
 
 
 def _predicted_rcm_fill(a, T: int = 128):
-    """Tile fill of P A P^T under RCM without materializing the tiles."""
+    """(fill, ntiles, perm) of P A P^T under RCM, without building tiles.
+    The perm is returned so the selected TiledOperator reuses it — the RCM
+    pass and the permuted-CSR materialization are the dominant host cost on
+    large meshes and must not run twice."""
     from scipy.sparse.csgraph import reverse_cuthill_mckee
 
     perm = np.asarray(reverse_cuthill_mckee(a, symmetric_mode=True))
@@ -42,7 +45,7 @@ def _predicted_rcm_fill(a, T: int = 128):
     ct = np.asarray(ap.indices, dtype=np.int64) // T
     rt = np.repeat(np.arange(n, dtype=np.int64) // T, np.diff(ap.indptr))
     ntiles = np.unique(rt * (-(-n // T)) + ct).size
-    return ap.nnz / (ntiles * T * T), ntiles
+    return ap.nnz / (ntiles * T * T), ntiles, perm
 
 
 def from_scipy_auto(
@@ -52,6 +55,7 @@ def from_scipy_auto(
     max_diagonals: int = 48,
     min_fill: float = 0.005,
     max_ell_width: int = 64,
+    max_pad_bytes: int = 8 << 30,
     tile_dtype=None,
     verbose: bool = False,
 ):
@@ -83,14 +87,21 @@ def from_scipy_auto(
             print(f"[auto] DIA: {offsets.size} diagonals")
         return DIAOperator.from_scipy(a, dtype=dtype)
 
-    fill, ntiles = _predicted_rcm_fill(a)
-    if fill >= min_fill:
+    fill, ntiles, perm = _predicted_rcm_fill(a)
+    if fill >= min_fill and ntiles * 128 * 128 * 4 <= max_pad_bytes:
         if verbose:
             print(f"[auto] tiled+RCM: predicted fill {fill:.2%}, "
                   f"{ntiles} tiles")
-        return TiledOperator.from_scipy(
-            a, dtype=dtype, reorder="rcm", tile_dtype=tile_dtype
-        )
+        try:
+            return TiledOperator.from_scipy(
+                a, dtype=dtype, perm=perm, tile_dtype=tile_dtype,
+                max_pad_bytes=max_pad_bytes,
+            )
+        except ValueError:
+            # Padding after the tile-multiple row pad crossed the budget
+            # (the estimate above is pre-padding): fall through to the
+            # gather formats — falling back IS the selector's job.
+            pass
 
     counts = np.diff(a.indptr)
     if counts.max() <= max_ell_width:

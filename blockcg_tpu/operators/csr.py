@@ -106,9 +106,14 @@ class ELLOperator(MatmatMixin):
     def nnz(self) -> int:
         # Logical nnz: padded slots hold value exactly 0 (the documented
         # construction convention), so a hand-built ELL is counted by its
-        # nonzeros — one host fetch, cached. from_scipy pre-sets the count.
+        # nonzeros — ONE device->host fetch, cached; touch ``nnz`` before a
+        # timed region (from_scipy pre-sets the count, so only hand-built
+        # operators pay it). Under tracing (no concrete values) fall back
+        # to the padded upper bound rather than crash.
         cached = getattr(self, "_nnz", None)
         if cached is None:
+            if isinstance(self.vals, jax.core.Tracer):
+                return self.vals.shape[0] * self.vals.shape[1]
             cached = int(np.count_nonzero(np.asarray(self.vals)))
             object.__setattr__(self, "_nnz", cached)
         return cached

@@ -23,6 +23,12 @@ class TiledOperator(MatmatMixin):
     ct: jax.Array      # (ntiles,) int32 col-tile index
     first: jax.Array   # (ntiles,) int32 first-in-row-tile flag
     n: int
+    # RCM metadata travels IN the pytree (perm as an int32 leaf, the rest
+    # static) so jit/tree_map round-trips cannot silently drop the row
+    # ordering and turn from_solver_order into the identity.
+    perm: jax.Array | None = None   # (n0,) reordering, or None
+    n0: int | None = None           # original (pre-padding) row count
+    nnz_logical: int | None = None
 
     @property
     def T(self) -> int:
@@ -39,7 +45,9 @@ class TiledOperator(MatmatMixin):
     @property
     def nnz(self) -> int:
         # logical nnz if recorded at construction; padded size otherwise
-        return getattr(self, "_nnz", self.ntiles * self.T * self.T)
+        if self.nnz_logical is not None:
+            return self.nnz_logical
+        return self.ntiles * self.T * self.T
 
     @property
     def fill(self) -> float:
@@ -60,11 +68,11 @@ class TiledOperator(MatmatMixin):
         """Map an (n0, k) RHS in the ORIGINAL row order to the internal
         (reordered + identity-padded) order the operator applies in.
         Identity when the operator was built without ``reorder``."""
-        perm = getattr(self, "_perm", None)
-        n0 = getattr(self, "_n0", self.n)
+        perm = self.perm
+        n0 = self.n if self.n0 is None else self.n0
         B = jnp.asarray(B)
         if perm is not None:
-            B = B[jnp.asarray(perm)]
+            B = B[perm]
         if n0 != self.n:
             pad = [(0, self.n - n0)] + [(0, 0)] * (B.ndim - 1)
             B = jnp.pad(B, pad)
@@ -73,11 +81,10 @@ class TiledOperator(MatmatMixin):
     def from_solver_order(self, X):
         """Inverse of :meth:`to_solver_order`: drop padding rows and undo
         the bandwidth-reducing permutation."""
-        n0 = getattr(self, "_n0", self.n)
+        n0 = self.n if self.n0 is None else self.n0
         X = X[:n0]
-        perm = getattr(self, "_perm", None)
-        if perm is not None:
-            iperm = np.argsort(np.asarray(perm))
+        if self.perm is not None:
+            iperm = np.argsort(np.asarray(self.perm))
             X = X[jnp.asarray(iperm)]
         return X
 
@@ -85,7 +92,7 @@ class TiledOperator(MatmatMixin):
     def from_scipy(
         cls, a, dtype=jnp.float32, force_numpy: bool = False,
         max_pad_bytes: int = 8 << 30, reorder: str | None = None,
-        tile_dtype=None,
+        tile_dtype=None, perm=None,
     ):
         """Build the sparse-tile operator.
 
@@ -109,15 +116,14 @@ class TiledOperator(MatmatMixin):
 
         a = a.tocsr()
         n0 = n = a.shape[0]
-        perm = None
-        if reorder is not None:
+        if perm is None and reorder is not None:
             if reorder != "rcm":
                 raise ValueError(f"unknown reorder {reorder!r} (use 'rcm')")
             from scipy.sparse.csgraph import reverse_cuthill_mckee
 
-            perm = np.asarray(
-                reverse_cuthill_mckee(a, symmetric_mode=True), dtype=np.int64
-            )
+            perm = reverse_cuthill_mckee(a, symmetric_mode=True)
+        if perm is not None:  # precomputed (from_scipy_auto) or RCM above
+            perm = np.asarray(perm, dtype=np.int64)
             a = a[perm][:, perm].tocsr()
         T = 128
         if n % T:  # pad to a tile multiple with identity on the diagonal
@@ -147,18 +153,16 @@ class TiledOperator(MatmatMixin):
             a, T, force_numpy=force_numpy, dtype=np.dtype(jnp.dtype(dtype).name)
         )
         store = jnp.dtype(dtype if tile_dtype is None else tile_dtype)
-        op = cls(
+        return cls(
             tiles=jnp.asarray(tiles, dtype=store),
             rt=jnp.asarray(rt),
             ct=jnp.asarray(ct),
             first=jnp.asarray(first),
             n=int(n),
+            perm=None if perm is None else jnp.asarray(perm, jnp.int32),
+            n0=int(n0),
+            nnz_logical=int(a.nnz),
         )
-        object.__setattr__(op, "_nnz", int(a.nnz))
-        object.__setattr__(op, "_n0", int(n0))
-        if perm is not None:
-            object.__setattr__(op, "_perm", perm)
-        return op
 
     def matmat_t(self, Xt: jax.Array) -> jax.Array:
         import os
@@ -196,6 +200,6 @@ class TiledOperator(MatmatMixin):
 
 jax.tree_util.register_dataclass(
     TiledOperator,
-    data_fields=["tiles", "rt", "ct", "first"],
-    meta_fields=["n"],
+    data_fields=["tiles", "rt", "ct", "first", "perm"],
+    meta_fields=["n", "n0", "nnz_logical"],
 )

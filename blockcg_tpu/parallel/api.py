@@ -99,7 +99,7 @@ def _sbcgrq_dist_fn(dop, mesh, tol, max_iter, qr_passes, replace_every,
             replace_kappa=replace_kappa,
         )
 
-    key = ("sbcgrq", _dop_key(dop, mesh), float(tol), max_iter, qr_passes,
+    key = ("sbcgrq", _dop_key(dop, mesh), _tol_key(tol), max_iter, qr_passes,
            replace_every, record_history, replace_kappa)
     return _cached_jit(key, lambda: shard_map(
         body,
@@ -130,10 +130,19 @@ def solve_sbcgrq_dist(
     every device takes the same lax.cond branch."""
     axis = dop.axis_name
     Bt = _put_field(dop, B, mesh, axis)
-    fn = _sbcgrq_dist_fn(dop, mesh, float(tol), max_iter, qr_passes,
+    fn = _sbcgrq_dist_fn(dop, mesh, tol, max_iter, qr_passes,
                          replace_every, record_history, float(replace_kappa))
     Xt, info = fn(dop, Bt)
     return _field_result(dop, mesh, Xt), info
+
+
+def _tol_key(tol):
+    """Hashable jit-cache key for a scalar-or-(k,)-vector tolerance —
+    solve_sbcgrq accepts both (deflation stages use vector tols), so the
+    distributed mirror must too."""
+    if np.ndim(tol) == 0:
+        return float(tol)
+    return tuple(np.asarray(tol, np.float64).ravel().tolist())
 
 
 def _refine_cycle_dist_fn(dop64, mesh, compute_dtype):
@@ -219,12 +228,18 @@ def solve_refined_dist(
         # ||B|| column norms — the normalization for every later cycle.
         # ``scale`` always carries the scaling that produced the Rt_in the
         # NEXT inner solve consumes (its correction is un-scaled by it).
-        Xt, Rt_in, scale, _ = cycle(dop64, Xt, zeros_d, ones, Bt64, ones)
+        Xt, Rt_in, scale, nrm0 = cycle(dop64, Xt, zeros_d, ones, Bt64, ones)
         bnorm = scale
-        relres = ones
+        # Cycle-0 convergence check (all-zero RHS columns; or a future warm
+        # start): the cycle's relres output carries the RAW ||B - A X0||
+        # column norms (its bnorm input was 1) — relative to ||B|| that is
+        # 1 for every nonzero column, 0 for zero columns.
+        relres = jnp.where(nrm0 > 0, 1.0, 0.0)
 
     matvecs = 1
     cycles = 0
+    if float(np.max(np.asarray(relres))) <= tol:
+        max_cycles = 0  # already converged: skip the inner solves entirely
     for cycles in range(1, max_cycles + 1):
         Dt, inner_info = inner_fn(dop, Rt_in)
         matvecs += int(inner_info.matvecs)

@@ -33,7 +33,7 @@ def test_auto_picks_rcm_tiled_for_mesh():
     a = delaunay_laplacian(3000, seed=1)
     op = from_scipy_auto(a, dtype=jnp.float64)
     assert isinstance(op, TiledOperator)
-    assert getattr(op, "_perm", None) is not None  # RCM applied
+    assert op.perm is not None  # RCM applied
 
 
 def test_auto_picks_gather_for_expander():
@@ -56,3 +56,34 @@ def test_auto_format_agnostic_solve():
         Xo = np.asarray(op.from_solver_order(X))[:n]
         res = np.linalg.norm(a @ Xo - B, axis=0) / np.linalg.norm(B, axis=0)
         assert res.max() <= 1e-8, type(op).__name__
+
+
+def test_auto_falls_back_when_tile_budget_exceeded():
+    """The selector's job: a mesh that passes the fill gate but exceeds the
+    padded-tile memory budget must land on a gather format, not raise."""
+    a = delaunay_laplacian(3000, seed=6)
+    op = from_scipy_auto(a, dtype=jnp.float64, max_pad_bytes=1 << 20)
+    assert isinstance(op, (ELLOperator, CSROperator))
+
+
+def test_tiled_rcm_metadata_survives_pytree_roundtrip():
+    """RCM perm/n0/nnz ride the pytree: tree_map and astype round-trips must
+    preserve the row-order contract (a dropped perm silently returns
+    permuted answers)."""
+    import jax
+    from blockcg_tpu.operators.base import astype as op_astype
+
+    a = delaunay_laplacian(1500, seed=7)
+    op = from_scipy_auto(a, dtype=jnp.float32)
+    assert isinstance(op, TiledOperator) and op.perm is not None
+    op2 = jax.tree.map(lambda x: x, op)
+    op3 = op_astype(op, jnp.float64)
+    for o in (op2, op3):
+        assert o.perm is not None and o.n0 == op.n0
+        # logical count (matrix nnz + identity pad rows), not the padded
+        # tile upper bound
+        assert o.nnz == a.nnz + (op.n - op.n0)
+        assert o.nnz < o.ntiles * o.T * o.T
+    X = random_block(1500, 2, seed=8)
+    got = op3.from_solver_order(op3.matmat(op3.to_solver_order(jnp.asarray(X))))
+    np.testing.assert_allclose(np.asarray(got), a @ X, rtol=1e-10, atol=1e-10)

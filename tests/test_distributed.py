@@ -264,3 +264,19 @@ def test_solve_refined_dist_bdia():
     assert bool(info.converged.all())
     res = np.linalg.norm(a @ np.asarray(X) - B, axis=0) / np.linalg.norm(B, axis=0)
     assert res.max() <= 1e-10
+
+
+def test_solve_sbcgrq_dist_vector_tol():
+    """Per-RHS (k,) tolerance vector through the distributed entry point —
+    mirrors solve_sbcgrq's contract (deflation stages rely on it)."""
+    op = laplacian_dia((24, 24), dtype=jnp.float64)
+    B = jnp.asarray(random_block(op.n, 4, seed=13))
+    mesh = row_mesh(4)
+    dop = partition_dia(op, 4)
+    tols = np.array([1e-10, 1e-6, 1e-4, 1e-8])
+    X, info = solve_sbcgrq_dist(dop, B, mesh, tol=tols, max_iter=2000)
+    assert bool(info.converged.all())
+    a = laplacian_scipy((24, 24))
+    res = np.linalg.norm(a @ np.asarray(X) - B, axis=0)
+    res /= np.linalg.norm(np.asarray(B), axis=0)
+    assert (res <= 2 * tols).all()

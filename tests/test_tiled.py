@@ -133,7 +133,7 @@ def test_tiled_rcm_bf16_refined_to_1e10():
     a = delaunay_laplacian(2000, seed=2)
     op = TiledOperator.from_scipy(a, dtype=jnp.float32, reorder="rcm",
                                   tile_dtype=jnp.bfloat16)
-    perm = np.asarray(op._perm)
+    perm = np.asarray(op.perm)
     ap = a[perm][:, perm].tocsr()
     import scipy.sparse as _sp
     ap_pad = _sp.block_diag([ap, _sp.eye(op.n - 2000)], format="csr")
