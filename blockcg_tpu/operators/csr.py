@@ -134,10 +134,12 @@ class ELLOperator(MatmatMixin):
         # Padded columns point at the row itself: the gather stays local and
         # multiplies by zero, so padding is numerically inert.
         cols = np.tile(np.arange(n, dtype=np.int32)[:, None], (1, w))
-        for i in range(n):
-            lo, hi = a.indptr[i], a.indptr[i + 1]
-            vals[i, : hi - lo] = a.data[lo:hi]
-            cols[i, : hi - lo] = a.indices[lo:hi]
+        # Vectorized scatter (CSR data is row-major, so a row-mask assign
+        # consumes it in order): the per-row Python loop was O(n) host time
+        # — seconds at production row counts.
+        mask = np.arange(w)[None, :] < counts[:, None]
+        vals[mask] = a.data
+        cols[mask] = a.indices
         op = cls(vals=jnp.asarray(vals), cols=jnp.asarray(cols))
         object.__setattr__(op, "_nnz", int(counts.sum()))
         return op

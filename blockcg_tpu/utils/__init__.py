@@ -6,6 +6,7 @@ from blockcg_tpu.utils.metrics import (
     timed_solve,
 )
 from blockcg_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from blockcg_tpu.utils.io import load_operator, save_operator
 
 __all__ = [
     "SolveRecord",

@@ -87,3 +87,35 @@ def test_tiled_rcm_metadata_survives_pytree_roundtrip():
     X = random_block(1500, 2, seed=8)
     got = op3.from_solver_order(op3.matmat(op3.to_solver_order(jnp.asarray(X))))
     np.testing.assert_allclose(np.asarray(got), a @ X, rtol=1e-10, atol=1e-10)
+
+
+def test_operator_save_load_roundtrip(tmp_path):
+    """save_operator/load_operator: array leaves, static metadata (offsets
+    tuples, RCM perm/n0), and bf16 storage all survive the npz round-trip."""
+    import jax.numpy as jnp
+
+    from blockcg_tpu.operators import DIAOperator
+    from blockcg_tpu.utils import load_operator, save_operator
+    from blockcg_tpu.problems import laplacian_scipy
+
+    a = laplacian_scipy((12, 12))
+    ops = [
+        DIAOperator.from_scipy(a, dtype=jnp.float64),
+        from_scipy_auto(delaunay_laplacian(1500, seed=9), dtype=jnp.float32,
+                        tile_dtype=jnp.bfloat16),
+    ]
+    for op in ops:
+        p = tmp_path / f"{type(op).__name__}.npz"
+        save_operator(p, op)
+        op2 = load_operator(p)
+        assert type(op2) is type(op)
+        n0 = getattr(op, "n0", None) or op.shape[0]
+        X = random_block(n0, 2, seed=10)
+        Xi = op.to_solver_order(jnp.asarray(X, dtype=op.dtype))
+        np.testing.assert_array_equal(
+            np.asarray(op.matmat(Xi)), np.asarray(op2.matmat(Xi))
+        )
+        if isinstance(op, TiledOperator):
+            assert op2.tiles.dtype == jnp.bfloat16
+            np.testing.assert_array_equal(np.asarray(op.perm),
+                                          np.asarray(op2.perm))
