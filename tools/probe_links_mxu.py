@@ -1,0 +1,180 @@
+#!/usr/bin/env python
+"""Matrix-valued-link kernel probe (VERDICT round-1 item 6).
+
+The general per-site block-stencil kernel (runtime bs x bs link matrices,
+the SU(N)-style case that cannot factorize onto the const-hop MXU path)
+measured ~32 Gnnz/s — far from both the HBM roofline and the const-hop
+kernel. This probe localizes the bound with three measurements on the
+real chip:
+
+1. k sweep (k = 12 vs 16): m = bs*k = 48 is NOT a multiple of the 8-row
+   sublane tile, so every spin-plane slice w[b*k:(b+1)*k] is misaligned
+   and Mosaic inserts realignment copies; k = 16 (m = 64) is aligned. If
+   ns-normalized apply time is ~flat from k=12 to k=16 despite 33% more
+   math, misalignment is the drag and padding k is the fix.
+
+2. VPU broadcast-FMA roofline: a VMEM-resident kernel doing exactly the
+   general kernel's inner op (coeff (1, R) broadcast-multiplied into a
+   (k, R) accumulator) with no HBM traffic — the attainable ceiling for
+   this op shape. The general kernel's achieved FMA rate divided by this
+   says whether the kernel is VPU-op-bound (ratio ~1: the kernel IS the
+   hardware limit, and only fewer FLOPs — const-hop factorization — can
+   win) or schedule-bound (ratio << 1: fix the kernel).
+
+3. The same roofline with a full (k, R) coefficient (no broadcast) —
+   isolates the sublane-broadcast cost itself.
+
+The MXU staging alternative (pre-expanded block-diagonal operands) is
+ruled out by arithmetic, not measurement: staging G=32 sites into a
+(128, 128) bf16 block-diagonal operand stores 16384 slots for 512
+payload values — 32x memory blowup. Streaming it from HBM costs
+9 offsets x 1 KiB/site = 9 KiB/site vs the VPU path's ~1.4 KiB/site:
+>6x MORE HBM traffic on a bandwidth-limited chip, i.e. a guaranteed
+loss regardless of MXU rate. Building it on the fly in VMEM writes 32x
+more scratch bytes than the FMAs it replaces. (Numbers recorded in
+PARITY.md "Known gaps".)
+
+Usage (real chip): python tools/probe_links_mxu.py [--L 16] [--reps 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def probe_general_kernel(L, ks=(12, 16)):
+    from bench import measure_apply
+    from blockcg_tpu.problems import dirac_bdia
+
+    op = dirac_bdia(L, m=0.5, dtype=jnp.float32)
+    rng = np.random.default_rng(0)
+    out = []
+    for k in ks:
+        Xt = op.to_internal(jnp.asarray(
+            rng.standard_normal((k, op.n)), dtype=jnp.float32))
+        dt = measure_apply(op, Xt)
+        rec = {
+            "probe": "general_block_kernel", "L": L, "k": k,
+            "m": 4 * k, "aligned": (4 * k) % 8 == 0,
+            "apply_ms": round(dt * 1e3, 4),
+            "gnnzs": round(op.nnz / dt / 1e9, 2),
+            "gflops": round(2 * op.nnz * k / dt / 1e9, 1),
+            "ns_normalized_us_per_Msite": round(dt / op.ns * 1e12, 2),
+        }
+        out.append(rec)
+        print(json.dumps(rec), flush=True)
+    return out
+
+
+def _fma_kernel(reps, bcast, c_ref, x_ref, y_ref):
+    acc = jnp.zeros_like(x_ref[:])
+    nc = c_ref.shape[0]
+    for r in range(reps):
+        if bcast:
+            c = c_ref[r % nc, :].reshape(1, -1)   # (1, R) sublane broadcast
+        else:
+            c = c_ref[:]                           # full (k, R), no broadcast
+        acc = acc + c * x_ref[:]
+    y_ref[:] = acc
+
+
+def probe_vpu_roofline(k=12, R=512, nb=2048, reps=64):
+    """Attainable VPU broadcast-FMA rate with all operands VMEM-resident."""
+    rng = np.random.default_rng(1)
+    X = jnp.asarray(rng.standard_normal((k, nb * R)), dtype=jnp.float32)
+    out = []
+    for bcast in (True, False):
+        C = jnp.asarray(
+            rng.standard_normal((reps if bcast else k, R)), dtype=jnp.float32)
+        fn = pl.pallas_call(
+            functools.partial(_fma_kernel, reps, bcast),
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec(C.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, R), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((k, R), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((k, nb * R), jnp.float32),
+        )
+        jfn = jax.jit(fn)
+        y = jfn(C, X)
+        _ = float(jnp.sum(y))  # warm + force
+        best = float("inf")
+        for _t in range(3):
+            t0 = time.time()
+            y = jfn(C, X * (1.0 + 1e-6 * _t))
+            _ = float(jnp.sum(y))
+            best = min(best, time.time() - t0)
+        flops = 2 * reps * k * R * nb
+        rec = {
+            "probe": "vpu_fma_roofline", "k": k, "R": R,
+            "broadcast_coeff": bcast, "reps": reps,
+            "gflops": round(flops / best / 1e9, 1),
+            "ms": round(best * 1e3, 3),
+        }
+        out.append(rec)
+        print(json.dumps(rec), flush=True)
+    return out
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--L", type=int, default=16)
+    ap.add_argument("--reps", type=int, default=64)
+    ap.add_argument("--interpret-check", action="store_true",
+                    help="tiny CPU interpret-mode smoke of the probe kernel")
+    args = ap.parse_args()
+
+    if args.interpret_check:
+        jax.config.update("jax_platforms", "cpu")
+        # correctness: reps x (broadcast FMA) == manual numpy
+        k, R, nb, reps = 8, 128, 2, 3
+        rng = np.random.default_rng(2)
+        C = rng.standard_normal((reps, R)).astype(np.float32)
+        X = rng.standard_normal((k, nb * R)).astype(np.float32)
+        fn = pl.pallas_call(
+            functools.partial(_fma_kernel, reps, True),
+            grid=(nb,),
+            in_specs=[
+                pl.BlockSpec(C.shape, lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, R), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((k, R), lambda i: (0, i),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((k, nb * R), jnp.float32),
+            interpret=True,
+        )
+        got = np.asarray(fn(jnp.asarray(C), jnp.asarray(X)))
+        want = np.zeros_like(X)
+        for b in range(nb):
+            sl = slice(b * R, (b + 1) * R)
+            for r in range(reps):
+                want[:, sl] += C[r % reps][None, :] * X[:, sl]
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+        print("interpret check ok")
+        return
+
+    probe_general_kernel(args.L)
+    probe_vpu_roofline(reps=args.reps)
+
+
+if __name__ == "__main__":
+    main()
