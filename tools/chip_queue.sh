@@ -1,0 +1,35 @@
+#!/bin/bash
+# Round-2 chip measurement queue — run when the TPU tunnel is up.
+# Each step is independently timeout-guarded; results append to
+# CHIP_QUEUE_r2.log (JSON lines interleaved with step markers).
+set -u
+cd "$(dirname "$0")/.."
+LOG=CHIP_QUEUE_r2.log
+step() { echo "=== $1 $(date +%H:%M:%S) ===" | tee -a "$LOG"; }
+
+step "verify-drive"
+timeout 1200 python - <<'EOF' 2>&1 | tee -a "$LOG"
+import jax, jax.numpy as jnp, numpy as np
+import blockcg_tpu as bc
+from blockcg_tpu.problems import laplacian_dia
+op = laplacian_dia((32,32,32), dtype=jnp.float32)
+B = jnp.asarray(np.random.default_rng(0).standard_normal((op.n, 32)), dtype=jnp.float32)
+X, info = bc.solve_sbcgrq(op, B, tol=1e-6, max_iter=500)
+jax.block_until_ready(X); print(info)
+R = np.asarray(op(X) - B, dtype=np.float64)
+print("true relres", (np.linalg.norm(R,axis=0)/np.linalg.norm(np.asarray(B,np.float64),axis=0)).max())
+EOF
+
+step "bench-headline"
+timeout 1200 python bench.py 2>&1 | tee -a "$LOG"
+
+step "bench-scattered"
+timeout 1800 python bench_scattered.py --n 32768 --k 32 2>&1 | tee -a "$LOG"
+
+step "probe-links-mxu"
+timeout 1200 python tools/probe_links_mxu.py --L 16 2>&1 | tee -a "$LOG"
+
+step "tpu-smoke"
+timeout 1800 env BLOCKCG_TEST_TPU=1 python -m pytest tests/ -q 2>&1 | tail -5 | tee -a "$LOG"
+
+step "done"
