@@ -280,3 +280,21 @@ def test_solve_sbcgrq_dist_vector_tol():
     res = np.linalg.norm(a @ np.asarray(X) - B, axis=0)
     res /= np.linalg.norm(np.asarray(B), axis=0)
     assert (res <= 2 * tols).all()
+
+
+def test_solve_sbcgrq_dist_complex_hermitian():
+    """Complex Hermitian operator through the distributed path: conjugate-
+    correct Grams under psum, complex halos through ppermute."""
+    L, D = 4, 4
+    op = dirac_bdia(L, m=0.5, dtype=jnp.complex128)
+    a = bdia_scipy(op)
+    rng = np.random.default_rng(21)
+    B = rng.standard_normal((op.n, 3)) + 1j * rng.standard_normal((op.n, 3))
+    mesh = row_mesh(D)
+    dop = partition_bdia(op, D)
+    X, info = solve_sbcgrq_dist(dop, jnp.asarray(B), mesh, tol=1e-9,
+                                max_iter=300)
+    assert bool(info.converged.all())
+    res = np.linalg.norm(a @ np.asarray(X) - B, axis=0)
+    res /= np.linalg.norm(B, axis=0)
+    assert res.max() <= 2e-9
