@@ -17,6 +17,7 @@ from blockcg_tpu.parallel.api import (
     solve_cg_dist,
     solve_bcg_dist,
     solve_sbcgrq_dist,
+    solve_sbcgrq_deflated_dist,
     solve_refined_dist,
     solve_psbcgrq_dist,
     solve_shifted_sbcgrq_dist,
@@ -41,6 +42,7 @@ __all__ = [
     "solve_cg_dist",
     "solve_bcg_dist",
     "solve_sbcgrq_dist",
+    "solve_sbcgrq_deflated_dist",
     "solve_refined_dist",
     "solve_psbcgrq_dist",
     "solve_shifted_sbcgrq_dist",

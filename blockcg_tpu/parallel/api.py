@@ -83,30 +83,31 @@ def _dop_key(dop, mesh):
 
 
 def _sbcgrq_dist_fn(dop, mesh, tol, max_iter, qr_passes, replace_every,
-                    record_history, replace_kappa):
+                    record_history, replace_kappa, active_floor=0):
     """Cached shard_map-jitted SBCGrQ over INTERNAL sharded fields — the
-    building block shared by the public entry point and the distributed
+    building block shared by the public entry point, the distributed
     refinement driver (which feeds sharded residuals straight back in,
-    skipping the host-side field codecs between cycles)."""
+    skipping the host-side field codecs between cycles), and the deflation
+    driver (warm starts + active_floor stage exits). Call as
+    ``fn(dop, Bt, X0t)``."""
     axis = dop.axis_name
 
-    def body(op, bt):
-        x0 = jnp.zeros_like(bt)
+    def body(op, bt, x0t):
         return _sbcgrq_impl(
-            op, bt, x0, tol, max_iter,
+            op, bt, x0t, tol, max_iter,
             qr_passes=qr_passes, replace_every=replace_every,
             axis_name=axis, record_history=record_history,
-            replace_kappa=replace_kappa,
+            active_floor=active_floor, replace_kappa=replace_kappa,
         )
 
     key = ("sbcgrq", _dop_key(dop, mesh), _tol_key(tol), max_iter, qr_passes,
-           replace_every, record_history, replace_kappa)
+           replace_every, record_history, replace_kappa, active_floor)
+    fspec = _field_pspec(dop, axis)
     return _cached_jit(key, lambda: shard_map(
         body,
         mesh=mesh,
-        in_specs=(dop.in_specs(), _field_pspec(dop, axis)),
-        out_specs=(_field_pspec(dop, axis),
-                   _info_specs(record_history, per_rhs=True)),
+        in_specs=(dop.in_specs(), fspec, fspec),
+        out_specs=(fspec, _info_specs(record_history, per_rhs=True)),
         check_vma=True,
     ))
 
@@ -115,6 +116,7 @@ def solve_sbcgrq_dist(
     dop,
     B: jax.Array,
     mesh: Mesh,
+    X0: jax.Array | None = None,
     *,
     tol: float = 1e-6,
     max_iter: int = 1000,
@@ -122,18 +124,59 @@ def solve_sbcgrq_dist(
     replace_every: int = 0,
     record_history: bool = False,
     replace_kappa: float = 0.0,
+    active_floor: int = 0,
 ) -> tuple[jax.Array, SolverInfo]:
     """Row-sharded SBCGrQ. ``dop`` is a Dist*Operator from parallel.dist_ops;
     ``B`` is (n, k) in the operator's distributed row ordering. Defaults
-    mirror solve_sbcgrq: adaptive 1-pass QR; replacement opt-in. The
-    kappa/adaptive predicates are computed from post-psum k x k Grams, so
-    every device takes the same lax.cond branch."""
+    mirror solve_sbcgrq: adaptive 1-pass QR; replacement opt-in; per-RHS
+    (k,) vector ``tol`` accepted; ``active_floor`` is the deflation stage-
+    exit rule. The kappa/adaptive predicates are computed from post-psum
+    k x k Grams, so every device takes the same lax.cond branch."""
     axis = dop.axis_name
     Bt = _put_field(dop, B, mesh, axis)
+    X0t = (jnp.zeros_like(Bt) if X0 is None
+           else _put_field(dop, X0, mesh, axis))
     fn = _sbcgrq_dist_fn(dop, mesh, tol, max_iter, qr_passes,
-                         replace_every, record_history, float(replace_kappa))
-    Xt, info = fn(dop, Bt)
+                         replace_every, record_history, float(replace_kappa),
+                         int(active_floor))
+    Xt, info = fn(dop, Bt, X0t)
     return _field_result(dop, mesh, Xt), info
+
+
+def solve_sbcgrq_deflated_dist(
+    dop,
+    B: jax.Array,
+    mesh: Mesh,
+    X0: jax.Array | None = None,
+    *,
+    tol: float = 1e-6,
+    max_iter: int = 1000,
+    qr_passes: int = 1,
+    replace_every: int = 0,
+    min_width: int = 8,
+    width_quantum: int = 8,
+) -> tuple[jax.Array, SolverInfo]:
+    """Row-sharded SBCGrQ with converged-column deflation (T-C4): the
+    width-halving restart loop of solvers/deflate.py with each stage a
+    fully distributed solve. Column subsetting happens on the (n, k)
+    API-boundary arrays; each width compiles once per (dop, mesh)."""
+    from blockcg_tpu.solvers.deflate import _deflated_driver
+
+    def stage(Bs, X0s, budget, floor):
+        X, info = solve_sbcgrq_dist(
+            dop, Bs, mesh, X0s, tol=tol, max_iter=budget,
+            qr_passes=qr_passes, replace_every=replace_every,
+            active_floor=floor,
+        )
+        # Unshard at the stage boundary: the driver's column scatter mixes
+        # this with its replicated accumulator (ShardingTypeError inside
+        # .at[].set otherwise). One (n, w) gather per stage, ~log2(k/8)
+        # stages total.
+        return jnp.asarray(np.asarray(X)), info
+
+    return _deflated_driver(stage, jnp.asarray(B), X0, tol=tol,
+                            max_iter=max_iter, min_width=min_width,
+                            width_quantum=width_quantum)
 
 
 def _tol_key(tol):
@@ -241,7 +284,7 @@ def solve_refined_dist(
     if float(np.max(np.asarray(relres))) <= tol:
         max_cycles = 0  # already converged: skip the inner solves entirely
     for cycles in range(1, max_cycles + 1):
-        Dt, inner_info = inner_fn(dop, Rt_in)
+        Dt, inner_info = inner_fn(dop, Rt_in, jnp.zeros_like(Rt_in))
         matvecs += int(inner_info.matvecs)
         with jax.enable_x64(True):
             Xt, Rt_in, scale, relres = cycle(

@@ -54,12 +54,31 @@ def solve_sbcgrq_deflated(
     stage_width x stage_matvecs — the bandwidth-weighted work metric that
     deflation actually reduces).
     """
+
+    def stage(Bs, X0s, budget, floor):
+        return solve_sbcgrq(
+            op, Bs, X0s, tol=tol, max_iter=budget, qr_passes=qr_passes,
+            replace_every=replace_every, active_floor=floor,
+        )
+
+    return _deflated_driver(stage, B, X0, tol=tol, max_iter=max_iter,
+                            min_width=min_width, width_quantum=width_quantum)
+
+
+def _deflated_driver(
+    stage, B, X0, *, tol, max_iter, min_width, width_quantum
+) -> tuple[jax.Array, SolverInfo]:
+    """Width-halving restart loop around a stage solver.
+
+    ``stage(Bs, X0s, budget, floor) -> (X, info)`` runs the inner SBCGrQ
+    with the ``active_floor`` stop rule; the single-device and the
+    row-sharded entry points (parallel/api.py solve_sbcgrq_deflated_dist)
+    share this host loop — column subsetting happens on the (n, k)
+    API-boundary arrays either way.
+    """
     n, k = B.shape
     if k < 2 * min_width:
-        X, info = solve_sbcgrq(
-            op, B, X0, tol=tol, max_iter=max_iter, qr_passes=qr_passes,
-            replace_every=replace_every,
-        )
+        X, info = stage(B, X0, max_iter, 0)
         info.matvec_cols = info.matvecs * k
         return X, info
 
@@ -81,10 +100,7 @@ def solve_sbcgrq_deflated(
         Bs = jnp.zeros((n, w), B.dtype).at[:, :na].set(B[:, idx])
         X0s = jnp.zeros((n, w), B.dtype).at[:, :na].set(X[:, idx])
         budget = max(max_iter - iters_total, 1)
-        D, info = solve_sbcgrq(
-            op, Bs, X0s, tol=tol, max_iter=budget, qr_passes=qr_passes,
-            replace_every=replace_every, active_floor=floor,
-        )
+        D, info = stage(Bs, X0s, budget, floor)
         X = X.at[:, idx].set(D[:, :na])
         stage_iters = int(info.iterations)
         stage_mv = int(info.matvecs)

@@ -132,3 +132,37 @@ def test_vector_tol():
     assert rr[4:].max() <= 5e-6
     pr = np.asarray(info.per_rhs_iters)
     assert pr[:4].max() < pr[4:].min()  # loose columns retired earlier
+
+
+def test_deflated_dist_matches_single():
+    """Distributed deflation (width-halving restarts over the row-sharded
+    solver): converges every column, cuts matvec_cols vs the fixed-width
+    distributed solve, and matches the single-device deflated result."""
+    import jax
+    import pytest
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the multi-device (fake CPU) mesh")
+    from blockcg_tpu.parallel import (
+        partition_dia, row_mesh, solve_sbcgrq_deflated_dist,
+        solve_sbcgrq_dist,
+    )
+
+    shape = (48, 48)
+    a = laplacian_scipy(shape)
+    op = laplacian_dia(shape, dtype=jnp.float32)
+    B = jnp.asarray(_spread_rhs(shape, k_easy=12, k_hard=4), jnp.float32)
+    tol = 1e-6
+    mesh = row_mesh(4)
+    dop = partition_dia(op, 4)
+
+    Xf, inf_f = solve_sbcgrq_dist(dop, B, mesh, tol=tol, max_iter=600)
+    Xd, inf_d = solve_sbcgrq_deflated_dist(dop, B, mesh, tol=tol,
+                                           max_iter=600)
+    assert bool(inf_d.converged.all())
+    assert _true_relres(a, Xd, B).max() <= 1e-5  # ~10x f32 drift documented
+    fixed_cols = int(inf_f.matvecs) * B.shape[1]
+    assert int(inf_d.matvec_cols) <= 0.85 * fixed_cols
+    # per-RHS counts: easy columns retire earlier than the hard ones
+    pr = np.asarray(inf_d.per_rhs_iters)
+    assert pr[:12].max() < pr[12:].min()
