@@ -66,6 +66,7 @@ _TPU_SMOKE = {
     "test_pbcg_on_merged_block_operator",
     "test_tiled_solve_f32",
     "test_shard_map_single_device_solve_f32",
+    "test_rcm_bf16_tiled_solve_f32",
     "test_sbcgrq_restart_replacement_f32_frequent",
 }
 

@@ -48,3 +48,22 @@ def test_shard_map_single_device_solve_f32():
     assert res.max() <= 5e-5
     X_s, info_s = solve_sbcgrq(op, B, tol=1e-5, max_iter=400)
     assert abs(int(info_d.iterations) - int(info_s.iterations)) <= 2
+
+
+def test_rcm_bf16_tiled_solve_f32():
+    """Scattered-sparsity fast path end-to-end in f32: RCM-reordered tile
+    operator with bf16 tile storage (the kernel upcasts in VMEM on the
+    chip; XLA path on CPU) driving a solve through the order-conversion
+    helpers."""
+    from blockcg_tpu.problems import delaunay_laplacian
+
+    a = delaunay_laplacian(2000, seed=11)
+    op = TiledOperator.from_scipy(a, dtype=jnp.float32, reorder="rcm",
+                                  tile_dtype=jnp.bfloat16)
+    B = random_block(2000, 8, seed=12).astype(np.float32)
+    Bi = op.to_solver_order(jnp.asarray(B))
+    X, info = solve_sbcgrq(op, Bi, tol=1e-4, max_iter=600)
+    assert bool(info.converged.all())
+    Xo = np.asarray(op.from_solver_order(X), np.float64)
+    res = np.linalg.norm(a @ Xo - B, axis=0) / np.linalg.norm(B, axis=0)
+    assert res.max() <= 1e-3
