@@ -92,12 +92,13 @@ def _sbcgrq_dist_fn(dop, mesh, tol, max_iter, qr_passes, replace_every,
     ``fn(dop, Bt, X0t)``."""
     axis = dop.axis_name
 
-    def body(op, bt, x0t):
+    def body(op, bt, x0t, cap):
         return _sbcgrq_impl(
             op, bt, x0t, tol, max_iter,
             qr_passes=qr_passes, replace_every=replace_every,
             axis_name=axis, record_history=record_history,
             active_floor=active_floor, replace_kappa=replace_kappa,
+            iter_cap=cap,
         )
 
     key = ("sbcgrq", _dop_key(dop, mesh), _tol_key(tol), max_iter, qr_passes,
@@ -106,7 +107,7 @@ def _sbcgrq_dist_fn(dop, mesh, tol, max_iter, qr_passes, replace_every,
     return _cached_jit(key, lambda: shard_map(
         body,
         mesh=mesh,
-        in_specs=(dop.in_specs(), fspec, fspec),
+        in_specs=(dop.in_specs(), fspec, fspec, P()),
         out_specs=(fspec, _info_specs(record_history, per_rhs=True)),
         check_vma=True,
     ))
@@ -125,13 +126,16 @@ def solve_sbcgrq_dist(
     record_history: bool = False,
     replace_kappa: float = 0.0,
     active_floor: int = 0,
+    iter_cap=None,
 ) -> tuple[jax.Array, SolverInfo]:
     """Row-sharded SBCGrQ. ``dop`` is a Dist*Operator from parallel.dist_ops;
     ``B`` is (n, k) in the operator's distributed row ordering. Defaults
     mirror solve_sbcgrq: adaptive 1-pass QR; replacement opt-in; per-RHS
     (k,) vector ``tol`` accepted; ``active_floor`` is the deflation stage-
-    exit rule. The kappa/adaptive predicates are computed from post-psum
-    k x k Grams, so every device takes the same lax.cond branch."""
+    exit rule; ``iter_cap`` is a TRACED budget <= max_iter (no recompile
+    when it changes). The kappa/adaptive predicates are computed from
+    post-psum k x k Grams, so every device takes the same lax.cond
+    branch."""
     axis = dop.axis_name
     Bt = _put_field(dop, B, mesh, axis)
     X0t = (jnp.zeros_like(Bt) if X0 is None
@@ -139,7 +143,8 @@ def solve_sbcgrq_dist(
     fn = _sbcgrq_dist_fn(dop, mesh, tol, max_iter, qr_passes,
                          replace_every, record_history, float(replace_kappa),
                          int(active_floor))
-    Xt, info = fn(dop, Bt, X0t)
+    cap = jnp.int32(max_iter if iter_cap is None else iter_cap)
+    Xt, info = fn(dop, Bt, X0t, cap)
     return _field_result(dop, mesh, Xt), info
 
 
@@ -163,16 +168,21 @@ def solve_sbcgrq_deflated_dist(
     from blockcg_tpu.solvers.deflate import _deflated_driver
 
     def stage(Bs, X0s, budget, floor):
+        # max_iter stays FIXED (it is a static jit-cache key); the
+        # shrinking per-stage budget rides the traced iter_cap, so each
+        # width compiles once and later stages and re-solves hit the cache.
         X, info = solve_sbcgrq_dist(
-            dop, Bs, mesh, X0s, tol=tol, max_iter=budget,
+            dop, Bs, mesh, X0s, tol=tol, max_iter=max_iter, iter_cap=budget,
             qr_passes=qr_passes, replace_every=replace_every,
             active_floor=floor,
         )
-        # Unshard at the stage boundary: the driver's column scatter mixes
-        # this with its replicated accumulator (ShardingTypeError inside
-        # .at[].set otherwise). One (n, w) gather per stage, ~log2(k/8)
-        # stages total.
-        return jnp.asarray(np.asarray(X)), info
+        # Replicate on-device at the stage boundary: the driver's column
+        # scatter mixes this with its replicated accumulator
+        # (ShardingTypeError inside .at[].set otherwise); a host
+        # round-trip would crawl through the tunnel and break on
+        # multi-process meshes (non-addressable shards).
+        X = jax.device_put(X, NamedSharding(mesh, P(None, None)))
+        return X, info
 
     return _deflated_driver(stage, jnp.asarray(B), X0, tol=tol,
                             max_iter=max_iter, min_width=min_width,
@@ -284,7 +294,8 @@ def solve_refined_dist(
     if float(np.max(np.asarray(relres))) <= tol:
         max_cycles = 0  # already converged: skip the inner solves entirely
     for cycles in range(1, max_cycles + 1):
-        Dt, inner_info = inner_fn(dop, Rt_in, jnp.zeros_like(Rt_in))
+        Dt, inner_info = inner_fn(dop, Rt_in, jnp.zeros_like(Rt_in),
+                                  jnp.int32(inner_max_iter))
         matvecs += int(inner_info.matvecs)
         with jax.enable_x64(True):
             Xt, Rt_in, scale, relres = cycle(

@@ -56,9 +56,13 @@ def solve_sbcgrq_deflated(
     """
 
     def stage(Bs, X0s, budget, floor):
+        # max_iter fixed (static jit key); the shrinking budget rides the
+        # traced iter_cap so every stage at a given width shares one
+        # compilation (see _sbcgrq_impl).
         return solve_sbcgrq(
-            op, Bs, X0s, tol=tol, max_iter=budget, qr_passes=qr_passes,
-            replace_every=replace_every, active_floor=floor,
+            op, Bs, X0s, tol=tol, max_iter=max_iter, iter_cap=budget,
+            qr_passes=qr_passes, replace_every=replace_every,
+            active_floor=floor,
         )
 
     return _deflated_driver(stage, B, X0, tol=tol, max_iter=max_iter,

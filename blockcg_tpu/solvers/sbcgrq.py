@@ -93,7 +93,7 @@ from blockcg_tpu.solvers.common import (
 def _sbcgrq_impl(
     op, Bt, X0t, tol, max_iter, qr_passes, replace_every, axis_name,
     record_history, active_floor=0, replace_kappa=0.0,
-    replace_mode="restart",
+    replace_mode="restart", iter_cap=None,
 ):
     rdtype = jnp.real(Bt).dtype
     bnorm = jnp.sqrt(row_norms2_t(Bt, axis_name, codec=op))
@@ -102,6 +102,14 @@ def _sbcgrq_impl(
     # correction systems whose targets differ per column, solvers/deflate.py).
     tol_arr = jnp.asarray(tol, rdtype)
     floor = jnp.asarray(active_floor, jnp.int32)
+    # iter_cap is a TRACED cap <= the static max_iter (which sizes the
+    # history ring and stays in the jit cache key): deflation stages pass
+    # their shrinking budget here so every stage shares ONE compilation —
+    # a per-stage static budget would recompile the whole solver each
+    # restart (5-300 s per shard_map compile through this chip's tunnel).
+    cap = (jnp.int32(max_iter) if iter_cap is None
+           else jnp.minimum(jnp.asarray(iter_cap, jnp.int32),
+                            jnp.int32(max_iter)))
 
     def fresh_qs(Xt):
         """True residual, re-factorized in DEFERRED form (Q = Mi @ W never
@@ -127,7 +135,7 @@ def _sbcgrq_impl(
         # floor to the next stage's width so this stage hands over as soon
         # as the block is half-idle (T-C4 deflation, solvers/deflate.py).
         n_active = jnp.sum((relres_of(S) > tol_arr).astype(jnp.int32))
-        return jnp.logical_and(it < max_iter, n_active > floor)
+        return jnp.logical_and(it < cap, n_active > floor)
 
     def body(state):
         Xt, Wt, Mqr, S, Pt, it, mv, hist, per_rhs = state
@@ -221,6 +229,7 @@ def solve_sbcgrq(
     active_floor: int = 0,
     replace_kappa: float = 0.0,
     replace_mode: str = "restart",
+    iter_cap=None,
 ) -> tuple[jax.Array, SolverInfo]:
     """Solve ``A X = B`` (A SPD, B (n, k)) by stabilized block CG (SBCGrQ).
 
@@ -252,6 +261,6 @@ def solve_sbcgrq(
     Xt, info = _sbcgrq_impl(
         op, Bt, X0t, tol, max_iter, qr_passes, replace_every, axis_name,
         record_history, active_floor, replace_kappa=float(replace_kappa),
-        replace_mode=replace_mode,
+        replace_mode=replace_mode, iter_cap=iter_cap,
     )
     return op.from_internal(Xt).T, info

@@ -16,4 +16,6 @@ __all__ = [
     "timed_solve",
     "load_checkpoint",
     "save_checkpoint",
+    "load_operator",
+    "save_operator",
 ]

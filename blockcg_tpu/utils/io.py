@@ -57,15 +57,24 @@ def save_operator(path, op) -> None:
 
 
 def load_operator(path):
+    import jax
+
     with np.load(path) as z:
         hdr = json.loads(bytes(z["__header__"]).decode())
         cls = getattr(_ops, hdr["class"])
         kw = {}
-        for name, dt in hdr["dtypes"].items():
-            a = z[name]
-            if dt == "bfloat16":
-                a = a.view(jnp.bfloat16)
-            kw[name] = jnp.asarray(a)
+        # Honor the RECORDED dtypes: without the x64 scope, jnp.asarray
+        # silently truncates f64 leaves to f32 in a default (x64-off)
+        # process — exactly the config this chip requires — and a saved
+        # f64 refinement operator would quietly stop being f64.
+        with jax.enable_x64(True):
+            for name, dt in hdr["dtypes"].items():
+                a = z[name]
+                if dt == "bfloat16":
+                    a = a.view(jnp.bfloat16)
+                arr = jnp.asarray(a)
+                assert str(arr.dtype) == dt, (name, str(arr.dtype), dt)
+                kw[name] = arr
         for name, v in hdr["meta"].items():
             kw[name] = _to_tuple(v)
         return cls(**kw)

@@ -63,7 +63,12 @@ ap = a[perm][:, perm]
 import scipy.sparse as sp
 
 ap = sp.block_diag([ap, sp.eye(op.n - n)], format="csr")
-op64 = CSROperator.from_scipy(ap, dtype=jnp.float64)
+# f64 leaves must be created inside an x64 scope — the global-x64-off
+# config (mandatory on this chip) silently truncates them to f32 otherwise.
+import jax
+
+with jax.enable_x64(True):
+    op64 = CSROperator.from_scipy(ap, dtype=jnp.float64)
 X, info = bc.solve_refined(op, Bi, tol=1e-10, inner_tol=1e-3, op64=op64)
 Xo = np.asarray(op.from_solver_order(X), np.float64)
 res = np.linalg.norm(a @ Xo - B, axis=0) / np.linalg.norm(B, axis=0)

@@ -166,3 +166,11 @@ def test_deflated_dist_matches_single():
     # per-RHS counts: easy columns retire earlier than the hard ones
     pr = np.asarray(inf_d.per_rhs_iters)
     assert pr[:12].max() < pr[12:].min()
+    # ...and the advertised equivalence: same algorithm as the
+    # single-device deflation driver (stage structure and work within
+    # reduction-order slack; solutions agree at the solve tolerance)
+    Xs, inf_s = solve_sbcgrq_deflated(op, B, tol=tol, max_iter=600)
+    assert abs(int(inf_d.iterations) - int(inf_s.iterations)) <= 5
+    assert abs(int(inf_d.matvec_cols) - int(inf_s.matvec_cols)) <= \
+        8 * B.shape[1]
+    assert np.abs(np.asarray(Xd) - np.asarray(Xs)).max() <= 5e-4

@@ -91,42 +91,60 @@ def _fma_kernel(reps, bcast, c_ref, x_ref, y_ref):
     y_ref[:] = acc
 
 
-def probe_vpu_roofline(k=12, R=512, nb=2048, reps=64):
-    """Attainable VPU broadcast-FMA rate with all operands VMEM-resident."""
+def probe_vpu_roofline(k=12, R=512, nb=2048, reps=64, trials=3):
+    """Attainable VPU broadcast-FMA rate with all operands VMEM-resident.
+
+    Measurement rules for this sandbox (BASELINE.md): inputs are
+    pre-materialized OUTSIDE the timed region (an eager `X * scalar` inside
+    it costs a ~400 ms per-fresh-scalar compile), every timed sample force-
+    fetches a value, and the rate comes from DIFFERENCING two compiled
+    reps-counts — the dispatch overhead and the X/Y HBM passes are
+    identical in both, so the delta isolates the in-VMEM FMA work.
+    """
     rng = np.random.default_rng(1)
-    X = jnp.asarray(rng.standard_normal((k, nb * R)), dtype=jnp.float32)
+    reps_lo = max(reps // 4, 1)
+    # pre-materialized varied inputs (the tunnel caches repeat executions)
+    Xs = [jnp.asarray(rng.standard_normal((k, nb * R)), dtype=jnp.float32)
+          for _ in range(trials)]
+    for x in Xs:
+        _ = float(jnp.sum(x))
     out = []
     for bcast in (True, False):
         C = jnp.asarray(
             rng.standard_normal((reps if bcast else k, R)), dtype=jnp.float32)
-        fn = pl.pallas_call(
-            functools.partial(_fma_kernel, reps, bcast),
-            grid=(nb,),
-            in_specs=[
-                pl.BlockSpec(C.shape, lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((k, R), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((k, R), lambda i: (0, i),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((k, nb * R), jnp.float32),
-        )
-        jfn = jax.jit(fn)
-        y = jfn(C, X)
-        _ = float(jnp.sum(y))  # warm + force
-        best = float("inf")
-        for _t in range(3):
-            t0 = time.time()
-            y = jfn(C, X * (1.0 + 1e-6 * _t))
-            _ = float(jnp.sum(y))
-            best = min(best, time.time() - t0)
-        flops = 2 * reps * k * R * nb
+        best = {}
+        for nrep in (reps_lo, reps):
+            fn = pl.pallas_call(
+                functools.partial(_fma_kernel, nrep, bcast),
+                grid=(nb,),
+                in_specs=[
+                    pl.BlockSpec(C.shape, lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((k, R), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((k, R), lambda i: (0, i),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((k, nb * R), jnp.float32),
+            )
+            jfn = jax.jit(fn)
+            _ = float(jnp.sum(jfn(C, Xs[0])))  # warm/compile
+            b = float("inf")
+            for x in Xs:
+                t0 = time.time()
+                y = jfn(C, x)
+                _ = float(jnp.sum(y))
+                b = min(b, time.time() - t0)
+            best[nrep] = b
+        dt = max(best[reps] - best[reps_lo], 1e-9)
+        flops = 2 * (reps - reps_lo) * k * R * nb
         rec = {
             "probe": "vpu_fma_roofline", "k": k, "R": R,
-            "broadcast_coeff": bcast, "reps": reps,
-            "gflops": round(flops / best / 1e9, 1),
-            "ms": round(best * 1e3, 3),
+            "broadcast_coeff": bcast,
+            "reps_pair": [reps_lo, reps],
+            "ms_pair": [round(best[reps_lo] * 1e3, 3),
+                        round(best[reps] * 1e3, 3)],
+            "gflops_marginal": round(flops / dt / 1e9, 1),
         }
         out.append(rec)
         print(json.dumps(rec), flush=True)
