@@ -236,6 +236,9 @@ def solve_sbcgrq(
     ``tol`` may be a scalar or a per-RHS (k,) vector. ``active_floor`` > 0
     makes the loop hand over once at most that many RHS remain unconverged
     (the deflation outer loop's stage-exit rule, solvers/deflate.py).
+    ``iter_cap`` is a TRACED iteration budget <= ``max_iter`` — changing it
+    does not recompile (``max_iter`` is static: it sizes the history ring);
+    the deflation driver threads its shrinking per-stage budget here.
 
     ``qr_passes`` defaults to 1: one CholeskyQR field pass per iteration
     with a k x k Gram-side refinement, escalating to a real second pass

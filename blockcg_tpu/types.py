@@ -38,6 +38,17 @@ class SolverOptions:
     replace_every: int = 0
     record_history: bool = False
 
+    def kwargs(self, *, drop: tuple = ()) -> dict:
+        """Expand into solver keyword arguments:
+        ``solve_sbcgrq(op, B, **opts.kwargs())``. The SBCGrQ family (and
+        its dist mirrors) accepts every name; for solvers without the rQ
+        stage pass ``drop=("qr_passes", "replace_every")``
+        (solve_bcg / solve_cg)."""
+        d = dataclasses.asdict(self)
+        for k in drop:
+            d.pop(k, None)
+        return d
+
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
