@@ -19,6 +19,7 @@ from blockcg_tpu.parallel.api import (
     solve_sbcgrq_dist,
     solve_sbcgrq_deflated_dist,
     solve_refined_dist,
+    solve_sbcgrq_cheb_dist,
     solve_psbcgrq_dist,
     solve_shifted_sbcgrq_dist,
 )
@@ -44,6 +45,7 @@ __all__ = [
     "solve_sbcgrq_dist",
     "solve_sbcgrq_deflated_dist",
     "solve_refined_dist",
+    "solve_sbcgrq_cheb_dist",
     "solve_psbcgrq_dist",
     "solve_shifted_sbcgrq_dist",
     "DistEONormalOperator",

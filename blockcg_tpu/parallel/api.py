@@ -198,6 +198,90 @@ def _tol_key(tol):
     return tuple(np.asarray(tol, np.float64).ravel().tolist())
 
 
+def solve_sbcgrq_cheb_dist(
+    dop,
+    B: jax.Array,
+    mesh: Mesh,
+    *,
+    spectrum: tuple,
+    degree: int = 4,
+    tol: float = 1e-6,
+    max_iter: int = 1000,
+    max_cycles: int = 3,
+    qr_passes: int = 1,
+    record_history: bool = False,
+) -> tuple[jax.Array, SolverInfo]:
+    """Row-sharded Chebyshev-preconditioned SBCGrQ — the communication-
+    avoiding option in the regime it exists for (solvers/poly.py): each
+    iteration of the preconditioned system (M A) with M = p_degree(A) does
+    ``degree`` halo exchanges back-to-back but only ONE pair of k x k
+    psum rounds and one QR, so latency-bound distributed solves trade
+    d-fold fewer collective/latency rounds for extra (cheap, overlappable)
+    SpMM bandwidth. ``spectrum=(lo, hi)`` is required: estimate it on a
+    representative single-device operator (operators/cheb.py
+    estimate_spectrum) or from problem analysis. Each outer cycle is ONE
+    sharded program certifying the TRUE residual."""
+    from blockcg_tpu.operators.cheb import ChebyshevOperator
+
+    if max_cycles < 1:
+        raise ValueError("max_cycles must be >= 1")
+    axis = dop.axis_name
+    rdt = jnp.real(jnp.zeros((), dop.dtype)).dtype
+    lo = jnp.asarray(spectrum[0], rdt)
+    hi = jnp.asarray(spectrum[1], rdt)
+
+    def cycle(op, Bt, Xt, bnorm, lo, hi):
+        pop = ChebyshevOperator(base=op, lo=lo, hi=hi, degree=degree)
+        Rt = Bt - op.matmat_t(Xt)
+        MRt = pop.apply_m_t(Rt)
+        Dt, info = _sbcgrq_impl(
+            pop, MRt, jnp.zeros_like(MRt), tol, max_iter, qr_passes, 0,
+            axis, record_history,
+        )
+        Xt = Xt + Dt
+        from blockcg_tpu.solvers.common import row_norms2_t
+
+        relres = jnp.sqrt(
+            row_norms2_t(Bt - op.matmat_t(Xt), axis, codec=op)) / bnorm
+        return Xt, relres, info
+
+    fspec = _field_pspec(dop, axis)
+    key = ("cheb", _dop_key(dop, mesh), _tol_key(tol), max_iter, degree,
+           qr_passes, record_history)
+    fn = _cached_jit(key, lambda: shard_map(
+        cycle,
+        mesh=mesh,
+        in_specs=(dop.in_specs(), fspec, fspec, P(), P(), P()),
+        out_specs=(fspec, P(), _info_specs(record_history, per_rhs=True)),
+        check_vma=True,
+    ))
+
+    Bt = _put_field(dop, B, mesh, axis)
+    Xt = jnp.zeros_like(Bt)
+    # Column norms are row-order invariant: compute host-side once.
+    bnorm = np.linalg.norm(np.asarray(B, np.float64), axis=0)
+    bnorm = jnp.asarray(np.where(bnorm > 0, bnorm, 1.0), rdt)
+    iters = 0
+    matvecs = 0
+    relres = None
+    hist = None
+    for _ in range(max_cycles):
+        Xt, relres, info = fn(dop, Bt, Xt, bnorm, lo, hi)
+        iters += int(info.iterations)
+        matvecs += 2 + (degree - 1) + int(info.matvecs) * degree
+        hist = info.history
+        if float(np.max(np.asarray(relres))) <= tol:
+            break
+    info = SolverInfo(
+        iterations=jnp.int32(iters),
+        relres=relres,
+        converged=relres <= tol,
+        matvecs=jnp.int32(matvecs),
+        history=hist,
+    )
+    return _field_result(dop, mesh, Xt), info
+
+
 def _refine_cycle_dist_fn(dop64, mesh, compute_dtype):
     """Cached shard_map-jitted outer-refinement cycle (T-C5 distributed):
     apply the scaled correction, recompute the true residual with the f64

@@ -298,3 +298,28 @@ def test_solve_sbcgrq_dist_complex_hermitian():
     res = np.linalg.norm(a @ np.asarray(X) - B, axis=0)
     res /= np.linalg.norm(B, axis=0)
     assert res.max() <= 2e-9
+
+
+def test_solve_sbcgrq_cheb_dist():
+    """Row-sharded Chebyshev-preconditioned solve: fewer iterations (=
+    fewer psum/QR rounds — the communication-avoiding trade), true-residual
+    certified, matching the plain distributed solve."""
+    from blockcg_tpu.operators.cheb import estimate_spectrum
+    from blockcg_tpu.parallel import solve_sbcgrq_cheb_dist
+
+    shape = (32, 32)
+    op = laplacian_dia(shape, dtype=jnp.float32)
+    B = jnp.asarray(random_block(op.n, 8, seed=30), jnp.float32)
+    mesh = row_mesh(4)
+    dop = partition_dia(op, 4)
+    spectrum = tuple(float(x) for x in estimate_spectrum(op))
+    Xc, inf_c = solve_sbcgrq_cheb_dist(dop, B, mesh, spectrum=spectrum,
+                                       degree=6, tol=1e-5, max_iter=400)
+    assert bool(inf_c.converged.all())
+    a = laplacian_scipy(shape)
+    res = np.linalg.norm(a @ np.asarray(Xc, np.float64) - np.asarray(B),
+                         axis=0) / np.linalg.norm(np.asarray(B), axis=0)
+    assert res.max() <= 1e-5  # certified true residual
+    _, inf_p = solve_sbcgrq_dist(dop, B, mesh, tol=1e-5, max_iter=400)
+    # the point: d-fold fewer latency-bound iterations
+    assert int(inf_c.iterations) < 0.5 * int(inf_p.iterations)
