@@ -136,6 +136,25 @@ def run_field(k, rng):
     print(f"fused V-update(3p) + qrf + tail(6p) per iter: {t_field*1e3:.3f} ms"
           f"  ({9*k*n3*4/t_field/1e9:.0f} GB/s over 9 passes)")
 
+    # Implicit-Q round-2 chain: V = Mqr W - alpha Z (+Gram), then
+    # P' = Mqr2 W2 + rho^H P / X' = X + C P — 8 passes total.
+    def make_iq_loop(n):
+        def loop():
+            def body(i, c):
+                W, P, X = c
+                V, G = fused.mm2_update_gram(A0, W, -A0, Zt)
+                M1, R1 = qr_factors_from_gram(G)
+                Pn, Xn = fused.px_update(M1, V, A0, P, A0, X)
+                return (jax.lax.optimization_barrier(V),
+                        jax.lax.optimization_barrier(Pn),
+                        jax.lax.optimization_barrier(Xn))
+            return jax.lax.fori_loop(0, n, body, (Qt, Pt, Xt), unroll=False)
+        return loop
+
+    t_iq = slope_time(make_iq_loop, lengths=(8, 136))
+    print(f"implicit-Q mm2(3p) + qrf + px(5p) per iter: {t_iq*1e3:.3f} ms"
+          f"  ({8*k*n3*4/t_iq/1e9:.0f} GB/s over 8 passes)")
+
 
 def run_solves(rng, k):
     # --- 3. full config-3 solves ------------------------------------------
