@@ -76,13 +76,9 @@ def measure_apply(op, Xt, lengths=(8, 136, 264), trials=3):
                 _ = float(jnp.sum(y))
                 b = min(b, time.time() - t0)
             best[n] = b
-        xs_ = [float(n) for n in lengths]
-        ys = [best[n] for n in lengths]
-        xbar = sum(xs_) / len(xs_)
-        ybar = sum(ys) / len(ys)
-        denom = sum((x - xbar) ** 2 for x in xs_)
-        slope = sum((x - xbar) * (y - ybar) for x, y in zip(xs_, ys)) / denom
-        return slope, best
+        from blockcg_tpu.utils.platform import lsq_slope
+
+        return lsq_slope(best), best
 
     slope, best = run_once(0)
     if slope <= 0:

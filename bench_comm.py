@@ -35,22 +35,10 @@ import time
 import numpy as np
 
 
-def _force_cpu_mesh(n: int) -> None:
-    import os
-
-    flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        os.environ["XLA_FLAGS"] = (
-            flags + f" --xla_force_host_platform_device_count={n}"
-        ).strip()
-    import jax
-
-    jax.config.update("jax_platforms", "cpu")
-
-
 def _slope(compiled, make_arg, lengths, trials=3, pre=()):
     """Least-squares slope of best-of-``trials`` wall times vs loop length."""
     import jax.numpy as jnp
+    from blockcg_tpu.utils.platform import lsq_slope
 
     best = {}
     for n in lengths:
@@ -63,12 +51,7 @@ def _slope(compiled, make_arg, lengths, trials=3, pre=()):
             _ = float(jnp.sum(y))
             b = min(b, time.time() - t0)
         best[n] = b
-    xs = [float(n) for n in lengths]
-    ys = [best[n] for n in lengths]
-    xb, yb = sum(xs) / len(xs), sum(ys) / len(ys)
-    s = sum((x - xb) * (y - yb) for x, y in zip(xs, ys))
-    s /= sum((x - xb) ** 2 for x in xs)
-    return max(s, best[max(lengths)] / max(lengths) * 1e-3)
+    return max(lsq_slope(best), best[max(lengths)] / max(lengths) * 1e-3)
 
 
 def _chained(mesh, axis, step, spec, lengths):
@@ -250,7 +233,9 @@ def main():
     # tunneled) TPU client, which this sandbox pins via sitecustomize.
     # Set BLOCKCG_COMM_TPU=1 on a real pod slice to use the TPU mesh.
     if not os.environ.get("BLOCKCG_COMM_TPU"):
-        _force_cpu_mesh(args.devices)
+        from blockcg_tpu.utils.platform import force_cpu_mesh
+
+        force_cpu_mesh(args.devices)
     import jax
     from blockcg_tpu.parallel import row_mesh
 

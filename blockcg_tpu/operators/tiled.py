@@ -84,9 +84,31 @@ class TiledOperator(MatmatMixin):
         n0 = self.n if self.n0 is None else self.n0
         X = X[:n0]
         if self.perm is not None:
-            iperm = np.argsort(np.asarray(self.perm))
-            X = X[jnp.asarray(iperm)]
+            # Derived cache (safe to lose on pytree round-trips): the
+            # argsort costs a device->host fetch of perm + O(n log n) host
+            # work per call otherwise.
+            iperm = getattr(self, "_iperm", None)
+            if iperm is None:
+                iperm = jnp.asarray(np.argsort(np.asarray(self.perm)))
+                object.__setattr__(self, "_iperm", iperm)
+            X = X[iperm]
         return X
+
+    def reordered_scipy(self, a):
+        """Apply this operator's row ordering (RCM permutation + identity
+        padding) to a scipy matrix: the companion matrix in INTERNAL order,
+        e.g. for building the f64 outer operator of solve_refined
+        (CSROperator.from_scipy(op.reordered_scipy(a), dtype=f64))."""
+        import scipy.sparse as sp
+
+        a = a.tocsr()
+        if self.perm is not None:
+            p = np.asarray(self.perm)
+            a = a[p][:, p].tocsr()
+        if a.shape[0] != self.n:
+            a = sp.block_diag(
+                [a, sp.eye(self.n - a.shape[0])], format="csr")
+        return a
 
     @classmethod
     def from_scipy(

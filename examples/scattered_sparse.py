@@ -56,19 +56,14 @@ print(f"SBCGrQ   iters={int(info.iterations):>4} true relres={res.max():.2e}")
 # reaches 1e-10 (T-C5). (This matrix's integer entries are bf16-exact;
 # for general values the bf16 tiles round the MATRIX and refinement is
 # what restores full accuracy — same contract as the f32-matrix case.)
-# Refinement solves in the operator's order: give the outer operator the
-# same permutation/padding.
-perm = np.asarray(op.perm)
-ap = a[perm][:, perm]
-import scipy.sparse as sp
-
-ap = sp.block_diag([ap, sp.eye(op.n - n)], format="csr")
-# f64 leaves must be created inside an x64 scope — the global-x64-off
-# config (mandatory on this chip) silently truncates them to f32 otherwise.
+# Refinement solves in the operator's order: reordered_scipy applies the
+# same permutation/padding. f64 leaves must be created inside an x64 scope
+# (the global-x64-off config, mandatory on this chip, silently truncates
+# them to f32 otherwise).
 import jax
 
 with jax.enable_x64(True):
-    op64 = CSROperator.from_scipy(ap, dtype=jnp.float64)
+    op64 = CSROperator.from_scipy(op.reordered_scipy(a), dtype=jnp.float64)
 X, info = bc.solve_refined(op, Bi, tol=1e-10, inner_tol=1e-3, op64=op64)
 Xo = np.asarray(op.from_solver_order(X), np.float64)
 res = np.linalg.norm(a @ Xo - B, axis=0) / np.linalg.norm(B, axis=0)

@@ -133,11 +133,7 @@ def test_tiled_rcm_bf16_refined_to_1e10():
     a = delaunay_laplacian(2000, seed=2)
     op = TiledOperator.from_scipy(a, dtype=jnp.float32, reorder="rcm",
                                   tile_dtype=jnp.bfloat16)
-    perm = np.asarray(op.perm)
-    ap = a[perm][:, perm].tocsr()
-    import scipy.sparse as _sp
-    ap_pad = _sp.block_diag([ap, _sp.eye(op.n - 2000)], format="csr")
-    op64 = CSROperator.from_scipy(ap_pad, dtype=jnp.float64)
+    op64 = CSROperator.from_scipy(op.reordered_scipy(a), dtype=jnp.float64)
     # f32 RHS (exactly representable) so the true-residual check isn't
     # floored by RHS rounding.
     B = random_block(2000, 4, seed=3).astype(np.float32)

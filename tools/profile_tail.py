@@ -34,12 +34,9 @@ def slope_time(make_loop, lengths=(64, 768), trials=3):
             _ = float(jnp.sum(out[0] if isinstance(out, tuple) else out))
             b = min(b, time.time() - t0)
         best[n] = b
-    xs = [float(n) for n in lengths]
-    ys = [best[n] for n in lengths]
-    xb, yb = sum(xs) / len(xs), sum(ys) / len(ys)
-    return sum((x - xb) * (y - yb) for x, y in zip(xs, ys)) / sum(
-        (x - xb) ** 2 for x in xs
-    )
+    from blockcg_tpu.utils.platform import lsq_slope
+
+    return lsq_slope(best)
 
 
 def main(sections=(1, 2, 3)):
