@@ -204,3 +204,37 @@ def test_fuzz_merged_general_block_stencil(seed):
     want = a @ X
     denom = max(np.abs(want).max(), 1e-30)
     assert np.abs(got - want).max() / denom < 1e-5
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_fuzz_rcm_tiled_roundtrip(seed):
+    """Random geometric-graph Laplacians (+ random SPD diagonal noise)
+    through the RCM-reordered tile path: order-conversion round-trip and
+    interpret-mode kernel agree with scipy; fill metadata is consistent."""
+    import scipy.sparse as sp
+
+    from blockcg_tpu.operators import TiledOperator
+    from blockcg_tpu.ops.spmm_tiled import tiled_spmm_t
+    from blockcg_tpu.problems import rgg_laplacian
+
+    rng = np.random.default_rng(100 + seed)
+    n = int(rng.choice([700, 1500, 2048]))
+    deg = float(rng.choice([6.0, 12.0, 25.0]))
+    a = rgg_laplacian(n, degree=deg, seed=seed)
+    a = (a + sp.diags(rng.random(n))).tocsr()  # break value symmetry a bit
+    op = TiledOperator.from_scipy(a, dtype=jnp.float32, reorder="rcm")
+    assert abs(op.nnz - (a.nnz + (op.n - n))) == 0
+    assert 0 < op.fill <= 1
+    k = int(rng.integers(1, 6))
+    X = rng.standard_normal((n, k)).astype(np.float32)
+    Xi = op.to_solver_order(jnp.asarray(X))
+    # XLA path round-trip
+    got = np.asarray(op.from_solver_order(op.matmat(Xi)), np.float64)
+    want = a @ X.astype(np.float64)
+    denom = max(np.abs(want).max(), 1e-30)
+    assert np.abs(got - want).max() / denom < 1e-5
+    # interpret-mode kernel on the internal (permuted) field
+    Yt = tiled_spmm_t(op.tiles, op.rt, op.ct, op.first,
+                      jnp.asarray(Xi).T, interpret=True)
+    got_k = np.asarray(op.from_solver_order(np.asarray(Yt).T), np.float64)
+    assert np.abs(got_k - want).max() / denom < 1e-5
