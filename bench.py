@@ -89,7 +89,40 @@ def measure_apply(op, Xt, lengths=(8, 136, 264), trials=3):
     return slope
 
 
+def _probe_backend(timeout_s: int = 300) -> str | None:
+    """Probe TPU backend liveness in a SUBPROCESS with a timeout.
+
+    The axon tunnel has been observed down for hours (2026-08-17), during
+    which backend init blocks indefinitely with no error — probing in-process
+    would hang the driver's whole round-end pipeline. Returns an error
+    string, or None when the backend is up."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.devices())"],
+            capture_output=True, timeout=timeout_s, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return f"backend init did not complete within {timeout_s}s"
+    if r.returncode != 0:
+        return (r.stderr.strip().splitlines() or ["backend init failed"])[-1]
+    return None
+
+
 def main():
+    err = _probe_backend()
+    if err is not None:
+        print(json.dumps({
+            "metric": "SpMM nnz/s per chip (config 3: 3D Laplacian 64^3, k=32, Pallas stencil)",
+            "value": None,
+            "unit": "Gnnz/s",
+            "vs_baseline": None,
+            "error": f"TPU backend unavailable: {err}",
+        }))
+        raise SystemExit(1)
+
     import blockcg_tpu as bc
     from blockcg_tpu.problems import dirac_cbdia, laplacian_dia
 
