@@ -10,6 +10,7 @@ from blockcg_tpu.problems.dirac import (
     dirac_cbdia,
     dirac_bell,
     dirac_gauged,
+    dirac_gauged_matrix,
     dirac_gauged_cbdia,
     dirac_scipy,
 )
@@ -41,6 +42,7 @@ __all__ = [
     "dirac_cbdia",
     "dirac_bell",
     "dirac_gauged",
+    "dirac_gauged_matrix",
     "dirac_gauged_cbdia",
     "dirac_scipy",
     "EOContext",

@@ -6,7 +6,8 @@ import pytest
 import jax.numpy as jnp
 
 import blockcg_tpu as bc
-from blockcg_tpu.problems import dirac_gauged
+from blockcg_tpu import solve_sbcgrq
+from blockcg_tpu.problems import dirac_gauged, random_block
 from blockcg_tpu.problems.dirac import bdia_scipy
 
 
@@ -164,3 +165,38 @@ def test_gauged_cbdia_u1_core_kernel_interpret():
         np.asarray(Xm, np.float64) @ np.asarray(want, np.float64).T))
     np.testing.assert_allclose(np.asarray(G), np.asarray(want_g),
                                rtol=1e-4, atol=1e-3)
+
+
+def test_gauged_matrix_links_spd_and_solve():
+    """Matrix-valued (SU(N)-style) links: the non-factorizable gauged case
+    that requires the general per-site block kernel. SPD by the
+    norm-preserving orthogonal links; solve matches the scipy oracle."""
+    from blockcg_tpu.problems import dirac_gauged_matrix
+
+    op = dirac_gauged_matrix(4, m=0.5, dtype=jnp.float64)
+    a = bdia_scipy(op)
+    dense = a.toarray()
+    assert np.abs(dense - dense.T).max() == 0.0
+    assert np.linalg.eigvalsh(dense).min() >= 0.25
+    B = random_block(op.n, 4, seed=17)
+    X, info = solve_sbcgrq(op, jnp.asarray(B), tol=1e-9, max_iter=300)
+    assert bool(info.converged.all())
+    res = np.linalg.norm(a @ np.asarray(X) - B, axis=0)
+    res /= np.linalg.norm(B, axis=0)
+    assert res.max() <= 2e-9
+
+
+def test_gauged_matrix_links_hermitian():
+    """Complex Hermitian matrix links (unitary U): the full lattice-QCD-like
+    flavor, solved through the conjugate-correct complex path."""
+    from blockcg_tpu.problems import dirac_gauged_matrix
+
+    op = dirac_gauged_matrix(3, m=0.5, dtype=jnp.complex128)
+    a = bdia_scipy(op)
+    rng = np.random.default_rng(18)
+    B = rng.standard_normal((op.n, 3)) + 1j * rng.standard_normal((op.n, 3))
+    X, info = solve_sbcgrq(op, jnp.asarray(B), tol=1e-9, max_iter=300)
+    assert bool(info.converged.all())
+    res = np.linalg.norm(a @ np.asarray(X) - B, axis=0)
+    res /= np.linalg.norm(B, axis=0)
+    assert res.max() <= 2e-9
