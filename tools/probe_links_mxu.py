@@ -57,9 +57,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 def probe_general_kernel(L, ks=(12, 16)):
     from bench import measure_apply
-    from blockcg_tpu.problems import dirac_bdia
+    from blockcg_tpu.problems import dirac_gauged_matrix
 
-    op = dirac_bdia(L, m=0.5, dtype=jnp.float32)
+    # the genuine matrix-link subject (non-factorizable per-site blocks)
+    op = dirac_gauged_matrix(L, m=0.5, dtype=jnp.float32)
     rng = np.random.default_rng(0)
     out = []
     for k in ks:
