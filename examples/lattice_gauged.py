@@ -44,3 +44,13 @@ Bc = (rng.standard_normal((uop.n, 6))
       + 1j * rng.standard_normal((uop.n, 6))).astype(np.complex64)
 X, info = bc.solve_sbcgrq(uop, Bc, tol=1e-6)
 print(f"U1-gauged   n={uop.n:>8} iters={int(info.iterations)}")
+
+# MATRIX-valued (SU(N)-style) links: per-site orthogonal link matrices do
+# not factorize onto the const-hop path — the general per-site block
+# kernel carries them (smaller lattice: per-site blocks stream from HBM).
+from blockcg_tpu.problems import dirac_gauged_matrix
+
+mop = dirac_gauged_matrix(max(L // 2, 4), m=0.5, dtype=jnp.float32)
+Bm = jnp.asarray(rng.standard_normal((mop.n, 12)), dtype=jnp.float32)
+X, info = bc.solve_sbcgrq(mop, Bm, tol=1e-6)
+print(f"SU(N)-links n={mop.n:>8} iters={int(info.iterations)}")
