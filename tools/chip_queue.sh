@@ -29,6 +29,12 @@ timeout 1800 python bench_scattered.py --n 32768 --k 32 2>&1 | tee -a "$LOG"
 step "probe-links-mxu"
 timeout 1200 python tools/probe_links_mxu.py --L 16 2>&1 | tee -a "$LOG"
 
+step "profile-tail"
+timeout 1500 python tools/profile_tail.py 23 2>&1 | tee -a "$LOG"
+
+step "bench-presets"
+timeout 1800 python bench_cli.py --config all --scale 0.25 2>&1 | tee -a "$LOG"
+
 step "tpu-smoke"
 timeout 1800 env BLOCKCG_TEST_TPU=1 python -m pytest tests/ -q 2>&1 | tail -5 | tee -a "$LOG"
 
