@@ -112,9 +112,10 @@ class ELLOperator(MatmatMixin):
         # to the padded upper bound rather than crash.
         cached = getattr(self, "_nnz", None)
         if cached is None:
-            if isinstance(self.vals, jax.core.Tracer):
+            try:
+                cached = int(np.count_nonzero(np.asarray(self.vals)))
+            except jax.errors.TracerArrayConversionError:
                 return self.vals.shape[0] * self.vals.shape[1]
-            cached = int(np.count_nonzero(np.asarray(self.vals)))
             object.__setattr__(self, "_nnz", cached)
         return cached
 

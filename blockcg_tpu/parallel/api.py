@@ -52,11 +52,20 @@ def _field_pspec(dop, axis):
 
 
 def _put_field(dop, B, mesh, axis):
-    """Global (n, k) RHS -> lanes-major internal field, sharded on sites."""
+    """Global (n, k) RHS -> lanes-major internal field, sharded on sites.
+
+    Operators partitioned with shard padding (non-dividing device counts;
+    dist_ops._pad_validity) get their field's site axis zero-padded to the
+    padded extent — the pad rows are inert (identity diag, zero RHS) and
+    are truncated back off in _field_result."""
     Bt = B.T
     to_int = getattr(dop, "to_internal", None)
     if to_int is not None:
         Bt = to_int(Bt)
+    pad = getattr(dop, "pad_sites", 0)
+    if pad:
+        widths = [(0, 0)] * (Bt.ndim - 1) + [(0, pad)]
+        Bt = jnp.pad(Bt, widths)
     return jax.device_put(Bt, NamedSharding(mesh, _field_pspec(dop, axis)))
 
 
@@ -264,20 +273,22 @@ def solve_sbcgrq_cheb_dist(
     iters = 0
     matvecs = 0
     relres = None
-    hist = None
+    hists: list = []
+    tol_arr = np.asarray(tol, np.float64)  # scalar OR (k,) per-column tol
     for _ in range(max_cycles):
         Xt, relres, info = fn(dop, Bt, Xt, bnorm, lo, hi)
         iters += int(info.iterations)
         matvecs += 2 + (degree - 1) + int(info.matvecs) * degree
-        hist = info.history
-        if float(np.max(np.asarray(relres))) <= tol:
+        if info.history is not None:
+            hists.append(info.history)
+        if bool((np.asarray(relres) <= tol_arr).all()):
             break
     info = SolverInfo(
         iterations=jnp.int32(iters),
         relres=relres,
-        converged=relres <= tol,
+        converged=relres <= jnp.asarray(tol_arr, relres.dtype),
         matvecs=jnp.int32(matvecs),
-        history=hist,
+        history=jnp.concatenate(hists) if hists else None,
     )
     return _field_result(dop, mesh, Xt), info
 
@@ -416,7 +427,14 @@ def _field_result(dop, mesh, Xt):
     import numpy as np
 
     conv = getattr(dop, "result_from_internal_np", None)
+    # Shard-padding sites (non-dividing device counts) are truncated after
+    # the single-process gather below — slicing the still-sharded array
+    # would need a cross-shard gather (ShardingTypeError). Pod runs return
+    # distributed order, pads included (documented).
+    pad = getattr(dop, "pad_sites", 0)
     if Xt.ndim == 2 and conv is None:
+        if pad and jax.process_count() == 1:
+            return jnp.asarray(np.asarray(jax.device_get(Xt))[:, :-pad]).T
         return Xt.T
     if jax.process_count() > 1:
         axis = dop.axis_name
@@ -434,6 +452,8 @@ def _field_result(dop, mesh, Xt):
         ))
         return fn(Xt).T
     Xn = np.asarray(jax.device_get(Xt))
+    if pad:
+        Xn = Xn[..., :-pad]
     if conv is not None:
         return jnp.asarray(conv(Xn)).T
     return jnp.asarray(Xn.reshape(Xn.shape[0], -1)).T

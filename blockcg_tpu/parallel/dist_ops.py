@@ -49,6 +49,11 @@ class DistDIAOperator(MatmatMixin):
     offsets: tuple[int, ...]
     bw: int
     axis_name: str
+    # Rows appended to make n divisible by D (identity rows with zero RHS;
+    # see _pad_validity). Static metadata: changes the API-boundary field
+    # shapes, so it must be a registered meta field (pytree round-trips drop
+    # side-band attributes — round-2 review invariant).
+    pad_sites: int = 0
 
     @property
     def nl(self) -> int:
@@ -84,28 +89,66 @@ class DistDIAOperator(MatmatMixin):
             offsets=self.offsets,
             bw=self.bw,
             axis_name=self.axis_name,
+            pad_sites=self.pad_sites,
         )
 
 
 jax.tree_util.register_dataclass(
     DistDIAOperator,
     data_fields=["diags_int", "diags_bl", "diags_br"],
-    meta_fields=["offsets", "bw", "axis_name"],
+    meta_fields=["offsets", "bw", "axis_name", "pad_sites"],
 )
+
+
+def _pad_validity(vals_by_diag, offsets, n, D, what: str) -> int:
+    """Rows to append so D | n, after verifying padding preserves answers.
+
+    Padding appends inert rows at the global end. That is answer-preserving
+    iff no real row couples across the global boundary (toroidal wrap):
+    for every diagonal, coefficients whose target ``i + o`` falls outside
+    ``[0, n)`` must be exactly zero (true for open/Dirichlet stencils, where
+    the out-of-domain slots are zero-filled by construction). Operators with
+    live wraps (periodic lattices) must use a divisor D — the error lists
+    the valid counts.
+    """
+    pad = (-n) % D
+    if pad == 0:
+        return 0
+    i = np.arange(n)
+    for vals, o in zip(vals_by_diag, offsets):
+        wraps = (i + o < 0) | (i + o >= n)
+        if np.any(vals[..., wraps] != 0):
+            bw = max(abs(oo) for oo in offsets)
+            valid = [d for d in range(1, min(D * 4, n) + 1)
+                     if n % d == 0 and bw <= n // d]
+            raise ValueError(
+                f"D={D} does not divide {what}={n} and the operator has live "
+                f"periodic wrap couplings (offset {o}), so shard padding "
+                f"would change answers. Use a divisor of {n} with shard size "
+                f">= bandwidth {bw}; valid D up to {min(D * 4, n)}: {valid}"
+            )
+    return pad
 
 
 def partition_dia(op: DIAOperator, D: int, axis_name: str = "rows") -> DistDIAOperator:
     """Host-side partition plan (SURVEY.md T-D1 'halo-plan on host, once').
 
     Splits each diagonal into an interior part (target row in the same shard)
-    and boundary parts (target in a ring neighbor's shard). Requires D | n
-    and bandwidth <= n/D.
+    and boundary parts (target in a ring neighbor's shard). When D does not
+    divide n, the last shard is padded with inert identity rows (valid for
+    open-boundary stencils — see _pad_validity; periodic operators get an
+    error listing valid divisor counts). Requires bandwidth <= ceil(n/D).
     """
     diags = np.asarray(op.diags)
     offsets = op.offsets
     ndiag, n = diags.shape
-    if n % D:
-        raise ValueError(f"n={n} not divisible by D={D}")
+    pad = _pad_validity([diags[d] for d in range(ndiag)], offsets, n, D,
+                        "n")
+    if pad:
+        diags = np.pad(diags, ((0, 0), (0, pad)))
+        if 0 in offsets:
+            diags[offsets.index(0), n:] = 1.0  # inert identity rows
+        n += pad
     nl = n // D
     bw = max(abs(o) for o in offsets)
     if bw > nl:
@@ -132,6 +175,7 @@ def partition_dia(op: DIAOperator, D: int, axis_name: str = "rows") -> DistDIAOp
         offsets=offsets,
         bw=bw,
         axis_name=axis_name,
+        pad_sites=pad,
     )
 
 
@@ -155,6 +199,8 @@ class DistBlockDIAOperator(MatmatMixin):
     offsets: tuple[int, ...]
     bw: int
     axis_name: str
+    # Sites appended so D | ns (inert identity sites; see _pad_validity).
+    pad_sites: int = 0
 
     @property
     def bs(self) -> int:
@@ -212,13 +258,14 @@ class DistBlockDIAOperator(MatmatMixin):
             offsets=self.offsets,
             bw=self.bw,
             axis_name=self.axis_name,
+            pad_sites=self.pad_sites,
         )
 
 
 jax.tree_util.register_dataclass(
     DistBlockDIAOperator,
     data_fields=["blocks_int", "blocks_bl", "blocks_br"],
-    meta_fields=["offsets", "bw", "axis_name"],
+    meta_fields=["offsets", "bw", "axis_name", "pad_sites"],
 )
 
 
@@ -228,8 +275,14 @@ def partition_bdia(
     blocks = np.asarray(op.blocks)
     offsets = op.offsets
     noff, bs, _, ns = blocks.shape
-    if ns % D:
-        raise ValueError(f"ns={ns} not divisible by D={D}")
+    pad = _pad_validity([blocks[d] for d in range(noff)], offsets, ns, D,
+                        "ns")
+    if pad:
+        blocks = np.pad(blocks, ((0, 0), (0, 0), (0, 0), (0, pad)))
+        if 0 in offsets:  # inert identity blocks on the padded sites
+            blocks[offsets.index(0), :, :, ns:] = np.eye(
+                bs, dtype=blocks.dtype)[:, :, None]
+        ns += pad
     ns_l = ns // D
     bw = max(abs(o) for o in offsets)
     if bw > ns_l:
@@ -258,6 +311,7 @@ def partition_bdia(
         offsets=offsets,
         bw=bw,
         axis_name=axis_name,
+        pad_sites=pad,
     )
 
 
@@ -455,7 +509,18 @@ def partition_cbdia(op, D: int, axis_name: str = "rows", g: int | None = None):
 
     ns = op.num_sites
     if ns % D:
-        raise ValueError(f"ns={ns} not divisible by D={D}")
+        # Periodic lattice wraps are live couplings: shard padding would
+        # change answers (see _pad_validity), so const-hop partitioning
+        # requires a divisor shard count. List the valid ones.
+        bw_all = max(abs(o) for o in op.offsets)
+        valid = [d for d in range(1, min(4 * D, ns) + 1)
+                 if ns % d == 0 and bw_all <= ns // d]
+        raise ValueError(
+            f"ns={ns} not divisible by D={D}; const-hop (periodic-lattice) "
+            f"operators cannot be shard-padded. Valid D up to "
+            f"{min(4 * D, ns)}: {valid} (need shard size >= max offset "
+            f"{bw_all}); or use partition_bdia on an open-boundary operator."
+        )
     ns_l = ns // D
     masks_np = (
         None if op.masks is None else np.asarray(jax.device_get(op.masks))

@@ -21,9 +21,10 @@ class SolverOptions:
     Attributes:
       tol: per-RHS relative residual target, ``max_j ||R e_j|| / ||B e_j|| <= tol``.
       max_iter: hard iteration cap for the ``lax.while_loop``.
-      qr_passes: CholeskyQR passes in the thin-QR stage (2 = CholeskyQR2,
-        recommended in f32; 1 is cheaper when the residual block is well
-        conditioned).
+      qr_passes: CholeskyQR passes in the thin-QR stage. 1 (the default,
+        matching solve_sbcgrq) runs a single CholeskyQR with an adaptive
+        second pass under ``lax.cond`` when the Gram is ill-conditioned;
+        2 forces CholeskyQR2 unconditionally.
       replace_every: residual-replacement period (0 = never). Every
         ``replace_every`` iterations the true residual ``B - A X`` is recomputed
         with one extra SpMM and the Q/S factorization is refreshed
@@ -34,7 +35,7 @@ class SolverOptions:
 
     tol: float = 1e-6
     max_iter: int = 1000
-    qr_passes: int = 2
+    qr_passes: int = 1
     replace_every: int = 0
     record_history: bool = False
 

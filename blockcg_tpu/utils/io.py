@@ -46,11 +46,18 @@ def save_operator(path, op) -> None:
             arrays[f.name] = a
         else:
             meta[f.name] = v
+    hdr = {"class": cls, "meta": meta, "dtypes": dtypes}
+    # The logical-nnz cache on DIA/BlockDIA/ELL lives in a side-band attr
+    # (not a dataclass field); without persisting it a reloaded operator's
+    # ``nnz`` falls back to the padded upper bound and silently inflates
+    # Gnnz/s lines computed from reloaded operators (round-2 ADVICE).
+    nnz_cache = getattr(op, "_nnz", None)
+    if nnz_cache is not None:
+        hdr["nnz_cache"] = int(nnz_cache)
     np.savez_compressed(
         path,
         __header__=np.frombuffer(
-            json.dumps({"class": cls, "meta": meta, "dtypes": dtypes})
-            .encode(), dtype=np.uint8,
+            json.dumps(hdr).encode(), dtype=np.uint8,
         ),
         **arrays,
     )
@@ -77,4 +84,7 @@ def load_operator(path):
                 kw[name] = arr
         for name, v in hdr["meta"].items():
             kw[name] = _to_tuple(v)
-        return cls(**kw)
+        op = cls(**kw)
+        if "nnz_cache" in hdr:
+            object.__setattr__(op, "_nnz", int(hdr["nnz_cache"]))
+        return op

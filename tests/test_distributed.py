@@ -323,3 +323,59 @@ def test_solve_sbcgrq_cheb_dist():
     _, inf_p = solve_sbcgrq_dist(dop, B, mesh, tol=1e-5, max_iter=400)
     # the point: d-fold fewer latency-bound iterations
     assert int(inf_c.iterations) < 0.5 * int(inf_p.iterations)
+
+
+@pytest.mark.parametrize("D", [3, 6])
+def test_partition_dia_padded_non_divisor_D(D):
+    """Non-power-of-two shard counts (SURVEY §4.5 device-count-agnostic
+    meshes): n not divisible by D -> the last shard is padded with inert
+    identity rows, and the solve matches the single-device run after the
+    pads are truncated back off at the API boundary."""
+    shape = (35, 31)  # n = 1085: 1085 % 3 == 2, 1085 % 6 == 5
+    op = laplacian_dia(shape, dtype=jnp.float64)
+    mesh = row_mesh(D)
+    dop = partition_dia(op, D)
+    assert dop.pad_sites > 0
+    B = jnp.asarray(random_block(op.n, 4, seed=9))
+    X_d, info_d = solve_sbcgrq_dist(dop, B, mesh, tol=1e-9, max_iter=600)
+    assert X_d.shape == (op.n, 4)
+    assert bool(info_d.converged.all())
+    a = laplacian_scipy(shape)
+    res = np.linalg.norm(a @ np.asarray(X_d) - np.asarray(B), axis=0)
+    res /= np.linalg.norm(np.asarray(B), axis=0)
+    assert res.max() <= 2e-9
+    _, info_s = solve_sbcgrq(op, B, tol=1e-9, max_iter=600)
+    assert abs(int(info_d.iterations) - int(info_s.iterations)) <= 3
+
+
+def test_partition_bdia_padded_non_divisor_D():
+    """Open-boundary block operator at a non-divisor shard count: padded
+    sites carry identity blocks, solve matches scipy in natural ordering."""
+    L, D = 4, 3  # ns = 256, 256 % 3 == 1 -> 2 padded sites
+    op = dirac_bdia(L, m=0.5, bc="open", dtype=jnp.float64)
+    mesh = row_mesh(D)
+    dop = partition_bdia(op, D)
+    assert dop.pad_sites == 2
+    B = random_block(op.n, 3, seed=10)
+    X_d, info = solve_sbcgrq_dist(dop, jnp.asarray(B), mesh, tol=1e-9,
+                                  max_iter=300)
+    assert X_d.shape == (op.n, 3)
+    assert bool(info.converged.all())
+    a = bdia_scipy(op)
+    res = np.linalg.norm(a @ np.asarray(X_d) - B, axis=0)
+    res /= np.linalg.norm(B, axis=0)
+    assert res.max() <= 2e-9
+
+
+def test_partition_padded_rejects_periodic_wraps():
+    """Periodic operators have live wrap couplings: padding would change
+    answers, so non-divisor D must raise with the valid shard counts."""
+    op = dirac_bdia(4, m=0.5, bc="periodic", dtype=jnp.float64)
+    with pytest.raises(ValueError, match="wrap"):
+        partition_bdia(op, 3)
+    from blockcg_tpu.parallel import partition_cbdia
+    from blockcg_tpu.problems import dirac_cbdia
+
+    opc = dirac_cbdia(8, m=0.5, dtype=jnp.float32)
+    with pytest.raises(ValueError, match="[Vv]alid D"):
+        partition_cbdia(opc, 6)
