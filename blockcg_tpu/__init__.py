@@ -38,6 +38,7 @@ from blockcg_tpu.solvers import (
     solve_sbcgrq,
     solve_sbcgrq_deflated,
     solve_refined,
+    solve_refined_lean,
     solve_sbcgrq_cheb,
     solve_shifted_cg,
     solve_shifted_sbcgrq,
@@ -60,6 +61,7 @@ __all__ = [
     "solve_sbcgrq",
     "solve_sbcgrq_deflated",
     "solve_refined",
+    "solve_refined_lean",
     "solve_sbcgrq_cheb",
     "solve_shifted_cg",
     "solve_shifted_sbcgrq",

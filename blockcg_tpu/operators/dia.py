@@ -90,10 +90,11 @@ class DIAOperator(MatmatMixin):
 
         from blockcg_tpu.ops import stencil
 
+        ok_dt = (jnp.float32, jnp.bfloat16)
         return (
             jax.default_backend() == "tpu"
-            and self.dtype == jnp.float32
-            and Xt.dtype == jnp.float32
+            and self.dtype in ok_dt
+            and Xt.dtype in ok_dt
             and not os.environ.get("BLOCKCG_NO_PALLAS")
             and stencil.available(self.n, Xt.shape[0], self.offsets)
         )
@@ -112,13 +113,16 @@ class DIAOperator(MatmatMixin):
         # Toroidal semantics (match the Pallas kernel): col = (i + o) mod n.
         # Constructors zero every coefficient without true wraparound
         # coupling, so this equals the truncated apply for e.g. Laplacians.
+        from blockcg_tpu.solvers.common import acc_dtype
+
         k, n = Xt.shape
-        Yt = jnp.zeros((k, n), dtype=Xt.dtype)
+        adt = acc_dtype(Xt.dtype)  # bf16 inputs accumulate in f32
+        Yt = jnp.zeros((k, n), dtype=adt)
         for d, o in enumerate(self.offsets):  # static unroll, ndiag is tiny
-            c = self.diags[d][None, :]
+            c = self.diags[d][None, :].astype(adt)
             src = Xt if o == 0 else jnp.roll(Xt, -o, axis=1)
-            Yt = Yt + c * src
-        return Yt
+            Yt = Yt + c * src.astype(adt)
+        return Yt.astype(Xt.dtype)
 
 
 jax.tree_util.register_dataclass(

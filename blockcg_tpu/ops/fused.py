@@ -87,10 +87,17 @@ def _kk_spec(shape):
     return pl.BlockSpec(shape, lambda i: (0, 0), memory_space=pltpu.VMEM)
 
 
+def _f32(x):
+    """bf16 tiles are converted in-register before the MXU dot: these
+    kernels are HBM-bandwidth-bound (small k), so the f32 MXU issue rate is
+    never the limiter, and f32 multiply keeps the k x k algebra exact."""
+    return x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x
+
+
 def _dot_kk(m, x):
     """(k, k) @ (k, R) on the MXU."""
     return jax.lax.dot_general(
-        m, x, (((1,), (0,)), ((), ())), precision=HIGHEST,
+        _f32(m), _f32(x), (((1,), (0,)), ((), ())), precision=HIGHEST,
         preferred_element_type=jnp.float32,
     )
 
@@ -98,7 +105,7 @@ def _dot_kk(m, x):
 def _dot_gram(u, v):
     """(k, R) x (k, R) -> (k, k), contracting lanes."""
     return jax.lax.dot_general(
-        u, v, (((1,), (1,)), ((), ())), precision=HIGHEST,
+        _f32(u), _f32(v), (((1,), (1,)), ((), ())), precision=HIGHEST,
         preferred_element_type=jnp.float32,
     )
 
@@ -125,7 +132,9 @@ def _ok(*fields) -> bool:
         return False
     if os.environ.get("BLOCKCG_NO_PALLAS"):
         return False
-    return all(f.dtype == jnp.float32 for f in fields)
+    # bf16 fields ride the same kernels (f32 in-register compute, bf16
+    # stores): the capacity/bandwidth mode for full-size config 5.
+    return all(f.dtype in (jnp.float32, jnp.bfloat16) for f in fields)
 
 
 # ------------------------------------------------------------------ gram --
@@ -191,11 +200,13 @@ def mm_update(
         m = m_ref[:, :]
         if bs == 0:
             y = _dot_kk(m, b_ref[:])
-            y_ref[:] = y + a_ref[:] if has_a else y
+            y_ref[:] = (y + _f32(a_ref[:]) if has_a else y).astype(y_ref.dtype)
         else:
             for b in range(bs):
                 y = _dot_kk(m, b_ref[:, b, :])
-                y_ref[:, b, :] = y + a_ref[:, b, :] if has_a else y
+                y_ref[:, b, :] = (
+                    y + _f32(a_ref[:, b, :]) if has_a else y
+                ).astype(y_ref.dtype)
 
     in_specs = [_kk_spec((k, k)), _spec(k, bs, R)]
     args = [M, B]
@@ -207,7 +218,7 @@ def mm_update(
         grid=(nb,),
         in_specs=in_specs,
         out_specs=_spec(k, bs, R),
-        out_shape=jax.ShapeDtypeStruct(B.shape, jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(B.shape, B.dtype),
         interpret=interpret,
     )(*args)
 
@@ -244,13 +255,13 @@ def mm_update_gram(
             if bs == 0:
                 y = _dot_kk(m, b_ref[:])
                 if has_a:
-                    y = y + a_ref[:]
-                y_ref[:] = y
+                    y = y + _f32(a_ref[:])
+                y_ref[:] = y.astype(y_ref.dtype)
             else:
                 y = _dot_kk(m, b_ref[:, bi, :])
                 if has_a:
-                    y = y + a_ref[:, bi, :]
-                y_ref[:, bi, :] = y
+                    y = y + _f32(a_ref[:, bi, :])
+                y_ref[:, bi, :] = y.astype(y_ref.dtype)
             t = _dot_gram(y, y)
             g = t if g is None else g + t
 
@@ -273,7 +284,7 @@ def mm_update_gram(
         in_specs=in_specs,
         out_specs=(_spec(k, bs, R), _kk_spec((k, k))),
         out_shape=(
-            jax.ShapeDtypeStruct(B.shape, jnp.float32),
+            jax.ShapeDtypeStruct(B.shape, B.dtype),
             jax.ShapeDtypeStruct((k, k), jnp.float32),
         ),
         interpret=interpret,
@@ -309,10 +320,10 @@ def mm2_update_gram(
         for bi in range(max(bs, 1)):
             if bs == 0:
                 y = _dot_kk(m1, b1_ref[:]) + _dot_kk(m2, b2_ref[:])
-                y_ref[:] = y
+                y_ref[:] = y.astype(y_ref.dtype)
             else:
                 y = _dot_kk(m1, b1_ref[:, bi, :]) + _dot_kk(m2, b2_ref[:, bi, :])
-                y_ref[:, bi, :] = y
+                y_ref[:, bi, :] = y.astype(y_ref.dtype)
             t = _dot_gram(y, y)
             g = t if g is None else g + t
 
@@ -331,7 +342,7 @@ def mm2_update_gram(
                   _spec(k, bs, R)],
         out_specs=(_spec(k, bs, R), _kk_spec((k, k))),
         out_shape=(
-            jax.ShapeDtypeStruct(B1.shape, jnp.float32),
+            jax.ShapeDtypeStruct(B1.shape, B1.dtype),
             jax.ShapeDtypeStruct((k, k), jnp.float32),
         ),
         interpret=interpret,
@@ -367,13 +378,18 @@ def px_update(
         cc = c_ref[:, :]
         if bs == 0:
             p = p_ref[:]
-            pn_ref[:] = _dot_kk(m1, w_ref[:]) + _dot_kk(rh, p)
-            xn_ref[:] = x_ref[:] + _dot_kk(cc, p)
+            pn_ref[:] = (_dot_kk(m1, w_ref[:]) + _dot_kk(rh, p)).astype(
+                pn_ref.dtype)
+            xn_ref[:] = (_f32(x_ref[:]) + _dot_kk(cc, p)).astype(xn_ref.dtype)
         else:
             for b in range(bs):
                 p = p_ref[:, b, :]
-                pn_ref[:, b, :] = _dot_kk(m1, w_ref[:, b, :]) + _dot_kk(rh, p)
-                xn_ref[:, b, :] = x_ref[:, b, :] + _dot_kk(cc, p)
+                pn_ref[:, b, :] = (
+                    _dot_kk(m1, w_ref[:, b, :]) + _dot_kk(rh, p)
+                ).astype(pn_ref.dtype)
+                xn_ref[:, b, :] = (
+                    _f32(x_ref[:, b, :]) + _dot_kk(cc, p)
+                ).astype(xn_ref.dtype)
 
     return pl.pallas_call(
         kernel,
@@ -382,8 +398,8 @@ def px_update(
                   _spec(k, bs, R), _spec(k, bs, R), _spec(k, bs, R)],
         out_specs=(_spec(k, bs, R), _spec(k, bs, R)),
         out_shape=(
-            jax.ShapeDtypeStruct(P.shape, jnp.float32),
-            jax.ShapeDtypeStruct(X.shape, jnp.float32),
+            jax.ShapeDtypeStruct(P.shape, P.dtype),
+            jax.ShapeDtypeStruct(X.shape, X.dtype),
         ),
         interpret=interpret,
     )(M1, rho, C, W, P, X)
@@ -447,7 +463,8 @@ def cheb_step(
 
 def cheb_step_available(R) -> bool:
     k, bs, lanes = _field_dims(R)
-    return _ok(R) and _pick_tile(k, bs, lanes, 6) is not None
+    return (_ok(R) and R.dtype == jnp.float32
+            and _pick_tile(k, bs, lanes, 6) is not None)
 
 
 # ---------------------------------------------------------- qr_p_update --
@@ -469,13 +486,14 @@ def qr_p_update(
         rh = rho_ref[:, :]
         if bs == 0:
             q = _dot_kk(m2, q1_ref[:])
-            q_ref[:] = q
-            pn_ref[:] = q + _dot_kk(rh, p_ref[:])
+            q_ref[:] = q.astype(q_ref.dtype)
+            pn_ref[:] = (q + _dot_kk(rh, p_ref[:])).astype(pn_ref.dtype)
         else:
             for b in range(bs):
                 q = _dot_kk(m2, q1_ref[:, b, :])
-                q_ref[:, b, :] = q
-                pn_ref[:, b, :] = q + _dot_kk(rh, p_ref[:, b, :])
+                q_ref[:, b, :] = q.astype(q_ref.dtype)
+                pn_ref[:, b, :] = (q + _dot_kk(rh, p_ref[:, b, :])).astype(
+                    pn_ref.dtype)
 
     return pl.pallas_call(
         kernel,
@@ -484,8 +502,8 @@ def qr_p_update(
                   _spec(k, bs, R)],
         out_specs=(_spec(k, bs, R), _spec(k, bs, R)),
         out_shape=(
-            jax.ShapeDtypeStruct(Q1.shape, jnp.float32),
-            jax.ShapeDtypeStruct(P.shape, jnp.float32),
+            jax.ShapeDtypeStruct(Q1.shape, Q1.dtype),
+            jax.ShapeDtypeStruct(P.shape, P.dtype),
         ),
         interpret=interpret,
     )(M2, Q1, rho, P)
@@ -522,16 +540,18 @@ def qr_px_update(
         if bs == 0:
             p = p_ref[:]
             q = _dot_kk(m2, q1_ref[:])
-            q_ref[:] = q
-            pn_ref[:] = q + _dot_kk(rh, p)
-            xn_ref[:] = x_ref[:] + _dot_kk(cc, p)
+            q_ref[:] = q.astype(q_ref.dtype)
+            pn_ref[:] = (q + _dot_kk(rh, p)).astype(pn_ref.dtype)
+            xn_ref[:] = (_f32(x_ref[:]) + _dot_kk(cc, p)).astype(xn_ref.dtype)
         else:
             for b in range(bs):
                 p = p_ref[:, b, :]
                 q = _dot_kk(m2, q1_ref[:, b, :])
-                q_ref[:, b, :] = q
-                pn_ref[:, b, :] = q + _dot_kk(rh, p)
-                xn_ref[:, b, :] = x_ref[:, b, :] + _dot_kk(cc, p)
+                q_ref[:, b, :] = q.astype(q_ref.dtype)
+                pn_ref[:, b, :] = (q + _dot_kk(rh, p)).astype(pn_ref.dtype)
+                xn_ref[:, b, :] = (
+                    _f32(x_ref[:, b, :]) + _dot_kk(cc, p)
+                ).astype(xn_ref.dtype)
 
     return pl.pallas_call(
         kernel,
@@ -540,9 +560,9 @@ def qr_px_update(
                   _spec(k, bs, R), _spec(k, bs, R), _spec(k, bs, R)],
         out_specs=(_spec(k, bs, R), _spec(k, bs, R), _spec(k, bs, R)),
         out_shape=(
-            jax.ShapeDtypeStruct(Q1.shape, jnp.float32),
-            jax.ShapeDtypeStruct(P.shape, jnp.float32),
-            jax.ShapeDtypeStruct(X.shape, jnp.float32),
+            jax.ShapeDtypeStruct(Q1.shape, Q1.dtype),
+            jax.ShapeDtypeStruct(P.shape, P.dtype),
+            jax.ShapeDtypeStruct(X.shape, X.dtype),
         ),
         interpret=interpret,
     )(M2, rho, C, Q1, P, X)

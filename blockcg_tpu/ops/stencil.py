@@ -141,25 +141,32 @@ def _kernel(near, far, H, with_gram, diags_ref, *refs):
         w_ref = None
         k, R = y_ref.shape
 
-    acc = jnp.zeros((k, R), dtype=y_ref.dtype)
+    # bf16 fields accumulate in f32 (VPU converts in-register); f32/f64
+    # accumulate in their own dtype. Stores cast back to the field dtype.
+    adt = jnp.float32 if y_ref.dtype == jnp.bfloat16 else y_ref.dtype
+
+    def up(x):
+        return x.astype(adt) if x.dtype != adt else x
+
+    acc = jnp.zeros((k, R), dtype=adt)
     fi = 0
     for d, o in enumerate(near + far):  # static unroll over diagonals
-        c = diags_ref[d, :].reshape(1, R)
+        c = up(diags_ref[d, :].reshape(1, R))
         if d < len(near):
             if o == 0 and H == 0:
-                acc = acc + c * xcur[:]
+                acc = acc + c * up(xcur[:])
             else:
-                acc = acc + c * w_ref[:, H + o : H + o + R]
+                acc = acc + c * up(w_ref[:, H + o : H + o + R])
         else:
-            acc = acc + c * far_refs[fi][:]
+            acc = acc + c * up(far_refs[fi][:])
             fi += 1
-    y_ref[:] = acc
+    y_ref[:] = acc.astype(y_ref.dtype)
 
     if with_gram:
         # Fused Gram G = X Y^T from the tiles already in VMEM (the separate
         # gram kernel would re-read both fields from HBM — 2 extra passes).
         g_ref = refs[(3 if H > 0 else 1) + len(far) + 1]
-        xc = w_ref[:, H : H + R] if H > 0 else xcur[:]
+        xc = up(w_ref[:, H : H + R] if H > 0 else xcur[:])
         g = jax.lax.dot_general(
             xc, acc, (((1,), (1,)), ((), ())),
             precision=jax.lax.Precision.HIGHEST,

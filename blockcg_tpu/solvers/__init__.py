@@ -10,7 +10,7 @@ solve_bcgrq = solve_sbcgrq
 from blockcg_tpu.solvers.pbcg import (jacobi_preconditioner,
                                       solve_pbcg, solve_psbcgrq)
 from blockcg_tpu.solvers.poly import solve_sbcgrq_cheb
-from blockcg_tpu.solvers.refine import solve_refined
+from blockcg_tpu.solvers.refine import solve_refined, solve_refined_lean
 from blockcg_tpu.solvers.shifted import solve_shifted_cg
 from blockcg_tpu.solvers.shifted_block import solve_shifted_sbcgrq
 from blockcg_tpu.solvers.common import cholqr, block_dot, col_norms2
@@ -26,6 +26,7 @@ __all__ = [
     "solve_sbcgrq",
     "solve_sbcgrq_deflated",
     "solve_refined",
+    "solve_refined_lean",
     "solve_sbcgrq_cheb",
     "solve_shifted_cg",
     "solve_shifted_sbcgrq",

@@ -30,6 +30,14 @@ def psum_if(x, axis_name: str | None):
     return x if axis_name is None else lax.psum(x, axis_name)
 
 
+def acc_dtype(dt):
+    """Accumulation dtype for a field dtype: bf16 fields accumulate in f32
+    (the MXU's native bf16-in/f32-out contract); everything else keeps its
+    own dtype. k x k solver algebra (Grams, alpha/rho/S) always lives in
+    the accumulation dtype — only the large (k, n) fields are stored bf16."""
+    return jnp.float32 if dt == jnp.bfloat16 else dt
+
+
 # Field-algebra codec shims (operators/base.py): a codec is any operator
 # exposing coeff_expand / gram_contract / norms2_contract. ``codec=None``
 # means flat fields (identity). Contractions run BEFORE psum (k x k rides
@@ -72,7 +80,7 @@ def gram_t(Ut: jax.Array, Vt: jax.Array, axis_name: str | None = None,
     dims = _field_dims(Ut)
     G = lax.dot_general(
         jnp.conj(Ut), Vt, ((dims, dims), ((), ())), precision=HIGHEST,
-        preferred_element_type=Ut.dtype,
+        preferred_element_type=acc_dtype(Ut.dtype),
     )
     return psum_if(_gc(codec, G), axis_name)
 
@@ -86,7 +94,8 @@ def vdot_real(u, v, axis_name: str | None = None):
 def row_norms2_t(Ut: jax.Array, axis_name: str | None = None,
                  codec=None) -> jax.Array:
     """Squared column norms of U (real), from a field (k, ...) -> (k,)."""
-    s = jnp.sum(jnp.real(Ut * jnp.conj(Ut)), axis=_field_dims(Ut))
+    U = Ut.astype(acc_dtype(Ut.dtype))  # bf16 squares/sums lose the norm
+    s = jnp.sum(jnp.real(U * jnp.conj(U)), axis=_field_dims(Ut))
     return psum_if(_nc(codec, s), axis_name)
 
 
@@ -136,14 +145,15 @@ def _cholqr_once_t(Vt: jax.Array, axis_name: str | None):
     """
     nrm2 = row_norms2_t(Vt, axis_name)
     d = lax.rsqrt(jnp.maximum(nrm2, jnp.finfo(nrm2.dtype).tiny)).astype(
-        jnp.real(Vt).dtype
+        acc_dtype(jnp.real(Vt).dtype)
     )
-    Vs = Vt * d.reshape(d.shape + (1,) * (Vt.ndim - 1))
+    Vs = (Vt.astype(d.dtype) if jnp.isrealobj(Vt) else Vt) * d.reshape(
+        d.shape + (1,) * (Vt.ndim - 1))
     G = gram_t(Vs, Vs, axis_name)
     L = safe_cholesky(G)  # G = L L^H, so R_s = L^H
     Rinv_s = tri_inverse_upper(L.conj().T)
     # Q = Vs R_s^{-1}  ->  Qt = R_s^{-T} Vs_t = Rinv_s^T @ Vs
-    Qt = mm(Rinv_s.T, Vs)
+    Qt = mm(Rinv_s.T, Vs).astype(Vt.dtype)
     R = L.conj().T / d[None, :]  # R_s @ diag(1/d): un-equilibrate the columns
     return Qt, R
 
@@ -187,7 +197,8 @@ def f_mm_update(M, Bt, At=None, codec=None):
     if fused.mm_update_available(Bt, At is not None):
         return fused.mm_update(M, Bt, At)
     Y = mm(M, Bt)
-    return Y if At is None else Y + At
+    Y = Y if At is None else Y + At
+    return Y.astype(Bt.dtype)  # bf16 fields: compute f32, store bf16
 
 
 def f_mm_update_gram(M, Bt, At=None, axis_name: str | None = None,
@@ -202,6 +213,7 @@ def f_mm_update_gram(M, Bt, At=None, axis_name: str | None = None,
     Y = mm(M, Bt)
     if At is not None:
         Y = Y + At
+    Y = Y.astype(Bt.dtype)
     return Y, gram_t(Y, Y, axis_name, codec)
 
 
@@ -217,7 +229,7 @@ def f_mm2_update_gram(M1, B1t, M2, B2t, axis_name: str | None = None,
     if fused.mm2_update_gram_available(B1t):
         Y, G = fused.mm2_update_gram(M1, B1t, M2, B2t)
         return Y, psum_if(_gc(codec, G), axis_name)
-    Y = mm(M1, B1t) + mm(M2, B2t)
+    Y = (mm(M1, B1t) + mm(M2, B2t)).astype(B1t.dtype)
     return Y, gram_t(Y, Y, axis_name, codec)
 
 
@@ -229,8 +241,8 @@ def f_px_update(M1, Wt, rho, Pt, C, Xt, codec=None):
     M1, rho, C = _ce(codec, M1), _ce(codec, rho), _ce(codec, C)
     if fused.px_update_available(Wt):
         return fused.px_update(M1, Wt, rho, Pt, C, Xt)
-    Pn = mm(M1, Wt) + mm(rho, Pt)
-    return Pn, Xt + mm(C, Pt)
+    Pn = (mm(M1, Wt) + mm(rho, Pt)).astype(Pt.dtype)
+    return Pn, (Xt + mm(C, Pt)).astype(Xt.dtype)
 
 
 def f_qr_p_update(M2, Q1t, rho, Pt, codec=None):
@@ -241,7 +253,7 @@ def f_qr_p_update(M2, Q1t, rho, Pt, codec=None):
     if fused.qr_p_update_available(Q1t):
         return fused.qr_p_update(M2, Q1t, rho, Pt)
     Qt = mm(M2, Q1t)
-    return Qt, Qt + mm(rho, Pt)
+    return Qt.astype(Q1t.dtype), (Qt + mm(rho, Pt)).astype(Pt.dtype)
 
 
 def f_qr_px_update(M2, Q1t, rho, Pt, C, Xt, codec=None):
@@ -253,7 +265,8 @@ def f_qr_px_update(M2, Q1t, rho, Pt, C, Xt, codec=None):
     if fused.qr_px_update_available(Q1t):
         return fused.qr_px_update(M2, Q1t, rho, Pt, C, Xt)
     Qt = mm(M2, Q1t)
-    return Qt, Qt + mm(rho, Pt), Xt + mm(C, Pt)
+    return (Qt.astype(Q1t.dtype), (Qt + mm(rho, Pt)).astype(Pt.dtype),
+            (Xt + mm(C, Pt)).astype(Xt.dtype))
 
 
 def f_matmat_gram(op, Xt, axis_name: str | None = None):

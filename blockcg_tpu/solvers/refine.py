@@ -62,27 +62,39 @@ def solve_refined(
     replace_every: int = 0,
     solve_fn: Callable | None = None,
     op64=None,
+    outer_dtype=None,
     checkpoint_path: str | None = None,
     verbose: bool = False,
 ) -> tuple[jax.Array, SolverInfo]:
-    """Solve ``A X = B`` to a tolerance below f32 reach.
+    """Solve ``A X = B`` to a tolerance below the inner dtype's reach.
 
     Args:
-      op: operator in its compute dtype (f32 — the hot path).
-      B: (n, k) right-hand sides (any float dtype; promoted to f64).
+      op: operator in its compute dtype (f32 — the hot path — or bf16 for
+        the single-chip capacity mode; see outer_dtype).
+      B: (n, k) right-hand sides (any float dtype; promoted to outer_dtype).
       tol: outer true-residual target.
-      inner_tol: per-cycle f32 solve target (1e-4..1e-6 sensible).
+      inner_tol: per-cycle inner solve target (1e-4..1e-6 sensible in f32;
+        >= ~3e-3 in bf16, whose epsilon is ~8e-3 — each cycle then
+        contracts the residual by ~2 digits).
       solve_fn: optional override ``(op, R32, tol) -> (D, info)`` — e.g. a
         distributed closure; defaults to solve_sbcgrq/solve_bcg.
       op64: optional full-precision operator for the outer residual. Default
-        is ``op`` promoted to f64 — exact for operators whose entries are
-        f32-representable (stencil coefficients, lattice hoppings); pass the
-        original f64 operator when the matrix data itself was rounded to f32,
-        otherwise the reachable tolerance floors at the rounding error.
+        is ``op`` promoted to ``outer_dtype`` — exact for operators whose
+        entries are representable there (stencil coefficients, lattice
+        hoppings); pass the original operator when the matrix data itself
+        was rounded down, otherwise the reachable tolerance floors at the
+        rounding error.
+      outer_dtype: dtype of the outer accumulator/true-residual loop.
+        Default f64 (complex128 for complex B) — the 1e-10 north-star path,
+        XLA-emulated on TPU. Pass ``jnp.float32`` for the memory-lean
+        composition (bf16 inner fields + f32 outer): reaches ~1e-7 — the
+        route that fits the full-size 16.7M-row config 5 on one chip
+        (BASELINE.json configs[4]; f64 outer fields alone would be
+        3 x 8.6 GB there).
 
     Returns:
-      (X, SolverInfo) with X in f64; ``info.iterations`` counts refinement
-      cycles, ``info.matvecs`` totals inner + outer operator applications.
+      (X, SolverInfo) with X in ``outer_dtype``; ``info.iterations`` counts
+      refinement cycles, ``info.matvecs`` totals inner + outer applications.
     """
     if solve_fn is None:
         if inner_solver == "sbcgrq":
@@ -97,14 +109,23 @@ def solve_refined(
         else:
             raise ValueError(f"unknown inner solver {inner_solver!r}")
 
+    import contextlib
+
     compute_dtype = op.dtype
     cplx = jnp.issubdtype(jnp.dtype(B.dtype), jnp.complexfloating)
-    f64 = jnp.complex128 if cplx else jnp.float64
-    # The outer residual genuinely needs f64 (XLA-emulated on TPU); without
-    # the x64 flag jnp.float64 silently degrades to f32 and refinement stalls
-    # at the f32 noise floor (~5e-7). The flag is scoped to the f64 pieces
-    # only — the hot f32 inner solve traces outside it.
-    with jax.enable_x64(True):
+    if outer_dtype is None:
+        f64 = jnp.complex128 if cplx else jnp.float64
+    else:
+        f64 = jnp.dtype(outer_dtype)
+    wide = jnp.dtype(f64).itemsize >= 8
+    # The f64 outer residual genuinely needs the x64 flag (XLA-emulated on
+    # TPU); without it jnp.float64 silently degrades to f32 and refinement
+    # stalls at the f32 noise floor (~5e-7). The flag is scoped to the f64
+    # pieces only — the hot inner solve traces outside it. A f32 outer
+    # (outer_dtype=jnp.float32, the capacity mode) skips the scope.
+    x64_scope = (lambda: jax.enable_x64(True)) if wide else (
+        contextlib.nullcontext)
+    with x64_scope():
         if op64 is None:
             op64 = op_astype(op, f64)
         B64 = B.astype(f64)
@@ -138,7 +159,7 @@ def solve_refined(
     for cycles in range(1, max_cycles + 1):
         D, inner_info = solve_fn(op, R_in, inner_tol)
         matvecs += int(inner_info.matvecs)
-        with jax.enable_x64(True):
+        with x64_scope():
             X, R_in, scale, relres = _refine_cycle(
                 op64, X, jnp.asarray(D), scale, B64, bnorm,
                 jnp.dtype(compute_dtype),
@@ -157,7 +178,7 @@ def solve_refined(
         if done:
             break
 
-    with jax.enable_x64(True):
+    with x64_scope():
         info = SolverInfo(
             iterations=jnp.int32(cycles),
             relres=relres,
@@ -165,3 +186,113 @@ def solve_refined(
             matvecs=jnp.int32(matvecs),
         )
     return X, info
+
+
+# ------------------------------------------------- capacity (lean) driver --
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k", "bdtype", "compute_dtype"),
+    donate_argnums=(1, 2),
+)
+def _lean_cycle(op, Xt, Dt, scale, key, k, bdtype, compute_dtype):
+    """One outer cycle of the memory-lean refinement (full-size config 5 on
+    one chip). Everything lanes-major (k, n); B is REGENERATED on device
+    from ``key`` (deterministic — the problem's RHS is defined as these
+    values) instead of living in HBM for the whole solve; Xt/Dt buffers are
+    donated. Peak live set ~3 f32 fields + 2 bf16 (see bench_config5.py
+    memory budget table)."""
+    Xt = Xt + Dt.astype(Xt.dtype) * scale[:, None]
+    Zt = op.matmat_t(Xt)  # f32 fields through the (possibly bf16) operator
+    # Generate f32 and round: normal() DIRECTLY in bf16 is not bitwise
+    # stable across the jit boundary (measured 6e-3 jit-vs-eager drift),
+    # and B must be the same exact values every cycle and in every
+    # verifier. f32 -> bdtype rounding is deterministic everywhere. B is
+    # STORED in bdtype (2.1 GB at full size); its f32 lifts below are
+    # elementwise and fuse into the reductions/subtractions — no f32 B or
+    # R field is ever materialized, keeping the cycle's peak live set to
+    # X + Z + B_bf16 + Rn_bf16 (~13 GB at full-size config 5).
+    Bt = jax.random.normal(key, Zt.shape, jnp.float32).astype(bdtype)
+
+    def lift(a):
+        return a.astype(Xt.dtype)
+
+    bnorm = jnp.sqrt(jnp.sum(lift(Bt) * lift(Bt), axis=1))
+    bnorm = jnp.where(bnorm > 0, bnorm, jnp.ones_like(bnorm))
+    nrm = jnp.sqrt(jnp.sum((lift(Bt) - Zt) ** 2, axis=1))
+    relres = nrm / bnorm
+    sc = jnp.where(nrm > 0, nrm, jnp.ones_like(nrm))
+    Rn = ((lift(Bt) - Zt) / sc[:, None]).astype(compute_dtype)
+    return Xt, Rn, sc, relres
+
+
+def solve_refined_lean(
+    op,
+    key,
+    k: int,
+    *,
+    tol: float = 1e-6,
+    inner_tol: float = 5e-3,
+    max_cycles: int = 12,
+    inner_max_iter: int = 2000,
+    qr_passes: int = 1,
+    inner_block: int | None = None,
+    bdtype=jnp.bfloat16,
+    verbose: bool = False,
+):
+    """Memory-lean iterative refinement for single-chip CAPACITY runs — the
+    composition that fits the full-size 16.7M-row / k=64 config 5 in one
+    chip's HBM (BASELINE.json configs[4]; VERDICT r2 item 3):
+
+    - RHS: ``B = normal(key, (k, n), bdtype)`` regenerated ON DEVICE each
+      outer cycle — 0 bytes persistent (vs 4.3 GB f32 at full size).
+    - Outer accumulator Xt: f32, lanes-major, donated through cycles.
+    - Inner solves: the operator's compute dtype (bf16 fields, f32 in-kernel
+      accumulation), on ``inner_block``-wide column slices so the inner live
+      set stays bounded (default k//2 when k > 32).
+
+    Returns (X (n, k) f32, SolverInfo). relres is measured against the f32
+    lift of the generated B (bdtype=bf16 values are exact in f32)."""
+    from blockcg_tpu.solvers.sbcgrq import _sbcgrq_impl
+
+    n = op.n
+    compute_dtype = op.dtype
+    kb = inner_block or (k // 2 if k > 32 else k)
+    if k % kb:
+        raise ValueError(f"inner_block {kb} must divide k={k}")
+
+    Xt = jnp.zeros((k, n), jnp.float32)
+    Dt = jnp.zeros((k, n), compute_dtype)
+    scale = jnp.ones((k,), jnp.float32)
+    matvecs = 0
+    cycles = 0
+    relres = None
+    for cycles in range(0, max_cycles + 1):
+        Xt, Rn, scale, relres = _lean_cycle(
+            op, Xt, Dt, scale, key, k, jnp.dtype(bdtype),
+            jnp.dtype(compute_dtype),
+        )
+        matvecs += 1
+        if verbose:
+            print(f"[lean] cycle {cycles}: max relres = "
+                  f"{float(jnp.max(relres)):.3e}", flush=True)
+        if bool(jnp.max(relres) <= tol) or cycles == max_cycles:
+            break
+        parts = []
+        for j in range(0, k, kb):
+            Dj, info_j = _sbcgrq_impl(
+                op, Rn[j : j + kb], jnp.zeros((kb, n), compute_dtype),
+                inner_tol, inner_max_iter, qr_passes=qr_passes,
+                replace_every=0, axis_name=None, record_history=False,
+            )
+            matvecs += int(info_j.matvecs)
+            parts.append(Dj)
+        Dt = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+    info = SolverInfo(
+        iterations=jnp.int32(cycles),
+        relres=relres,
+        converged=relres <= tol,
+        matvecs=jnp.int32(matvecs),
+    )
+    return Xt.T, info

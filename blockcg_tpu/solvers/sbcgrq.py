@@ -95,7 +95,11 @@ def _sbcgrq_impl(
     record_history, active_floor=0, replace_kappa=0.0,
     replace_mode="restart", iter_cap=None,
 ):
-    rdtype = jnp.real(Bt).dtype
+    from blockcg_tpu.solvers.common import acc_dtype
+
+    # Scalar/k x k solver algebra lives in the accumulation dtype: bf16
+    # FIELDS (the capacity mode) still monitor/factorize in f32.
+    rdtype = acc_dtype(jnp.real(Bt).dtype)
     bnorm = jnp.sqrt(row_norms2_t(Bt, axis_name, codec=op))
     bnorm = jnp.where(bnorm > 0, bnorm, jnp.asarray(1.0, rdtype))
     # tol may be a scalar or a per-RHS (k,) vector (deflation stages solve
