@@ -1,10 +1,10 @@
 #!/bin/bash
-# Round-2 chip measurement queue — run when the TPU tunnel is up.
+# Round-3 chip measurement queue — run when the TPU tunnel is up.
 # Each step is independently timeout-guarded; results append to
-# CHIP_QUEUE_r2.log (JSON lines interleaved with step markers).
+# CHIP_QUEUE_r3.log (JSON lines interleaved with step markers).
 set -u
 cd "$(dirname "$0")/.."
-LOG=CHIP_QUEUE_r2.log
+LOG=CHIP_QUEUE_r3.log
 step() { echo "=== $1 $(date +%H:%M:%S) ===" | tee -a "$LOG"; }
 
 step "verify-drive"
@@ -22,6 +22,12 @@ EOF
 
 step "bench-headline"
 timeout 1200 python bench.py 2>&1 | tee -a "$LOG"
+
+step "config5-capacity-quarter"   # bf16 capacity composition, warm-up size
+timeout 1800 python bench_config5.py --scale 0.25 --verify 2>&1 | tee -a "$LOG"
+
+step "config5-capacity-FULL"      # 16.7M rows / k=64 / one chip (r3 item 3)
+timeout 3600 python bench_config5.py --scale 1.0 2>&1 | tee -a "$LOG"
 
 step "bench-scattered"
 timeout 1800 python bench_scattered.py --n 32768 --k 32 2>&1 | tee -a "$LOG"
