@@ -35,6 +35,7 @@ from bench import measure_apply
 def problems(n: int):
     from blockcg_tpu.problems import (
         delaunay_laplacian,
+        random_regular_spd,
         rgg_laplacian,
         uniform_random_spd,
     )
@@ -43,6 +44,9 @@ def problems(n: int):
     for deg in (10, 20, 40):
         yield f"rgg_deg{deg}", rgg_laplacian(n, degree=deg, seed=0)
     yield "uniform_deg8", uniform_random_spd(min(n, 16384), degree=8.0, seed=0)
+    # exact-regular expander: the measured no-locality endpoint (compare
+    # against tools/probe_gather_bound.py's gather speed-of-light)
+    yield "regular_deg8", random_regular_spd(min(n, 16384), degree=8, seed=0)
 
 
 def formats(a):

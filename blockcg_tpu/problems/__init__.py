@@ -28,6 +28,7 @@ from blockcg_tpu.problems.random_spd import random_spd, random_block
 from blockcg_tpu.problems.unstructured import (
     delaunay_laplacian,
     rgg_laplacian,
+    random_regular_spd,
     uniform_random_spd,
 )
 from blockcg_tpu.problems.presets import PRESETS
@@ -57,6 +58,7 @@ __all__ = [
     "random_block",
     "delaunay_laplacian",
     "rgg_laplacian",
+    "random_regular_spd",
     "uniform_random_spd",
     "PRESETS",
 ]

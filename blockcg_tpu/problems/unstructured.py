@@ -80,3 +80,30 @@ def uniform_random_spd(n: int, degree: float = 8.0, seed: int = 0) -> sp.csr_mat
     edges = np.sort(np.stack([rows[keep], cols[keep]], axis=1), axis=1)
     edges = np.unique(edges, axis=0)
     return _graph_laplacian(n, edges)
+
+
+def random_regular_spd(n: int, degree: int = 8, seed: int = 0) -> sp.csr_matrix:
+    """Exact d-regular expander-like graph (union of ``degree`` random
+    perfect matchings via permutation symmetrization), made SPD as L + I.
+
+    The measured no-locality bound case (VERDICT r2 item 6): every row has
+    exactly ``degree`` off-diagonal entries with uniformly random targets,
+    so NO reordering can densify tiles — the SpMM's speed of light is the
+    chip's random row-gather bandwidth (tools/probe_gather_bound.py
+    measures it)."""
+    if degree % 2:
+        raise ValueError("degree must be even (union of 2-regular "
+                         "permutation cycles)")
+    rng = np.random.default_rng(seed)
+    edges = []
+    # Each random permutation's functional graph is 2-regular (every vertex
+    # is one edge's source and one edge's target), so degree/2 permutations
+    # give an exactly degree-regular multigraph up to the rare self-loop/
+    # duplicate collision.
+    for _ in range(degree // 2):
+        p = rng.permutation(n)
+        e = np.stack([np.arange(n), p], axis=1)
+        e = e[e[:, 0] != e[:, 1]]
+        edges.append(np.sort(e, axis=1))
+    edges = np.unique(np.concatenate(edges, axis=0), axis=0)
+    return _graph_laplacian(n, edges)

@@ -99,3 +99,20 @@ def test_csr_ell_random_matrix():
         np.testing.assert_allclose(
             np.asarray(op(jnp.asarray(X))), want, rtol=1e-12, atol=1e-12
         )
+
+
+def test_random_regular_spd():
+    """Exact-regular expander generator: d off-diagonals per row (up to the
+    rare self-loop/duplicate collision), SPD, symmetric."""
+    import numpy as np
+    from blockcg_tpu.problems import random_regular_spd
+
+    a = random_regular_spd(512, degree=8, seed=3)
+    assert (abs(a - a.T) > 0).nnz == 0
+    offdiag = a.nnz - 512
+    deg = offdiag / 512
+    assert 7.0 <= deg <= 8.0  # permutation collisions shave a few edges
+    # diagonally dominant by construction -> SPD
+    d = a.diagonal()
+    row_abs = np.abs(a).sum(axis=1).A1 - np.abs(d)
+    assert (d >= row_abs).all()

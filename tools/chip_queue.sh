@@ -32,6 +32,12 @@ timeout 3600 python bench_config5.py --scale 1.0 2>&1 | tee -a "$LOG"
 step "bench-scattered"
 timeout 1800 python bench_scattered.py --n 32768 --k 32 2>&1 | tee -a "$LOG"
 
+step "gather-bound"    # no-locality speed of light (r3 item 6)
+timeout 1200 python tools/probe_gather_bound.py --n 16384 --deg 8 --k 32 2>&1 | tee -a "$LOG"
+
+step "overlap-hlo"     # TPU topology compile + async-permute check (r3 item 5)
+timeout 1200 python tools/overlap_hlo.py 2>&1 | tee -a "$LOG"
+
 step "probe-links-mxu"
 timeout 1200 python tools/probe_links_mxu.py --L 16 2>&1 | tee -a "$LOG"
 
