@@ -61,14 +61,20 @@ def run_one(name: str, args) -> dict:
     import blockcg_tpu as bc
     from blockcg_tpu.utils import timed_solve, log_jsonl
 
-    op, B, solver = _scaled_preset(name, args.scale, jnp.float32)
+    dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[args.dtype]
+    op, B, solver = _scaled_preset(name, args.scale, dtype)
     if args.solver:
         solver = args.solver
 
     if args.refined:
+        # bf16 inner tolerances floor near bf16 epsilon; pair the bf16
+        # field mode with a matching inner_tol unless the user set one.
+        inner_tol = args.inner_tol
+        if args.dtype == "bf16" and inner_tol < 3e-3:
+            inner_tol = 5e-3
         X, info, rec = timed_solve(
-            f"refined-{solver}", bc.solve_refined, op, B,
-            tol=args.tol, inner_tol=args.inner_tol, inner_solver=solver
+            f"refined-{solver}", bc.solve_refined, op, B.astype(jnp.float32),
+            tol=args.tol, inner_tol=inner_tol, inner_solver=solver
             if solver in ("sbcgrq", "bcg") else "sbcgrq",
         )
     elif solver == "cg":
@@ -86,6 +92,7 @@ def run_one(name: str, args) -> dict:
         )
     rec.extra["config"] = name
     rec.extra["scale"] = args.scale
+    rec.extra["dtype"] = args.dtype
     print(rec.to_json())
     if args.out:
         log_jsonl(args.out, rec)
@@ -102,6 +109,10 @@ def main():
     ap.add_argument("--replace-every", type=int, default=0)
     ap.add_argument("--refined", action="store_true", help="refine to tol < f32")
     ap.add_argument("--scale", type=float, default=1.0)
+    ap.add_argument("--dtype", default="f32", choices=["f32", "bf16"],
+                    help="field/operator storage dtype (bf16 = capacity "
+                    "mode, f32 in-kernel accumulation; pair with --refined "
+                    "for sub-bf16 tolerances)")
     ap.add_argument("--out", default="PROGRESS_BENCH.jsonl")
     ap.add_argument("--list", action="store_true")
     args = ap.parse_args()

@@ -35,7 +35,8 @@ def row_mesh(num_devices: int | None = None, axis_name: str = "rows") -> Mesh:
     return jax.make_mesh((len(devs),), (axis_name,), devices=devs)
 
 
-def _info_specs(record_history: bool, per_rhs: bool = False):
+def _info_specs(record_history: bool, per_rhs: bool = False,
+                breakdown: bool = False):
     return SolverInfo(
         iterations=P(),
         relres=P(),
@@ -43,6 +44,7 @@ def _info_specs(record_history: bool, per_rhs: bool = False):
         matvecs=P(),
         history=P() if record_history else None,
         per_rhs_iters=P() if per_rhs else None,
+        breakdown=P() if breakdown else None,
     )
 
 
@@ -117,7 +119,8 @@ def _sbcgrq_dist_fn(dop, mesh, tol, max_iter, qr_passes, replace_every,
         body,
         mesh=mesh,
         in_specs=(dop.in_specs(), fspec, fspec, P()),
-        out_specs=(fspec, _info_specs(record_history, per_rhs=True)),
+        out_specs=(fspec, _info_specs(record_history, per_rhs=True,
+                                      breakdown=True)),
         check_vma=True,
     ))
 
@@ -261,7 +264,8 @@ def solve_sbcgrq_cheb_dist(
         cycle,
         mesh=mesh,
         in_specs=(dop.in_specs(), fspec, fspec, P(), P(), P()),
-        out_specs=(fspec, P(), _info_specs(record_history, per_rhs=True)),
+        out_specs=(fspec, P(), _info_specs(record_history, per_rhs=True,
+                                           breakdown=True)),
         check_vma=True,
     ))
 
@@ -274,11 +278,15 @@ def solve_sbcgrq_cheb_dist(
     matvecs = 0
     relres = None
     hists: list = []
+    per_rhs = 0
+    broke = False
     tol_arr = np.asarray(tol, np.float64)  # scalar OR (k,) per-column tol
     for _ in range(max_cycles):
         Xt, relres, info = fn(dop, Bt, Xt, bnorm, lo, hi)
         iters += int(info.iterations)
         matvecs += 2 + (degree - 1) + int(info.matvecs) * degree
+        per_rhs = per_rhs + np.asarray(info.per_rhs_iters, np.int32)
+        broke = broke or bool(info.breakdown)
         if info.history is not None:
             hists.append(info.history)
         if bool((np.asarray(relres) <= tol_arr).all()):
@@ -289,6 +297,8 @@ def solve_sbcgrq_cheb_dist(
         converged=relres <= jnp.asarray(tol_arr, relres.dtype),
         matvecs=jnp.int32(matvecs),
         history=jnp.concatenate(hists) if hists else None,
+        per_rhs_iters=jnp.asarray(per_rhs, jnp.int32),
+        breakdown=jnp.asarray(broke),
     )
     return _field_result(dop, mesh, Xt), info
 

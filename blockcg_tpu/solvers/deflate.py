@@ -94,6 +94,7 @@ def _deflated_driver(
     iters_total = 0
     mv_total = 0
     mv_cols = 0
+    any_breakdown = False
 
     while True:
         na = len(active)
@@ -106,6 +107,8 @@ def _deflated_driver(
         budget = max(max_iter - iters_total, 1)
         D, info = stage(Bs, X0s, budget, floor)
         X = X.at[:, idx].set(D[:, :na])
+        if info.breakdown is not None:
+            any_breakdown = any_breakdown or bool(info.breakdown)
         stage_iters = int(info.iterations)
         stage_mv = int(info.matvecs)
         iters_total += stage_iters
@@ -130,5 +133,6 @@ def _deflated_driver(
         matvecs=jnp.int32(mv_total),
         per_rhs_iters=jnp.asarray(per_rhs, jnp.int32),
         matvec_cols=jnp.int32(mv_cols),
+        breakdown=jnp.asarray(any_breakdown),
     )
     return X, info

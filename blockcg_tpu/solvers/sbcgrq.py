@@ -117,12 +117,16 @@ def _sbcgrq_impl(
 
     def fresh_qs(Xt):
         """True residual, re-factorized in DEFERRED form (Q = Mi @ W never
-        materialized): one extra SpMM + Gram + thin-QR factors."""
+        materialized): one extra SpMM + Gram + thin-QR factors. The last
+        element is the k x k-side orthogonality error (breakdown detector:
+        numerically rank-deficient blocks that no CholeskyQR pass count
+        can repair — see SolverInfo.breakdown)."""
         Rt = Bt - op.matmat_t(Xt)
         G = f_gram(Rt, Rt, axis_name, codec=op)
-        return qr_passes_from_gram(G, Rt, qr_passes, axis_name, codec=op)
+        return qr_passes_from_gram(G, Rt, qr_passes, axis_name, codec=op,
+                                   want_ortho=True)
 
-    Mi0, W0t, S0 = fresh_qs(X0t)
+    Mi0, W0t, S0, orth0 = fresh_qs(X0t)
     k = S0.shape[0]
     # P0 = Q0 — the one place Q is materialized (init only).
     Q0t = f_mm_update(Mi0, W0t, codec=op)
@@ -133,7 +137,7 @@ def _sbcgrq_impl(
         return jnp.sqrt(jnp.sum(jnp.real(S * jnp.conj(S)), axis=0)) / bnorm
 
     def cond(state):
-        _, _, _, S, _, it, _, _, _ = state
+        _, _, _, S, _, it, _, _, _, _ = state
         # Continue while more than ``active_floor`` RHS are unconverged:
         # floor 0 is the plain stop rule; a deflation outer loop sets the
         # floor to the next stage's width so this stage hands over as soon
@@ -142,7 +146,7 @@ def _sbcgrq_impl(
         return jnp.logical_and(it < cap, n_active > floor)
 
     def body(state):
-        Xt, Wt, Mqr, S, Pt, it, mv, hist, per_rhs = state
+        Xt, Wt, Mqr, S, Pt, it, mv, hist, per_rhs, orth = state
         per_rhs = per_rhs + (relres_of(S) > tol_arr).astype(jnp.int32)
         # SpMM with the P^H A P Gram fused into the kernel when the operator
         # supports it (stencil ops emit it from tiles already in VMEM).
@@ -156,9 +160,11 @@ def _sbcgrq_impl(
         # equilibration norms: the QR needs no extra field passes (T-K2).
         alpha_t = jnp.conj(alpha)
         Vt, G = f_mm2_update_gram(Mqr, Wt, -alpha_t, Zt, axis_name, codec=op)
-        Mqr2, Wt2, rho, cond1 = qr_passes_from_gram(
-            G, Vt, qr_passes, axis_name, codec=op, want_cond=True
+        Mqr2, Wt2, rho, cond1, oe = qr_passes_from_gram(
+            G, Vt, qr_passes, axis_name, codec=op, want_cond=True,
+            want_ortho=True,
         )
+        orth = jnp.maximum(orth, oe)
         # Fused tail (5 passes): P' = Mqr2 Wt2 + conj(rho) P and
         # X' = X + (S^T alpha^T) P — both read the PRE-update P.
         Pt, Xt = f_px_update(
@@ -170,41 +176,42 @@ def _sbcgrq_impl(
         if replace_every > 0 or replace_kappa > 0:
             if replace_mode == "rebase":
                 def replace(args):
-                    Xt, _, _, S, Pt, mv = args
+                    Xt, _, _, S, Pt, mv, orth = args
                     # Fresh true-residual factorization, re-expressed in the
                     # OLD Q basis via the unitary U = S Sn^{-1} folded into
                     # the deferred Mqr transform (zero extra field passes):
                     # keeps the Krylov momentum (P untouched) AND the
                     # P^T Q = I invariant. f64-only — see module docstring.
-                    Min, Wnt, Sn = fresh_qs(Xt)
+                    Min, Wnt, Sn, oe2 = fresh_qs(Xt)
                     U = residual_rebase(S, Sn)
                     return (Xt, Wnt, kk_mm(jnp.conj(U), Min), kk_mm(U, Sn),
-                            Pt, mv + 1)
+                            Pt, mv + 1, jnp.maximum(orth, oe2))
             else:
                 def replace(args):
-                    Xt, _, _, _, _, mv = args
+                    Xt, _, _, _, _, mv, orth = args
                     # Full restart: fresh factorization, P reset to the new
                     # Q (materialized once — replacements are sparse).
-                    Min, Wnt, Sn = fresh_qs(Xt)
+                    Min, Wnt, Sn, oe2 = fresh_qs(Xt)
                     Qn = f_mm_update(Min, Wnt, codec=op)
-                    return (Xt, Wnt, Min, Sn, Qn, mv + 1)
+                    return (Xt, Wnt, Min, Sn, Qn, mv + 1,
+                            jnp.maximum(orth, oe2))
 
             do = jnp.asarray(False)
             if replace_every > 0:
                 do = (it + 1) % replace_every == 0
             if replace_kappa > 0:
                 do = do | (cond1 > jnp.asarray(replace_kappa, cond1.dtype))
-            Xt, Wt2, Mqr2, S, Pt, mv = lax.cond(
-                do, replace, lambda a: a, (Xt, Wt2, Mqr2, S, Pt, mv)
+            Xt, Wt2, Mqr2, S, Pt, mv, orth = lax.cond(
+                do, replace, lambda a: a, (Xt, Wt2, Mqr2, S, Pt, mv, orth)
             )
 
         if hist is not None:
             hist = hist.at[it].set(jnp.max(relres_of(S)))
-        return (Xt, Wt2, Mqr2, S, Pt, it + 1, mv, hist, per_rhs)
+        return (Xt, Wt2, Mqr2, S, Pt, it + 1, mv, hist, per_rhs, orth)
 
     state0 = (X0t, W0t, Mi0, S0, Q0t, jnp.int32(0), jnp.int32(1), hist0,
-              jnp.zeros((k,), jnp.int32))
-    Xt, Wt, Mqr, S, Pt, it, mv, hist, per_rhs = lax.while_loop(
+              jnp.zeros((k,), jnp.int32), orth0)
+    Xt, Wt, Mqr, S, Pt, it, mv, hist, per_rhs, orth = lax.while_loop(
         cond, body, state0
     )
     relres = relres_of(S)
@@ -215,6 +222,9 @@ def _sbcgrq_impl(
         matvecs=mv,
         history=hist,
         per_rhs_iters=per_rhs,
+        # >1% achieved-orthogonality error at some thin QR: the block was
+        # numerically rank-deficient beyond repair (see SolverInfo docs).
+        breakdown=orth > jnp.asarray(0.01, orth.dtype),
     )
     return Xt, info
 

@@ -69,6 +69,14 @@ class SolverInfo:
       matvec_cols: optional scalar — total SpMM column-passes (sum of
         block-width x matvecs over deflation stages); the bandwidth-weighted
         work metric that converged-column deflation reduces.
+      breakdown: optional device bool (SBCGrQ family) — True when some
+        thin-QR's achieved orthogonality error exceeded 1% (k x k-side
+        estimate, solvers/common.qr_ortho_err): the residual block was
+        numerically rank-deficient beyond CholeskyQR2 repair (e.g.
+        near-duplicate RHS columns with kappa(B) >> 1/sqrt(eps)). The
+        S-based monitor is then unreliable — deduplicate/drop dependent
+        columns, or solve with ``replace_every`` so the true residual
+        re-anchors the recurrence.
     """
 
     iterations: jax.Array
@@ -78,6 +86,7 @@ class SolverInfo:
     history: Any = None
     per_rhs_iters: Any = None
     matvec_cols: Any = None
+    breakdown: Any = None
 
     def __repr__(self) -> str:  # pragma: no cover - debug convenience
         try:

@@ -379,3 +379,56 @@ def test_partition_padded_rejects_periodic_wraps():
     opc = dirac_cbdia(8, m=0.5, dtype=jnp.float32)
     with pytest.raises(ValueError, match="[Vv]alid D"):
         partition_cbdia(opc, 6)
+
+
+def test_solve_sbcgrq_cheb_dist_cycles_history_vector_tol():
+    """Multi-cycle Chebyshev-dist bookkeeping (round-2 advisor fix): a
+    per-column (k,) tol is accepted, per-cycle histories CONCATENATE
+    (not last-cycle-only), and the round-3 aggregates (per_rhs_iters sum,
+    breakdown or-reduce) survive the outer python loop."""
+    from blockcg_tpu.operators.cheb import estimate_spectrum
+    from blockcg_tpu.parallel import solve_sbcgrq_cheb_dist
+
+    shape = (24, 24)
+    op = laplacian_dia(shape, dtype=jnp.float32)
+    B = jnp.asarray(random_block(op.n, 4, seed=31), jnp.float32)
+    mesh = row_mesh(4)
+    dop = partition_dia(op, 4)
+    spectrum = tuple(float(x) for x in estimate_spectrum(op))
+    tol = np.asarray([1e-5, 1e-4, 1e-5, 1e-4])
+    # max_iter low enough that one cycle cannot finish -> >= 2 cycles.
+    Xc, info = solve_sbcgrq_cheb_dist(dop, B, mesh, spectrum=spectrum,
+                                      degree=4, tol=tol, max_iter=4,
+                                      max_cycles=8, record_history=True)
+    assert bool(info.converged.all())
+    assert info.history is not None and info.history.shape[0] > 4
+    assert info.per_rhs_iters.shape == (4,)
+    assert int(info.per_rhs_iters.max()) >= int(info.per_rhs_iters.min())
+    assert not bool(info.breakdown)
+    a = laplacian_scipy(shape)
+    res = np.linalg.norm(a @ np.asarray(Xc, np.float64) - np.asarray(B),
+                         axis=0) / np.linalg.norm(np.asarray(B), axis=0)
+    assert (res <= tol * 10).all()  # true residual near per-column tols
+
+
+def test_solve_sbcgrq_dist_bf16_fields():
+    """Row-sharded solve with bf16 fields (capacity mode on a mesh): psums
+    ride f32 Grams (acc_dtype), state stays bf16, converges to a
+    bf16-limited tolerance matching the single-device bf16 run."""
+    shape = (24, 24)
+    op = laplacian_dia(shape, dtype=jnp.bfloat16)
+    mesh = row_mesh(4)
+    dop = partition_dia(op, 4)
+    assert dop.dtype == jnp.bfloat16
+    rng = np.random.default_rng(21)
+    B = jnp.asarray(rng.standard_normal((op.n, 4)), dtype=jnp.bfloat16)
+    X, info = solve_sbcgrq_dist(dop, B, mesh, tol=2e-2, max_iter=400)
+    assert X.dtype == jnp.bfloat16
+    a = laplacian_scipy(shape)
+    Bf = np.asarray(B, np.float64)
+    res = np.linalg.norm(a @ np.asarray(X, np.float64) - Bf, axis=0)
+    res /= np.linalg.norm(Bf, axis=0)
+    # True-residual floor at bf16 resolution (measured 0.058 here — the
+    # sharded path adds bf16 halo rounding over the 0.04-ish single-device
+    # floor); accuracy beyond this tier comes from solve_refined_dist.
+    assert res.max() <= 8e-2

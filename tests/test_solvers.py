@@ -303,3 +303,31 @@ def test_block_solvers_k_equals_n():
     r = A @ np.asarray(X) - np.asarray(B)
     assert (np.linalg.norm(r, axis=0)
             / np.linalg.norm(np.asarray(B), axis=0)).max() < 1e-9
+
+
+def test_sbcgrq_breakdown_flag():
+    """Numerically rank-deficient RHS blocks (near-duplicate columns,
+    kappa(B) ~ 1e14) are beyond any CholeskyQR repair: the solver cannot
+    converge, and must SAY so — info.breakdown flags >1% achieved
+    orthogonality error (k x k-side detector, solvers/common.qr_ortho_err).
+    Healthy blocks report breakdown False."""
+    import numpy as np
+
+    from blockcg_tpu.problems import laplacian_dia
+
+    op = laplacian_dia((16, 16), dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    B = rng.standard_normal((op.n, 16))
+    idx = np.arange(op.n)
+    for j in range(8):  # near-parallel low-frequency columns
+        B[:, j] = np.sin((idx + 1) * (j + 1) / 16 * 2 * np.pi / op.n)
+    assert np.linalg.cond(B) > 1e12  # numerically rank-deficient in f32
+    X, info = solve_sbcgrq(op, jnp.asarray(B, jnp.float32), tol=1e-6,
+                           max_iter=120)
+    assert not bool(info.converged.all())
+    assert bool(info.breakdown)
+
+    Bh = jnp.asarray(rng.standard_normal((op.n, 8)), jnp.float32)
+    X, info = solve_sbcgrq(op, Bh, tol=1e-6, max_iter=500)
+    assert not bool(info.breakdown)
+    assert bool(info.converged.all())

@@ -38,6 +38,9 @@ timeout 1200 python tools/probe_gather_bound.py --n 16384 --deg 8 --k 32 2>&1 | 
 step "overlap-hlo"     # TPU topology compile + async-permute check (r3 item 5)
 timeout 1200 python tools/overlap_hlo.py 2>&1 | tee -a "$LOG"
 
+step "deflation-ab"    # wall-time A/B, not just column-passes (r2 weak 4)
+timeout 1800 python tools/probe_deflation.py 2>&1 | tee -a "$LOG"
+
 step "probe-links-mxu"
 timeout 1200 python tools/probe_links_mxu.py --L 16 2>&1 | tee -a "$LOG"
 
@@ -46,6 +49,9 @@ timeout 1500 python tools/profile_tail.py 23 2>&1 | tee -a "$LOG"
 
 step "bench-presets"
 timeout 1800 python bench_cli.py --config all --scale 0.25 2>&1 | tee -a "$LOG"
+
+step "bench-presets-bf16"   # capacity mode throughput vs f32
+timeout 1800 python bench_cli.py --config all --scale 0.25 --dtype bf16 2>&1 | tee -a "$LOG"
 
 step "tpu-smoke"
 timeout 1800 env BLOCKCG_TEST_TPU=1 python -m pytest tests/ -q 2>&1 | tail -5 | tee -a "$LOG"
