@@ -36,15 +36,20 @@ def _timed_loop(compiled, x, n_ignored):
     return time.time() - t0
 
 
-def measure_apply(op, Xt, lengths=(8, 136, 264), trials=3):
+def measure_apply(op, Xt, lengths=(8, 136, 264), trials=3, rounds=3):
     """Seconds per operator apply.
 
     Times jitted fori_loops of N chained applies for several N and fits the
     marginal cost (least-squares slope of best-of-trials times vs N), which
     cancels the per-execution fixed overhead of this sandbox's TPU tunnel
     (~30 ms dispatch+fetch, with ±10 ms jitter — the loop lengths are chosen
-    so the marginal signal dwarfs that jitter). Retries once if noise
-    produces a non-positive slope; falls back to the longest loop's average.
+    so the marginal signal dwarfs that jitter). The fit runs ``rounds``
+    times and the MINIMUM positive slope wins: one slow outlier on the
+    longest loop inflates a single fit by jitter/max(lengths) per apply —
+    a +40 ms hiccup once measured the config-3 stencil at 0.24 ms/apply vs
+    its true 0.086 ms (bench-headline vs probe_r3_regression sweep,
+    CHIP_QUEUE_r3.log 2026-08-18). Falls back to the longest loop's
+    average if every round's slope is non-positive.
     """
     def nudge(u):
         # Tiny in-place mutation (128 lanes) so chained applies can't be
@@ -80,13 +85,16 @@ def measure_apply(op, Xt, lengths=(8, 136, 264), trials=3):
 
         return lsq_slope(best), best
 
-    slope, best = run_once(0)
-    if slope <= 0:
-        slope, best = run_once(1)
-    if slope <= 0:  # tunnel noise won; use a conservative upper bound
+    slopes = []
+    best = {}
+    for r in range(rounds):
+        s, best = run_once(r)
+        if s > 0:
+            slopes.append(s)
+    if not slopes:  # tunnel noise won every round; conservative upper bound
         nmax = max(lengths)
-        slope = best[nmax] / nmax
-    return slope
+        return best[nmax] / nmax
+    return min(slopes)
 
 
 def calibrate_bw(n_lanes: int = 4 * 1024 * 1024, k: int = 32,
@@ -126,12 +134,14 @@ def calibrate_bw(n_lanes: int = 4 * 1024 * 1024, k: int = 32,
         return nbytes_per_iter / slope
 
     # Fused Gram: reads U and V once per call (k x k output negligible).
+    # The loop-carried dependence rides an optimization_barrier TUPLE so no
+    # extra field pass is added (a `v + eps*carry` dependence costs an
+    # uncounted read+write pair per iteration and halves the reported BW).
     def gram_loop(n):
         def loop(u, v):
             def body(i, carry):
-                g = fused.gram(u, jax.lax.optimization_barrier(
-                    v + carry[1, 1] * 1e-20))
-                return g
+                uu = jax.lax.optimization_barrier((u, carry))[0]
+                return fused.gram(uu, v)
             return jax.lax.fori_loop(0, n, body,
                                      jnp.zeros((k, k), jnp.float32))
         return loop

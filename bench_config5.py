@@ -75,6 +75,10 @@ def main() -> None:
     )
     jax.block_until_ready(X)
     wall = time.perf_counter() - t0
+    # Free the cold run's 4 GB accumulator BEFORE the warm one allocates —
+    # holding both OOM'd the full-size run (CHIP_QUEUE_r3.log 14:10,
+    # RESOURCE_EXHAUSTED on the warm re-run).
+    del X, info
     # warm re-run (compiles cached) for the honest time-to-tol
     t0 = time.perf_counter()
     X, info = solve_refined_lean(

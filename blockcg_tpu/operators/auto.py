@@ -20,10 +20,21 @@ operators/base.py) so caller code is format-agnostic:
     X, info = solve_sbcgrq(op, op.to_solver_order(B))
     X = op.from_solver_order(X)
 
-The decision thresholds come from measured throughput (BASELINE.md):
-the tile kernel's nnz/s ~= fill x tile-load bandwidth, the XLA gather path
-runs ~0.5 Gnnz/s, so tiling wins whenever predicted fill clears
-``min_fill`` (default 0.5%, ~2x the break-even).
+The tiled-vs-gather decision uses CHIP-MEASURED rate models
+(bench_scattered.py + tools/probe_gather_bound.py on the v5e,
+BASELINE.md 2026-08-18, k=32):
+
+  tiled(RCM) nnz/s ~= 49 Gnnz/s x tile fill   (linear model matches the
+      measured delaunay/RGG/expander sweep to within 3%: fills 0.072% ->
+      3.24% measured 0.036 -> 1.59 Gnnz/s)
+  ELL nnz/s       ~= 0.55 Gnnz/s x (mean_deg / max_deg)^2   (0.55 is the
+      measured random-row-gather speed of light; the quadratic padding
+      penalty fits the measured regular/uniform/delaunay/RGG points
+      within ~35%)
+
+Tiling wins when its predicted rate clears the ELL prediction by a 1.3x
+margin AND the fill clears the hard floor ``min_fill`` (default 0.28% =
+break-even against the WORST measured gather rate 0.14 Gnnz/s).
 """
 
 from __future__ import annotations
@@ -48,12 +59,18 @@ def _predicted_rcm_fill(a, T: int = 128):
     return ap.nnz / (ntiles * T * T), ntiles, perm
 
 
+# Chip-measured rate-model constants (v5e, k=32; BASELINE.md 2026-08-18).
+_TILED_GNNZS_PER_FILL = 49.0   # tiled nnz/s = this x tile fill
+_GATHER_BOUND_GNNZS = 0.55     # random-row-gather speed of light
+_TILED_MARGIN = 1.3            # tile only when predicted to win by this
+
+
 def from_scipy_auto(
     a,
     dtype=jnp.float32,
     *,
     max_diagonals: int = 48,
-    min_fill: float = 0.005,
+    min_fill: float = 0.0028,
     max_ell_width: int = 64,
     max_pad_bytes: int = 8 << 30,
     tile_dtype=None,
@@ -65,9 +82,9 @@ def from_scipy_auto(
       max_diagonals: use DIA when the matrix has at most this many distinct
         nonzero diagonals (stencils/banded matrices; the Pallas stencil
         kernel streams one coefficient row per diagonal).
-      min_fill: use the RCM-reordered tile format when the predicted tile
-        fill clears this (padded-tile HBM traffic is the cost; below the
-        threshold the XLA gather path wins).
+      min_fill: hard fill floor for the RCM tile format (default = the
+        measured break-even against the worst gather rate; the measured
+        rate model above it decides tiled-vs-gather per matrix).
       max_ell_width: fall back to ELL when the max row degree is bounded by
         this, else CSR.
       tile_dtype: forwarded to TiledOperator (e.g. jnp.bfloat16).
@@ -87,11 +104,18 @@ def from_scipy_auto(
             print(f"[auto] DIA: {offsets.size} diagonals")
         return DIAOperator.from_scipy(a, dtype=dtype)
 
+    counts = np.diff(a.indptr)
     fill, ntiles, perm = _predicted_rcm_fill(a)
-    if fill >= min_fill and ntiles * 128 * 128 * 4 <= max_pad_bytes:
+    tiled_est = _TILED_GNNZS_PER_FILL * fill
+    ell_ok = counts.max() <= max_ell_width
+    gather_est = _GATHER_BOUND_GNNZS * (
+        (counts.mean() / max(counts.max(), 1)) ** 2 if ell_ok else 0.25)
+    if (fill >= min_fill and tiled_est >= _TILED_MARGIN * gather_est
+            and ntiles * 128 * 128 * 4 <= max_pad_bytes):
         if verbose:
             print(f"[auto] tiled+RCM: predicted fill {fill:.2%}, "
-                  f"{ntiles} tiles")
+                  f"{ntiles} tiles, est {tiled_est:.2f} vs gather "
+                  f"{gather_est:.2f} Gnnz/s")
         try:
             return TiledOperator.from_scipy(
                 a, dtype=dtype, perm=perm, tile_dtype=tile_dtype,
@@ -103,11 +127,11 @@ def from_scipy_auto(
             # gather formats — falling back IS the selector's job.
             pass
 
-    counts = np.diff(a.indptr)
-    if counts.max() <= max_ell_width:
+    if ell_ok:
         if verbose:
-            print(f"[auto] ELL: width {int(counts.max())} "
-                  f"(RCM fill {fill:.2%} below {min_fill:.1%})")
+            print(f"[auto] ELL: width {int(counts.max())} (tiled est "
+                  f"{tiled_est:.2f} did not clear gather est "
+                  f"{gather_est:.2f} Gnnz/s x {_TILED_MARGIN})")
         return ELLOperator.from_scipy(a, dtype=dtype)
     if verbose:
         print(f"[auto] CSR: max row degree {int(counts.max())}")

@@ -30,6 +30,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from blockcg_tpu.ops.vma import out_struct
+
 from blockcg_tpu.ops.stencil import order_by_plan, plan as _plan
 
 
@@ -169,7 +171,7 @@ def block_stencil_spmm_t(
         grid=(nb,),
         in_specs=in_specs,
         out_specs=pl.BlockSpec((k, bs, R), lambda i: (0, 0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((k, bs, ns), Xt.dtype),
+        out_shape=out_struct((k, bs, ns), Xt.dtype, Xt),
         scratch_shapes=scratch,
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=int(bytes_accessed), transcendentals=0
@@ -318,11 +320,11 @@ def _bsm_impl(blocks, offsets, Xm, with_gram, interpret):
     scratch = [pltpu.VMEM((m, R + 2 * H), Xm.dtype)] if H > 0 else []
 
     y_spec = pl.BlockSpec((m, R), lambda i: (0, i), memory_space=pltpu.VMEM)
-    y_shape = jax.ShapeDtypeStruct((m, ns), Xm.dtype)
+    y_shape = out_struct((m, ns), Xm.dtype, Xm)
     if with_gram:
         out_specs = (y_spec, pl.BlockSpec(
             (m, m), lambda i: (0, 0), memory_space=pltpu.VMEM))
-        out_shape = (y_shape, jax.ShapeDtypeStruct((m, m), jnp.float32))
+        out_shape = (y_shape, out_struct((m, m), jnp.float32, Xm))
     else:
         out_specs, out_shape = y_spec, y_shape
 

@@ -43,6 +43,8 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from blockcg_tpu.ops.vma import out_struct
+
 from blockcg_tpu.ops.stencil import order_by_plan as _order_by_plan, plan as _plan
 
 
@@ -296,11 +298,11 @@ def _cbs_impl(hops, offsets, mask_slot, masks, Xt, with_gram, interpret,
     ]
 
     y_spec = pl.BlockSpec((k, bs, R), lambda i: (0, 0, i), memory_space=pltpu.VMEM)
-    y_shape = jax.ShapeDtypeStruct((k, bs, ns), Xt.dtype)
+    y_shape = out_struct((k, bs, ns), Xt.dtype, Xt)
     if with_gram:
         out_specs = (y_spec, pl.BlockSpec(
             (k, k), lambda i: (0, 0), memory_space=pltpu.VMEM))
-        out_shape = (y_shape, jax.ShapeDtypeStruct((k, k), jnp.float32))
+        out_shape = (y_shape, out_struct((k, k), jnp.float32, Xt))
     else:
         out_specs, out_shape = y_spec, y_shape
 
@@ -586,11 +588,11 @@ def _cbs_m_impl(hops, offsets, mask_slot, masks, Xm, with_gram, interpret,
     scratch.append(pltpu.VMEM((G * m, R), Xm.dtype))
 
     y_spec = pl.BlockSpec((m, R), lambda i: (0, i), memory_space=pltpu.VMEM)
-    y_shape = jax.ShapeDtypeStruct((m, ns), Xm.dtype)
+    y_shape = out_struct((m, ns), Xm.dtype, Xm)
     if with_gram:
         out_specs = (y_spec, pl.BlockSpec(
             (m, m), lambda i: (0, 0), memory_space=pltpu.VMEM))
-        out_shape = (y_shape, jax.ShapeDtypeStruct((m, m), jnp.float32))
+        out_shape = (y_shape, out_struct((m, m), jnp.float32, Xm))
     else:
         out_specs, out_shape = y_spec, y_shape
 
@@ -720,7 +722,7 @@ def slab_block_accumulate(
         ],
         out_specs=pl.BlockSpec((k, bs, g), lambda j: (0, 0, dst(j)),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(Yv.shape, Yv.dtype),
+        out_shape=out_struct(Yv.shape, Yv.dtype, Yv),
         input_output_aliases={0: 0},
         interpret=interpret,
     )(Yv, Xv)
@@ -817,13 +819,13 @@ def slab_m_accumulate(
             pl.BlockSpec((m, m), lambda j: (0, 0), memory_space=pltpu.VMEM),
         )
         out_shape = (
-            jax.ShapeDtypeStruct(Ym.shape, Ym.dtype),
-            jax.ShapeDtypeStruct((m, m), jnp.float32),
+            out_struct(Ym.shape, Ym.dtype, Ym),
+            out_struct((m, m), jnp.float32, Ym),
         )
     else:
         out_specs = pl.BlockSpec((m, g), lambda j: (0, dst(j)),
                                  memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct(Ym.shape, Ym.dtype)
+        out_shape = out_struct(Ym.shape, Ym.dtype, Ym)
 
     return pl.pallas_call(
         functools.partial(_slab_m_kernel, with_gram),
@@ -926,13 +928,13 @@ def slab_m_accumulate_from(
             pl.BlockSpec((m, m), lambda j: (0, 0), memory_space=pltpu.VMEM),
         )
         out_shape = (
-            jax.ShapeDtypeStruct(Ym.shape, Ym.dtype),
-            jax.ShapeDtypeStruct((m, m), jnp.float32),
+            out_struct(Ym.shape, Ym.dtype, Ym),
+            out_struct((m, m), jnp.float32, Ym),
         )
     else:
         out_specs = pl.BlockSpec((m, g), lambda j: (0, dst_base + j),
                                  memory_space=pltpu.VMEM)
-        out_shape = jax.ShapeDtypeStruct(Ym.shape, Ym.dtype)
+        out_shape = out_struct(Ym.shape, Ym.dtype, Ym)
 
     return pl.pallas_call(
         kern,
@@ -979,7 +981,7 @@ def slab_block_accumulate_from(
         ],
         out_specs=pl.BlockSpec((k, bs, g), lambda j: (0, 0, dst_base + j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(Yv.shape, Yv.dtype),
+        out_shape=out_struct(Yv.shape, Yv.dtype, Yv),
         input_output_aliases={0: 0},
         interpret=interpret,
     )(Yv, Src)

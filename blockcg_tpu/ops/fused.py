@@ -37,6 +37,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from blockcg_tpu.ops.vma import out_struct
+
 HIGHEST = jax.lax.Precision.HIGHEST
 
 _VMEM_BUDGET = 10 * 1024 * 1024
@@ -168,7 +170,7 @@ def gram(U: jax.Array, V: jax.Array, *, interpret: bool = False) -> jax.Array:
         grid=(nb,),
         in_specs=[_spec(k, bs, R), _spec(k, bs, R)],
         out_specs=_kk_spec((k, k)),
-        out_shape=jax.ShapeDtypeStruct((k, k), jnp.float32),
+        out_shape=out_struct((k, k), jnp.float32, U),
         interpret=interpret,
     )(U, V)
 
@@ -218,7 +220,7 @@ def mm_update(
         grid=(nb,),
         in_specs=in_specs,
         out_specs=_spec(k, bs, R),
-        out_shape=jax.ShapeDtypeStruct(B.shape, B.dtype),
+        out_shape=out_struct(B.shape, B.dtype, B),
         interpret=interpret,
     )(*args)
 
@@ -284,8 +286,8 @@ def mm_update_gram(
         in_specs=in_specs,
         out_specs=(_spec(k, bs, R), _kk_spec((k, k))),
         out_shape=(
-            jax.ShapeDtypeStruct(B.shape, B.dtype),
-            jax.ShapeDtypeStruct((k, k), jnp.float32),
+            out_struct(B.shape, B.dtype, B),
+            out_struct((k, k), jnp.float32, B),
         ),
         interpret=interpret,
     )(*args)
@@ -342,8 +344,8 @@ def mm2_update_gram(
                   _spec(k, bs, R)],
         out_specs=(_spec(k, bs, R), _kk_spec((k, k))),
         out_shape=(
-            jax.ShapeDtypeStruct(B1.shape, B1.dtype),
-            jax.ShapeDtypeStruct((k, k), jnp.float32),
+            out_struct(B1.shape, B1.dtype, B1),
+            out_struct((k, k), jnp.float32, B1),
         ),
         interpret=interpret,
     )(M1, M2, B1, B2)
@@ -398,8 +400,8 @@ def px_update(
                   _spec(k, bs, R), _spec(k, bs, R), _spec(k, bs, R)],
         out_specs=(_spec(k, bs, R), _spec(k, bs, R)),
         out_shape=(
-            jax.ShapeDtypeStruct(P.shape, P.dtype),
-            jax.ShapeDtypeStruct(X.shape, X.dtype),
+            out_struct(P.shape, P.dtype, P),
+            out_struct(X.shape, X.dtype, X),
         ),
         interpret=interpret,
     )(M1, rho, C, W, P, X)
@@ -454,8 +456,8 @@ def cheb_step(
                   _spec(k, bs, R_tile), _spec(k, bs, R_tile)],
         out_specs=(_spec(k, bs, R_tile), _spec(k, bs, R_tile)),
         out_shape=(
-            jax.ShapeDtypeStruct(R.shape, jnp.float32),
-            jax.ShapeDtypeStruct(R.shape, jnp.float32),
+            out_struct(R.shape, jnp.float32, R),
+            out_struct(R.shape, jnp.float32, R),
         ),
         interpret=interpret,
     )(cvec, R, Z, D, AZ)
@@ -502,8 +504,8 @@ def qr_p_update(
                   _spec(k, bs, R)],
         out_specs=(_spec(k, bs, R), _spec(k, bs, R)),
         out_shape=(
-            jax.ShapeDtypeStruct(Q1.shape, Q1.dtype),
-            jax.ShapeDtypeStruct(P.shape, P.dtype),
+            out_struct(Q1.shape, Q1.dtype, Q1),
+            out_struct(P.shape, P.dtype, P),
         ),
         interpret=interpret,
     )(M2, Q1, rho, P)
@@ -560,9 +562,9 @@ def qr_px_update(
                   _spec(k, bs, R), _spec(k, bs, R), _spec(k, bs, R)],
         out_specs=(_spec(k, bs, R), _spec(k, bs, R), _spec(k, bs, R)),
         out_shape=(
-            jax.ShapeDtypeStruct(Q1.shape, Q1.dtype),
-            jax.ShapeDtypeStruct(P.shape, P.dtype),
-            jax.ShapeDtypeStruct(X.shape, X.dtype),
+            out_struct(Q1.shape, Q1.dtype, Q1),
+            out_struct(P.shape, P.dtype, P),
+            out_struct(X.shape, X.dtype, X),
         ),
         interpret=interpret,
     )(M2, rho, C, Q1, P, X)

@@ -31,6 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from blockcg_tpu.ops.vma import out_struct
+
 T = 128  # tile side (MXU-native)
 
 
@@ -89,7 +91,7 @@ def tiled_spmm_t(
     return pl.pallas_call(
         _kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((k, n), Xt.dtype),
+        out_shape=out_struct((k, n), Xt.dtype, Xt),
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=bytes_accessed, transcendentals=0
         ),

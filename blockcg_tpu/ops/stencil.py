@@ -235,12 +235,14 @@ def _spmm_impl(diags, offsets, Xt, with_gram, interpret):
     bytes_accessed = 4 * (k * n * p.x_reads + ndiag * n + k * n)
     scratch = [pltpu.VMEM((k, R + 2 * H), Xt.dtype)] if H > 0 else []
 
+    from blockcg_tpu.ops.vma import out_struct
+
     y_spec = pl.BlockSpec((k, R), lambda i: (0, i), memory_space=pltpu.VMEM)
-    y_shape = jax.ShapeDtypeStruct((k, n), Xt.dtype)
+    y_shape = out_struct((k, n), Xt.dtype, Xt)
     if with_gram:
         out_specs = (y_spec, pl.BlockSpec(
             (k, k), lambda i: (0, 0), memory_space=pltpu.VMEM))
-        out_shape = (y_shape, jax.ShapeDtypeStruct((k, k), jnp.float32))
+        out_shape = (y_shape, out_struct((k, k), jnp.float32, Xt))
     else:
         out_specs, out_shape = y_spec, y_shape
 

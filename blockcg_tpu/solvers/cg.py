@@ -37,7 +37,12 @@ def _cg_impl(op, b, x0, tol, max_iter, axis_name, record_history):
     """State is a lanes-major single-row field ``(1, ...)`` in the
     operator's internal view (block operators would otherwise pay a lane-
     relayout per apply through the (n,)-vector matvec path)."""
-    rdtype = jnp.real(b).dtype
+    from blockcg_tpu.solvers.common import acc_dtype
+
+    # Scalars (rho, alpha, beta, norms, history) live in the accumulation
+    # dtype — f32 for bf16 fields (bf16-tier rule): only the (1, n) fields
+    # themselves are stored in the field dtype.
+    rdtype = acc_dtype(jnp.real(b).dtype)
     bnorm2 = _vdot(b, b, axis_name)
     bnorm2 = jnp.where(bnorm2 > 0, bnorm2, jnp.asarray(1.0, rdtype))
     tol2 = jnp.asarray(tol, rdtype) ** 2 * bnorm2
@@ -52,18 +57,29 @@ def _cg_impl(op, b, x0, tol, max_iter, axis_name, record_history):
         _, _, _, rho, it, _ = state
         return jnp.logical_and(it < max_iter, rho > tol2)
 
+    # Field accumulation dtype: complex stays complex, bf16 widens to f32
+    # (rdtype above is the REAL scalar dtype — casting a complex field to
+    # it would drop the imaginary part).
+    fadt = acc_dtype(b.dtype)
+
+    def axpy(a, s, v):
+        # Field update: acc-dtype elementwise math, field-dtype storage
+        # (XLA fuses the widen/round into the add — no extra passes;
+        # no-op casts for f32/complex fields).
+        return (a.astype(fadt) + s * v.astype(fadt)).astype(a.dtype)
+
     def body(state):
         x, r, p, rho, it, hist = state
         # SpMM with the p^H A p reduction fused into the kernel when the
         # operator supports it (it is the (1,1) Gram of the 1-row field).
         z, M = f_matmat_gram(op, p, axis_name)
-        denom = jnp.real(M[0, 0])
+        denom = jnp.real(M[0, 0]).astype(rdtype)
         alpha = rho / denom
-        x = x + alpha * p
-        r = r - alpha * z
+        x = axpy(x, alpha, p)
+        r = axpy(r, -alpha, z)
         rho_new = _vdot(r, r, axis_name)
         beta = rho_new / rho
-        p = r + beta * p
+        p = axpy(r, beta, p)
         if hist is not None:
             hist = hist.at[it].set(jnp.sqrt(rho_new / bnorm2))
         return (x, r, p, rho_new, it + 1, hist)

@@ -87,8 +87,13 @@ def gram_t(Ut: jax.Array, Vt: jax.Array, axis_name: str | None = None,
 
 def vdot_real(u, v, axis_name: str | None = None):
     """Conjugating inner product, real part — exact for the CG-family
-    quantities r^H r and p^H A p, which are real for Hermitian A."""
-    return psum_if(jnp.real(jnp.vdot(u, v)), axis_name)
+    quantities r^H r and p^H A p, which are real for Hermitian A.
+    bf16 fields reduce in f32 (the bf16-tier accumulation rule; a bf16
+    jnp.vdot both loses the norm and leaks bf16 scalars into while_loop
+    carries — the bf16 CG preset crash, CHIP_QUEUE_r3.log)."""
+    adt = acc_dtype(u.dtype)
+    return psum_if(jnp.real(jnp.vdot(u.astype(adt), v.astype(adt))),
+                   axis_name)
 
 
 def row_norms2_t(Ut: jax.Array, axis_name: str | None = None,

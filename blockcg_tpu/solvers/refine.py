@@ -196,15 +196,23 @@ def solve_refined(
     static_argnames=("k", "bdtype", "compute_dtype"),
     donate_argnums=(1, 2),
 )
-def _lean_cycle(op, Xt, Dt, scale, key, k, bdtype, compute_dtype):
+def _lean_cycle(op_out, Xt, Dt, scale, key, k, bdtype, compute_dtype):
     """One outer cycle of the memory-lean refinement (full-size config 5 on
     one chip). Everything lanes-major (k, n); B is REGENERATED on device
     from ``key`` (deterministic — the problem's RHS is defined as these
     values) instead of living in HBM for the whole solve; Xt/Dt buffers are
     donated. Peak live set ~3 f32 fields + 2 bf16 (see bench_config5.py
-    memory budget table)."""
+    memory budget table).
+
+    ``op_out`` is the f32-WIDENED operator (bf16 entries lift exactly): the
+    outer true residual must be measured through a pure-f32 apply, same as
+    solve_refined's ``op_astype`` outer operator. Routing the f32 field
+    through the bf16 operator floored the on-device relres estimate at the
+    bf16 epsilon (~1.7e-3) on chip while the true residual was already at
+    2.6e-7 — 9 of 12 full-size config-5 cycles burned at the floor
+    (CHIP_QUEUE_r3.log, 2026-08-18)."""
     Xt = Xt + Dt.astype(Xt.dtype) * scale[:, None]
-    Zt = op.matmat_t(Xt)  # f32 fields through the (possibly bf16) operator
+    Zt = op_out.matmat_t(Xt)  # pure-f32 outer apply
     # Generate f32 and round: normal() DIRECTLY in bf16 is not bitwise
     # stable across the jit boundary (measured 6e-3 jit-vs-eager drift),
     # and B must be the same exact values every cycle and in every
@@ -213,7 +221,16 @@ def _lean_cycle(op, Xt, Dt, scale, key, k, bdtype, compute_dtype):
     # elementwise and fuse into the reductions/subtractions — no f32 B or
     # R field is ever materialized, keeping the cycle's peak live set to
     # X + Z + B_bf16 + Rn_bf16 (~13 GB at full-size config 5).
-    Bt = jax.random.normal(key, Zt.shape, jnp.float32).astype(bdtype)
+    #
+    # The optimization_barrier is LOAD-BEARING: the TPU compiler ELIDES an
+    # in-jit convert(convert(x, bf16), f32) round-trip (measured on-chip
+    # 2026-08-18: in-jit roundtrip == raw f32 bitwise, eager differs by
+    # bf16 ulp), so without it the cycle measures the residual against
+    # UNROUNDED B while eager verifiers round properly — the exact
+    # 1.668e-3 relres floor of the first full-size config-5 runs
+    # (CHIP_QUEUE_r3.log; ||round_bf16(B)-B||/||B|| = 1.6681e-3).
+    Bt = jax.lax.optimization_barrier(
+        jax.random.normal(key, Zt.shape, jnp.float32).astype(bdtype))
 
     def lift(a):
         return a.astype(Xt.dtype)
@@ -262,23 +279,46 @@ def solve_refined_lean(
     if k % kb:
         raise ValueError(f"inner_block {kb} must divide k={k}")
 
+    # Outer residual operator: exact f32 lift of the (possibly bf16) op —
+    # +1 f32 diags copy (~0.44 GB at full-size config 5, in budget).
+    op_out = op if jnp.dtype(compute_dtype) == jnp.float32 else (
+        op_astype(op, jnp.float32))
+
     Xt = jnp.zeros((k, n), jnp.float32)
     Dt = jnp.zeros((k, n), compute_dtype)
     scale = jnp.ones((k,), jnp.float32)
     matvecs = 0
     cycles = 0
     relres = None
+    prev_worst = float("inf")
+    stagnant = 0
     for cycles in range(0, max_cycles + 1):
         Xt, Rn, scale, relres = _lean_cycle(
-            op, Xt, Dt, scale, key, k, jnp.dtype(bdtype),
+            op_out, Xt, Dt, scale, key, k, jnp.dtype(bdtype),
             jnp.dtype(compute_dtype),
         )
         matvecs += 1
+        worst = float(jnp.max(relres))
         if verbose:
-            print(f"[lean] cycle {cycles}: max relres = "
-                  f"{float(jnp.max(relres)):.3e}", flush=True)
-        if bool(jnp.max(relres) <= tol) or cycles == max_cycles:
+            print(f"[lean] cycle {cycles}: max relres = {worst:.3e}",
+                  flush=True)
+        if worst <= tol or cycles == max_cycles:
             break
+        if worst >= 0.9 * prev_worst:
+            # One slow cycle is normal (the kb-sliced inners alternate
+            # slow/fast cycles — measured full-size run improves only
+            # 1.1-1.2x on odd cycles, then 30x); TWO consecutive mark a
+            # precision floor: stop burning inner solves (~100 SpMMs per
+            # full-size cycle).
+            stagnant += 1
+            if stagnant >= 2:
+                if verbose:
+                    print(f"[lean] stagnated at {worst:.3e} (floor); "
+                          f"stopping", flush=True)
+                break
+        else:
+            stagnant = 0
+        prev_worst = worst
         parts = []
         for j in range(0, k, kb):
             Dj, info_j = _sbcgrq_impl(

@@ -103,6 +103,26 @@ def test_sbcgrq_bf16_fields_converge():
     assert res.max() <= 5e-2  # true residual at bf16 resolution
 
 
+def test_cg_bf16_fields_converge():
+    """Plain CG with bf16 fields: scalars (rho/alpha/beta/monitor) ride f32
+    via acc_dtype while the (1, n) state stays bf16 — regression for the
+    while_loop carry dtype mismatch that crashed the bf16 CG preset
+    (CHIP_QUEUE_r3.log bench-presets-bf16, 2026-08-18)."""
+    from blockcg_tpu import solve_cg
+
+    shape = (16, 16)
+    op = laplacian_dia(shape, dtype=BF)
+    rng = np.random.default_rng(12)
+    b = jnp.asarray(rng.standard_normal(op.n), dtype=BF)
+    x, info = solve_cg(op, b, tol=2e-2, max_iter=300)
+    assert x.dtype == BF
+    assert bool(info.converged.all())
+    a = laplacian_scipy(shape)
+    bf = np.asarray(b, np.float64)
+    res = np.linalg.norm(a @ np.asarray(x, np.float64) - bf)
+    assert res / np.linalg.norm(bf) <= 5e-2
+
+
 def test_refined_bf16_inner_f32_outer():
     """The capacity composition for full-size config 5: bf16 inner SBCGrQ
     + f32 outer true-residual refinement reaches 1e-6 (beyond bf16's ~8e-3

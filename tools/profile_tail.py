@@ -10,7 +10,11 @@ cancels the ~30 ms tunnel dispatch overhead — see bench.py measure_apply):
 
 from __future__ import annotations
 
+import pathlib
+import sys
 import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import numpy as np
 import jax
