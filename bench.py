@@ -36,20 +36,21 @@ def _timed_loop(compiled, x, n_ignored):
     return time.time() - t0
 
 
-def measure_apply(op, Xt, lengths=(8, 136, 264), trials=3, rounds=3):
+def measure_apply(op, Xt, lengths=(8, 264, 520), trials=3, rounds=3):
     """Seconds per operator apply.
 
     Times jitted fori_loops of N chained applies for several N and fits the
-    marginal cost (least-squares slope of best-of-trials times vs N), which
-    cancels the per-execution fixed overhead of this sandbox's TPU tunnel
-    (~30 ms dispatch+fetch, with ±10 ms jitter — the loop lengths are chosen
-    so the marginal signal dwarfs that jitter). The fit runs ``rounds``
-    times and the MINIMUM positive slope wins: one slow outlier on the
-    longest loop inflates a single fit by jitter/max(lengths) per apply —
-    a +40 ms hiccup once measured the config-3 stencil at 0.24 ms/apply vs
-    its true 0.086 ms (bench-headline vs probe_r3_regression sweep,
-    CHIP_QUEUE_r3.log 2026-08-18). Falls back to the longest loop's
-    average if every round's slope is non-positive.
+    marginal cost (least-squares slope of times vs N), which cancels the
+    per-execution fixed overhead of this sandbox's TPU tunnel (~30 ms
+    dispatch+fetch, with ±10 ms one-sided jitter). Noise handling: take the
+    per-length MINIMUM across all rounds x trials, then fit ONE slope.
+    Tunnel noise is one-sided (hiccups only add time), so per-length minima
+    converge to the true times; by contrast min-of-per-round-slope-fits —
+    the first round-3 scheme — is biased LOW (a hiccup on a short loop
+    tilts that round's slope down, and the min keeps the luckiest tilt).
+    The long loops keep residual noise small: ±2 ms on a 520-apply loop is
+    ±4 us/apply. Falls back to the longest loop's average if the fitted
+    slope is non-positive.
     """
     def nudge(u):
         # Tiny in-place mutation (128 lanes) so chained applies can't be
@@ -69,32 +70,23 @@ def measure_apply(op, Xt, lengths=(8, 136, 264), trials=3, rounds=3):
             )
         compiled[n] = jax.jit(loop).lower(op, Xt).compile()
 
-    def run_once(round_id):
-        best = {}
+    from blockcg_tpu.utils.platform import lsq_slope
+
+    best = {n: float("inf") for n in lengths}
+    for r in range(rounds):
         for n in lengths:
-            b = float("inf")
             for t in range(trials):
-                xs = Xt * (1.0 + 1e-6 * (round_id * trials + t + 1))
+                xs = Xt * (1.0 + 1e-6 * (r * trials + t + 1))
                 _ = float(jnp.sum(xs))  # materialize input
                 t0 = time.time()
                 y = compiled[n](op, xs)
                 _ = float(jnp.sum(y))
-                b = min(b, time.time() - t0)
-            best[n] = b
-        from blockcg_tpu.utils.platform import lsq_slope
-
-        return lsq_slope(best), best
-
-    slopes = []
-    best = {}
-    for r in range(rounds):
-        s, best = run_once(r)
-        if s > 0:
-            slopes.append(s)
-    if not slopes:  # tunnel noise won every round; conservative upper bound
+                best[n] = min(best[n], time.time() - t0)
+    s = lsq_slope(best)
+    if s <= 0:  # tunnel noise won every sample; conservative upper bound
         nmax = max(lengths)
         return best[nmax] / nmax
-    return min(slopes)
+    return s
 
 
 def calibrate_bw(n_lanes: int = 4 * 1024 * 1024, k: int = 32,
@@ -134,14 +126,17 @@ def calibrate_bw(n_lanes: int = 4 * 1024 * 1024, k: int = 32,
         return nbytes_per_iter / slope
 
     # Fused Gram: reads U and V once per call (k x k output negligible).
-    # The loop-carried dependence rides an optimization_barrier TUPLE so no
-    # extra field pass is added (a `v + eps*carry` dependence costs an
-    # uncounted read+write pair per iteration and halves the reported BW).
+    # The loop-carried dependence goes through the kernel's additive seed
+    # input — REAL data flow, zero extra field traffic. Neither a tuple
+    # optimization_barrier (elements are independent: the invariant Gram
+    # hoists out of the loop and the "bandwidth" reads 2.9 TB/s —
+    # CHIP_QUEUE_r3b.log) nor a `v + eps*carry` dependence (adds an
+    # uncounted read+write pair per iteration and halves the reported BW)
+    # measures the kernel honestly.
     def gram_loop(n):
         def loop(u, v):
             def body(i, carry):
-                uu = jax.lax.optimization_barrier((u, carry))[0]
-                return fused.gram(uu, v)
+                return fused.gram(u, v, 1e-30 * carry)
             return jax.lax.fori_loop(0, n, body,
                                      jnp.zeros((k, k), jnp.float32))
         return loop

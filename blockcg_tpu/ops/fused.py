@@ -42,6 +42,13 @@ from blockcg_tpu.ops.vma import out_struct
 HIGHEST = jax.lax.Precision.HIGHEST
 
 _VMEM_BUDGET = 10 * 1024 * 1024
+# Mosaic's default scoped-vmem limit is 16 MiB; the multi-output kernels
+# (px_update at k=64 f32) measured 16.09 MiB of stack at the modeled-legal
+# tile (CHIP_QUEUE_r3.log sbcgrq_3d_256 compile OOM) because in-kernel dot
+# temporaries sit outside the _pick_tile double-buffer model. Raise the
+# per-kernel limit instead of shrinking tiles: v5e has 128 MiB VMEM and
+# the large lane tiles are what buys the measured HBM bandwidth.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024)
 _R_MAX = 16384
 
 
@@ -143,14 +150,29 @@ def _ok(*fields) -> bool:
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def gram(U: jax.Array, V: jax.Array, *, interpret: bool = False) -> jax.Array:
-    """G = U V^T over the field dims: (k, ...) x (k, ...) -> (k, k)."""
+def gram(U: jax.Array, V: jax.Array, seed: jax.Array | None = None, *,
+         interpret: bool = False) -> jax.Array:
+    """G = U V^T over the field dims: (k, ...) x (k, ...) -> (k, k).
+
+    ``seed`` (optional, (k, k) f32) is added into the accumulator — a
+    negligible-traffic additive input whose main client is the bandwidth
+    calibrator (bench.py): chaining the loop carry through it creates a
+    REAL data dependence inside the kernel, which is the only reliable way
+    to stop XLA hoisting the whole loop-invariant Gram out of a timing
+    fori_loop (a tuple optimization_barrier does NOT tie its elements
+    together — the round-3 calibrator measured an impossible 2.9 TB/s that
+    way, CHIP_QUEUE_r3b.log bench-headline 2026-08-18)."""
     interpret = interpret or _env_interpret()
     k, bs, lanes = _field_dims(U)
     R = _require_tile(_pick_tile(k, bs, lanes, 2), k, bs, lanes)
     nb = lanes // R
+    seeded = seed is not None
 
-    def kernel(u_ref, v_ref, o_ref):
+    def kernel(*refs):
+        if seeded:
+            s_ref, u_ref, v_ref, o_ref = refs
+        else:
+            u_ref, v_ref, o_ref = refs
         i = pl.program_id(0)
         g = None
         for u, v in zip(_planes(u_ref, bs), _planes(v_ref, bs)):
@@ -159,20 +181,26 @@ def gram(U: jax.Array, V: jax.Array, *, interpret: bool = False) -> jax.Array:
 
         @pl.when(i == 0)
         def _():
-            o_ref[:, :] = g
+            o_ref[:, :] = g + s_ref[:, :] if seeded else g
 
         @pl.when(i > 0)
         def _():
             o_ref[:, :] += g
 
+    in_specs = [_spec(k, bs, R), _spec(k, bs, R)]
+    args = (U, V)
+    if seeded:
+        in_specs = [_kk_spec((k, k))] + in_specs
+        args = (seed, U, V)
     return pl.pallas_call(
         kernel,
         grid=(nb,),
-        in_specs=[_spec(k, bs, R), _spec(k, bs, R)],
+        in_specs=in_specs,
         out_specs=_kk_spec((k, k)),
         out_shape=out_struct((k, k), jnp.float32, U),
         interpret=interpret,
-    )(U, V)
+        compiler_params=_COMPILER_PARAMS,
+    )(*args)
 
 
 def gram_available(U) -> bool:
@@ -222,6 +250,7 @@ def mm_update(
         out_specs=_spec(k, bs, R),
         out_shape=out_struct(B.shape, B.dtype, B),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(*args)
 
 
@@ -290,6 +319,7 @@ def mm_update_gram(
             out_struct((k, k), jnp.float32, B),
         ),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(*args)
 
 
@@ -348,6 +378,7 @@ def mm2_update_gram(
             out_struct((k, k), jnp.float32, B1),
         ),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(M1, M2, B1, B2)
 
 
@@ -404,6 +435,7 @@ def px_update(
             out_struct(X.shape, X.dtype, X),
         ),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(M1, rho, C, W, P, X)
 
 
@@ -460,6 +492,7 @@ def cheb_step(
             out_struct(R.shape, jnp.float32, R),
         ),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(cvec, R, Z, D, AZ)
 
 
@@ -508,6 +541,7 @@ def qr_p_update(
             out_struct(P.shape, P.dtype, P),
         ),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(M2, Q1, rho, P)
 
 
@@ -567,6 +601,7 @@ def qr_px_update(
             out_struct(X.shape, X.dtype, X),
         ),
         interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
     )(M2, rho, C, Q1, P, X)
 
 

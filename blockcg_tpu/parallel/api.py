@@ -172,6 +172,7 @@ def solve_sbcgrq_deflated_dist(
     replace_every: int = 0,
     min_width: int = 8,
     width_quantum: int = 8,
+    restart_overhead_iters: float = 12.0,
 ) -> tuple[jax.Array, SolverInfo]:
     """Row-sharded SBCGrQ with converged-column deflation (T-C4): the
     width-halving restart loop of solvers/deflate.py with each stage a
@@ -179,14 +180,14 @@ def solve_sbcgrq_deflated_dist(
     API-boundary arrays; each width compiles once per (dop, mesh)."""
     from blockcg_tpu.solvers.deflate import _deflated_driver
 
-    def stage(Bs, X0s, budget, floor):
+    def stage(Bs, X0s, budget, floor, tol_s):
         # max_iter stays FIXED (it is a static jit-cache key); the
         # shrinking per-stage budget rides the traced iter_cap, so each
         # width compiles once and later stages and re-solves hit the cache.
         X, info = solve_sbcgrq_dist(
-            dop, Bs, mesh, X0s, tol=tol, max_iter=max_iter, iter_cap=budget,
-            qr_passes=qr_passes, replace_every=replace_every,
-            active_floor=floor,
+            dop, Bs, mesh, X0s, tol=tol_s, max_iter=max_iter,
+            iter_cap=budget, qr_passes=qr_passes,
+            replace_every=replace_every, active_floor=floor,
         )
         # Replicate on-device at the stage boundary: the driver's column
         # scatter mixes this with its replicated accumulator
@@ -198,7 +199,8 @@ def solve_sbcgrq_deflated_dist(
 
     return _deflated_driver(stage, jnp.asarray(B), X0, tol=tol,
                             max_iter=max_iter, min_width=min_width,
-                            width_quantum=width_quantum)
+                            width_quantum=width_quantum,
+                            restart_overhead_iters=restart_overhead_iters)
 
 
 def _tol_key(tol):

@@ -45,6 +45,7 @@ def solve_sbcgrq_deflated(
     replace_every: int = 0,
     min_width: int = 8,
     width_quantum: int = 8,
+    restart_overhead_iters: float = 12.0,
 ) -> tuple[jax.Array, SolverInfo]:
     """SBCGrQ with converged-column deflation (width-halving restarts).
 
@@ -52,42 +53,82 @@ def solve_sbcgrq_deflated(
     ``per_rhs_iters`` (iterations each column spent active, summed over
     stages) and ``matvec_cols`` (total SpMM column-passes = sum of
     stage_width x stage_matvecs — the bandwidth-weighted work metric that
-    deflation actually reduces).
+    deflation actually reduces). ``tol`` may be a per-RHS (k,) vector;
+    ``restart_overhead_iters`` gates unprofitable tail restarts (see
+    ``_deflated_driver``).
     """
 
-    def stage(Bs, X0s, budget, floor):
+    def stage(Bs, X0s, budget, floor, tol_s):
         # max_iter fixed (static jit key); the shrinking budget rides the
         # traced iter_cap so every stage at a given width shares one
         # compilation (see _sbcgrq_impl).
         return solve_sbcgrq(
-            op, Bs, X0s, tol=tol, max_iter=max_iter, iter_cap=budget,
+            op, Bs, X0s, tol=tol_s, max_iter=max_iter, iter_cap=budget,
             qr_passes=qr_passes, replace_every=replace_every,
             active_floor=floor,
         )
 
     return _deflated_driver(stage, B, X0, tol=tol, max_iter=max_iter,
-                            min_width=min_width, width_quantum=width_quantum)
+                            min_width=min_width, width_quantum=width_quantum,
+                            restart_overhead_iters=restart_overhead_iters)
+
+
+@jax.jit
+def _gather_cols(B, X, idx, mask):
+    """One-dispatch stage repack: ``idx`` is padded to the stage width with
+    an out-of-range index (clamped by the gather) and ``mask`` zeroes the
+    pad columns. Replaces the zeros/.at[].set/gather chain — each extra
+    dispatch costs ~30 ms through a remote-attached chip (CLAUDE.md)."""
+    Bs = jnp.take(B, idx, axis=1, mode="clip") * mask
+    X0s = jnp.take(X, idx, axis=1, mode="clip") * mask
+    return Bs, X0s
+
+
+@jax.jit
+def _scatter_cols(X, D, idx):
+    """One-dispatch stage scatter-back; pad entries of ``idx`` are out of
+    range and mode="drop" discards them."""
+    return X.at[:, idx].set(D, mode="drop")
 
 
 def _deflated_driver(
-    stage, B, X0, *, tol, max_iter, min_width, width_quantum
+    stage, B, X0, *, tol, max_iter, min_width, width_quantum,
+    restart_overhead_iters: float = 12.0,
 ) -> tuple[jax.Array, SolverInfo]:
     """Width-halving restart loop around a stage solver.
 
-    ``stage(Bs, X0s, budget, floor) -> (X, info)`` runs the inner SBCGrQ
-    with the ``active_floor`` stop rule; the single-device and the
+    ``stage(Bs, X0s, budget, floor, tol_s) -> (X, info)`` runs the inner
+    SBCGrQ with the ``active_floor`` stop rule; the single-device and the
     row-sharded entry points (parallel/api.py solve_sbcgrq_deflated_dist)
     share this host loop — column subsetting happens on the (n, k)
     API-boundary arrays either way.
+
+    ``tol`` may be a scalar or a per-RHS (k,) vector (per-column targets
+    are the textbook spread-convergence case deflation exists for).
+
+    ``restart_overhead_iters`` is the halving gate: a restart costs one
+    extra SpMM (the fresh thin-QR) plus ~10 host dispatches, which on a
+    remote-attached chip is worth O(10) full iterations of the narrowed
+    block (measured: CHIP_QUEUE_r3.log deflation-ab lost 5x wall time on a
+    110-iteration solve whose floor-exit landed ~10 iterations before
+    convergence). Before halving, the driver projects the remaining
+    iterations of the still-active columns from their log-residual decay
+    rate over the stage just run; it halves only when the projected saving
+    ``remaining x (w - w_next)`` exceeds ``restart_overhead_iters x
+    w_next`` column-iterations — otherwise it finishes at the current
+    width. Set it to 0 to halve unconditionally (round-2 behavior).
     """
     n, k = B.shape
+    tol_arr = np.broadcast_to(np.asarray(tol, np.float64), (k,))
+    tol_stage = tol if np.ndim(tol) == 0 else np.asarray(tol, np.float64)
     if k < 2 * min_width:
-        X, info = stage(B, X0, max_iter, 0)
+        X, info = stage(B, X0, max_iter, 0, tol_stage)
         info.matvec_cols = info.matvecs * k
         return X, info
 
     X = jnp.zeros_like(B) if X0 is None else X0
     active = np.arange(k)
+    rr_prev = np.ones(k)  # per-column relres at the last stage boundary
     per_rhs = np.zeros(k, np.int64)
     relres_out = np.full(k, np.nan)
     conv_out = np.zeros(k, bool)
@@ -95,18 +136,26 @@ def _deflated_driver(
     mv_total = 0
     mv_cols = 0
     any_breakdown = False
+    allow_floor = True
 
     while True:
         na = len(active)
         w = _ceil_to(na, width_quantum)
-        halving = w > min_width and iters_total < max_iter
+        halving = allow_floor and w > min_width and iters_total < max_iter
         floor = w // 2 if halving else 0
-        idx = jnp.asarray(active)
-        Bs = jnp.zeros((n, w), B.dtype).at[:, :na].set(B[:, idx])
-        X0s = jnp.zeros((n, w), B.dtype).at[:, :na].set(X[:, idx])
+        idx = jnp.asarray(np.pad(active, (0, w - na),
+                                 constant_values=k), jnp.int32)
+        mask = jnp.asarray(
+            (np.arange(w) < na).astype(np.float32), jnp.real(B).dtype)
+        Bs, X0s = _gather_cols(B, X, idx, mask)
+        if np.ndim(tol) == 0:
+            tol_s = tol
+        else:
+            tol_s = np.pad(np.asarray(tol, np.float64)[active],
+                           (0, w - na), constant_values=1.0)
         budget = max(max_iter - iters_total, 1)
-        D, info = stage(Bs, X0s, budget, floor)
-        X = X.at[:, idx].set(D[:, :na])
+        D, info = stage(Bs, X0s, budget, floor, tol_s)
+        X = _scatter_cols(X, D, idx)
         if info.breakdown is not None:
             any_breakdown = any_breakdown or bool(info.breakdown)
         stage_iters = int(info.iterations)
@@ -118,12 +167,28 @@ def _deflated_driver(
         rr = np.asarray(info.relres)[:na]
         per_rhs[active] += pr
         relres_out[active] = rr
-        conv_out[active] = rr <= tol
-        still = active[rr > tol]
+        tol_a = tol_arr[active]
+        conv_out[active] = rr <= tol_a
+        still_mask = rr > tol_a
+        still = active[still_mask]
         if len(still) == 0 or not halving or iters_total >= max_iter:
             break
         if len(still) == na and stage_iters >= budget:
             break  # no progress left in the budget
+        # Halving gate: projected remaining iterations of the survivors
+        # from their log-decay rate over this stage.
+        if restart_overhead_iters > 0:
+            lr_prev = np.log(np.maximum(rr_prev[active], 1e-300))
+            lr_now = np.log(np.maximum(rr, 1e-300))
+            rate = (lr_prev - lr_now) / max(stage_iters, 1)
+            need = lr_now - np.log(np.maximum(tol_a, 1e-300))
+            rem = np.where(rate > 1e-12, need / np.maximum(rate, 1e-12),
+                           np.inf)
+            remaining = float(np.max(rem[still_mask]))
+            w_next = _ceil_to(len(still), width_quantum)
+            if remaining * (w - w_next) < restart_overhead_iters * w_next:
+                allow_floor = False  # finish at the next (already-shrunk) width
+        rr_prev[active] = rr
         active = still
 
     info = SolverInfo(

@@ -34,6 +34,21 @@ def test_gram(shape):
 
 
 @pytest.mark.parametrize("shape", [(8, 1024), (6, 4, 512)])
+def test_gram_seeded(shape):
+    """Additive (k, k) seed input — the bandwidth calibrator's loop-carry
+    hook (bench.py calibrate_bw: a real in-kernel data dependence is the
+    only reliable anti-hoisting device for timing loops)."""
+    U, V = _field(shape, 0), _field(shape, 1)
+    k = shape[0]
+    S = _kk(k, 7)
+    G = fused.gram(U, V, S, interpret=True)
+    want = np.asarray(S, np.float64) + np.asarray(
+        U, np.float64).reshape(k, -1) @ np.asarray(
+        V, np.float64).reshape(k, -1).T
+    np.testing.assert_allclose(np.asarray(G), want, rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("shape", [(8, 1024), (6, 4, 512)])
 @pytest.mark.parametrize("with_a", [False, True])
 def test_mm_update(shape, with_a):
     k = shape[0]

@@ -44,23 +44,32 @@ def main() -> None:
     op = laplacian_dia((args.dim,) * 3, dtype=jnp.float32)
     rng = np.random.default_rng(5)
     B = rng.standard_normal((op.n, args.k)).astype(np.float32)
-    # Spread the per-column convergence: smooth half the columns
-    # SPECTRALLY (Richardson steps (I - A/lmax)^p on independent random
-    # vectors -> spectrally concentrated, fast-converging, but still
-    # mutually independent / full rank — NOT near-duplicate sine modes,
-    # which are numerically rank-deficient and a breakdown case,
-    # tests/test_solvers.py::test_sbcgrq_breakdown_flag).
-    import scipy.sparse as sp
+    # Spread the per-column convergence the way the deflation fixture does
+    # (tests/test_deflate.py::_spread_rhs): half the columns are single
+    # analytic 3D Laplacian eigenmodes — a Krylov method retires each in a
+    # couple of iterations, and mid-spectrum modes span almost no useful
+    # directions for the dense random (hard) half, so deflating them loses
+    # little shared-Krylov benefit. (The round-3 first cut smoothed random
+    # vectors with Richardson steps instead; that concentrates columns on
+    # the dense low-lambda CLUSTER, which is slow for CG — the measured
+    # col_cut was only 4%, CHIP_QUEUE_r3.log deflation-ab.)
+    d = args.dim
+    ii = np.arange(d).reshape(-1, 1, 1) + 1.0
+    jj = np.arange(d).reshape(1, -1, 1) + 1.0
+    ll = np.arange(d).reshape(1, 1, -1) + 1.0
 
-    from blockcg_tpu.problems import laplacian_scipy
+    def eig(p, q, r):
+        v = (np.sin(np.pi * p * ii / (d + 1))
+             * np.sin(np.pi * q * jj / (d + 1))
+             * np.sin(np.pi * r * ll / (d + 1)))
+        return (v / np.linalg.norm(v)).reshape(-1)
 
-    a = laplacian_scipy((args.dim,) * 3)
-    sm = B[:, : args.k // 2].astype(np.float64)
-    for _ in range(12):
-        sm = sm - (a @ sm) / 12.0
-    sm /= np.linalg.norm(sm, axis=0, keepdims=True)
-    B[:, : args.k // 2] = sm * np.linalg.norm(B[:, args.k // 2 :],
-                                              axis=0).mean()
+    modes = [(p, q, r) for p in range(2, 5) for q in range(2, 4)
+             for r in range(2, 5)]
+    for j in range(args.k // 2):
+        B[:, j] = eig(*modes[j % len(modes)])
+    B[:, args.k // 2:] /= np.linalg.norm(B[:, args.k // 2:], axis=0,
+                                         keepdims=True)
     B = jnp.asarray(B, jnp.float32)
 
     def timed(label, fn, **kw):
