@@ -251,6 +251,12 @@ def main():
         "roofline_gnnzs": round(roofline_nnzs / 1e9, 3),
         "frac_of_roofline": round(nnzs / roofline_nnzs, 3),
         "frac_of_measured_bw": round(implied_bw / calib_bw, 3),
+        # frac > 1 is real, not an error: the 32 MB chained-loop carry
+        # stays VMEM-resident at 64^3 (128 MB VMEM), so X never re-streams
+        # from HBM — the roofline is an HBM-streaming model. See the size
+        # sweep in BASELINE.md round-3 measurements (>=1M-row problems
+        # stream at ~6.2 Gnnz/s = 63% of calibration).
+        "working_set_vmem_resident": bool(bytes_apply - 4 * op.nnz < 128e6),
         "spmm_ms": round(dt * 1e3, 4),
         "sbcgrq_time_to_tol_s": round(solve_s, 3),
         "sbcgrq_iters": iters,

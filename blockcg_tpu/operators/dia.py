@@ -79,16 +79,34 @@ class DIAOperator(MatmatMixin):
         re-reading it per diagonal). The XLA fallback below covers CPU, odd
         shapes, and BLOCKCG_NO_PALLAS=1.
         """
-        from blockcg_tpu.ops import stencil
+        from blockcg_tpu.ops import stencil, stencil_ring
 
         if self._pallas_ok(Xt):  # f32-only kernel; f64 takes the XLA path
+            if self._use_ring(Xt):
+                return stencil_ring.ring_spmm_t(self.diags, self.offsets, Xt)
             return stencil.stencil_spmm_t(self.diags, self.offsets, Xt)
         return self._matmat_t_xla(Xt)
+
+    def _use_ring(self, Xt) -> bool:
+        """Large-n dispatch: the rolling-ring kernel (each X block fetched
+        once) beats the windowed kernel whenever far offsets force window
+        re-reads (x_reads ≈ 3 for 3D at ≥1M rows: 6.2 vs 9.0 Gnnz/s
+        measured, CHIP_QUEUE_r3b.log probe-ring). At small n the windowed
+        kernel wins instead — the chained solve's working set stays
+        VMEM-resident (BASELINE.md round-3), so leave x_reads ≤ 2 alone."""
+        from blockcg_tpu.ops import stencil, stencil_ring
+
+        k = Xt.shape[0]
+        p = stencil.plan(self.n, k, self.offsets)
+        if p is not None and p.x_reads <= 2.0:
+            return False
+        return stencil_ring.available(self.n, k, self.offsets,
+                                      Xt.dtype.itemsize)
 
     def _pallas_ok(self, Xt) -> bool:
         import os
 
-        from blockcg_tpu.ops import stencil
+        from blockcg_tpu.ops import stencil, stencil_ring
 
         ok_dt = (jnp.float32, jnp.bfloat16)
         return (
@@ -96,16 +114,21 @@ class DIAOperator(MatmatMixin):
             and self.dtype in ok_dt
             and Xt.dtype in ok_dt
             and not os.environ.get("BLOCKCG_NO_PALLAS")
-            and stencil.available(self.n, Xt.shape[0], self.offsets)
+            and (stencil.available(self.n, Xt.shape[0], self.offsets)
+                 or stencil_ring.available(self.n, Xt.shape[0], self.offsets,
+                                           Xt.dtype.itemsize))
         )
 
     def matmat_gram_t(self, Xt: jax.Array):
         """Fused (Y = A X, G = X^H Y): the stencil kernel emits the k x k
         Gram from tiles already in VMEM (solvers' P^H A P — saves the
         2-pass separate Gram). Falls back to (matmat_t, None)."""
-        from blockcg_tpu.ops import stencil
+        from blockcg_tpu.ops import stencil, stencil_ring
 
         if self._pallas_ok(Xt):
+            if self._use_ring(Xt):
+                return stencil_ring.ring_spmm_gram_t(
+                    self.diags, self.offsets, Xt)
             return stencil.stencil_spmm_gram_t(self.diags, self.offsets, Xt)
         return self.matmat_t(Xt), None
 

@@ -262,12 +262,16 @@ def mm_update_available(B, has_a: bool) -> bool:
 # -------------------------------------------------------- mm_update_gram --
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "donate"))
 def mm_update_gram(
     M: jax.Array, B: jax.Array, A: jax.Array | None = None, *,
-    interpret: bool = False,
+    interpret: bool = False, donate: bool = False,
 ):
-    """Y = M @ B (+ A);  G = Y Y^T — one pass over the fields."""
+    """Y = M @ B (+ A);  G = Y Y^T — one pass over the fields.
+
+    ``donate=True`` aliases Y<->B (the CholeskyQR second pass overwrites
+    its input basis): in-place HBM writes stream ~2x faster than
+    fresh-buffer writes (see px_update docstring)."""
     interpret = interpret or _env_interpret()
     k, bs, lanes = _field_dims(B)
     nf = 2 if A is None else 3
@@ -318,6 +322,7 @@ def mm_update_gram(
             out_struct(B.shape, B.dtype, B),
             out_struct((k, k), jnp.float32, B),
         ),
+        input_output_aliases={1: 0} if donate else {},
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
     )(*args)
@@ -326,10 +331,10 @@ def mm_update_gram(
 # -------------------------------------------------------- mm2_update_gram --
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "donate"))
 def mm2_update_gram(
     M1: jax.Array, B1: jax.Array, M2: jax.Array, B2: jax.Array, *,
-    interpret: bool = False,
+    interpret: bool = False, donate: bool = False,
 ):
     """Y = M1 @ B1 + M2 @ B2 ;  G = Y Y^T — one pass over the fields.
 
@@ -377,6 +382,10 @@ def mm2_update_gram(
             out_struct(B1.shape, B1.dtype, B1),
             out_struct((k, k), jnp.float32, B1),
         ),
+        # donate: Y overwrites B1 in place (in the SBCGrQ body W is dead
+        # after V = Mqr W - alpha Z). In-place HBM writes stream ~2x faster
+        # than fresh-buffer writes (see px_update docstring).
+        input_output_aliases={2: 0} if donate else {},
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
     )(M1, M2, B1, B2)
@@ -390,39 +399,58 @@ def mm2_update_gram_available(B1) -> bool:
 # -------------------------------------------------------------- px_update --
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "donate"))
 def px_update(
     M1: jax.Array, W: jax.Array, rho: jax.Array, P: jax.Array,
     C: jax.Array, X: jax.Array, *, interpret: bool = False,
+    donate: bool = False,
 ):
     """Pn = M1 @ W + rho @ P ;  Xn = X + C @ P — one pass, no Q write.
 
     The implicit-Q SBCGrQ iteration tail (see mm2_update_gram): the final
     CholQR transform folds into the search-direction update, so Q is never
-    stored — 5 field passes (read W, P, X; write Pn, Xn)."""
+    stored — 5 field passes (read W, P, X; write Pn, Xn).
+
+    ``donate=True`` aliases Pn<->P and Xn<->X (both dead in the SBCGrQ body
+    after this call): measured on-chip, a Pallas kernel writing a FRESH HBM
+    buffer streams at ~330 GB/s aggregate while the same kernel writing the
+    buffer it just read streams at ~660 (in-place keeps HBM pages hot;
+    CHIP_QUEUE_r3b.log pallas_copy_ALIASED). XLA inserts a copy if the
+    caller still uses the donated operand — correct either way."""
     interpret = interpret or _env_interpret()
     k, bs, lanes = _field_dims(W)
     R = _require_tile(_pick_tile(k, bs, lanes, 5), k, bs, lanes)
     nb = lanes // R
 
     def kernel(m1_ref, rho_ref, c_ref, w_ref, p_ref, x_ref, pn_ref, xn_ref):
-        m1 = m1_ref[:, :]
-        rh = rho_ref[:, :]
+        # Pn's two k x k dots are STACKED into one (k, 2k) @ (2k, R) dot:
+        # the MXU contraction dim doubles (k=32 -> 64 of 128 systolic rows),
+        # which matters because this kernel is MXU-bound, not HBM-bound —
+        # measured 389 GB/s over its 5 passes vs the 558 GB/s explicit
+        # chain (profile_tail, CHIP_QUEUE_r3.log). The (2k, R) stack is a
+        # VMEM-to-VMEM copy, ~20x cheaper than the MXU time it saves.
+        m1rh = jnp.concatenate([_f32(m1_ref[:, :]), _f32(rho_ref[:, :])],
+                               axis=1)
         cc = c_ref[:, :]
+
+        def one(w, p, x):
+            wp = jnp.concatenate([_f32(w), _f32(p)], axis=0)
+            pn = jax.lax.dot_general(
+                m1rh, wp, (((1,), (0,)), ((), ())), precision=HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            xn = _f32(x) + _dot_kk(cc, p)
+            return pn, xn
+
         if bs == 0:
-            p = p_ref[:]
-            pn_ref[:] = (_dot_kk(m1, w_ref[:]) + _dot_kk(rh, p)).astype(
-                pn_ref.dtype)
-            xn_ref[:] = (_f32(x_ref[:]) + _dot_kk(cc, p)).astype(xn_ref.dtype)
+            pn, xn = one(w_ref[:], p_ref[:], x_ref[:])
+            pn_ref[:] = pn.astype(pn_ref.dtype)
+            xn_ref[:] = xn.astype(xn_ref.dtype)
         else:
             for b in range(bs):
-                p = p_ref[:, b, :]
-                pn_ref[:, b, :] = (
-                    _dot_kk(m1, w_ref[:, b, :]) + _dot_kk(rh, p)
-                ).astype(pn_ref.dtype)
-                xn_ref[:, b, :] = (
-                    _f32(x_ref[:, b, :]) + _dot_kk(cc, p)
-                ).astype(xn_ref.dtype)
+                pn, xn = one(w_ref[:, b, :], p_ref[:, b, :], x_ref[:, b, :])
+                pn_ref[:, b, :] = pn.astype(pn_ref.dtype)
+                xn_ref[:, b, :] = xn.astype(xn_ref.dtype)
 
     return pl.pallas_call(
         kernel,
@@ -434,6 +462,7 @@ def px_update(
             out_struct(P.shape, P.dtype, P),
             out_struct(X.shape, X.dtype, X),
         ),
+        input_output_aliases={4: 0, 5: 1} if donate else {},
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
     )(M1, rho, C, W, P, X)

@@ -172,7 +172,7 @@ def solve_sbcgrq_deflated_dist(
     replace_every: int = 0,
     min_width: int = 8,
     width_quantum: int = 8,
-    restart_overhead_iters: float = 12.0,
+    restart_overhead_s: float | None = None,
 ) -> tuple[jax.Array, SolverInfo]:
     """Row-sharded SBCGrQ with converged-column deflation (T-C4): the
     width-halving restart loop of solvers/deflate.py with each stage a
@@ -200,7 +200,7 @@ def solve_sbcgrq_deflated_dist(
     return _deflated_driver(stage, jnp.asarray(B), X0, tol=tol,
                             max_iter=max_iter, min_width=min_width,
                             width_quantum=width_quantum,
-                            restart_overhead_iters=restart_overhead_iters)
+                            restart_overhead_s=restart_overhead_s)
 
 
 def _tol_key(tol):

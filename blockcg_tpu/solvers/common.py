@@ -207,13 +207,15 @@ def f_mm_update(M, Bt, At=None, codec=None):
 
 
 def f_mm_update_gram(M, Bt, At=None, axis_name: str | None = None,
-                     codec=None):
-    """(Y = M @ B (+ A), G = Y Y^T) in one pass (codec-aware)."""
+                     codec=None, donate: bool = False):
+    """(Y = M @ B (+ A), G = Y Y^T) in one pass (codec-aware).
+    ``donate`` aliases Y onto B when B is dead at the call site (in-place
+    HBM writes stream ~2x faster — ops/fused.py px_update docstring)."""
     from blockcg_tpu.ops import fused
 
     M = _ce(codec, M)
     if fused.mm_update_available(Bt, At is not None):
-        Y, G = fused.mm_update_gram(M, Bt, At)
+        Y, G = fused.mm_update_gram(M, Bt, At, donate=donate)
         return Y, psum_if(_gc(codec, G), axis_name)
     Y = mm(M, Bt)
     if At is not None:
@@ -223,29 +225,31 @@ def f_mm_update_gram(M, Bt, At=None, axis_name: str | None = None,
 
 
 def f_mm2_update_gram(M1, B1t, M2, B2t, axis_name: str | None = None,
-                      codec=None):
+                      codec=None, donate: bool = False):
     """(Y = M1 @ B1 + M2 @ B2, G = Y Y^T) in one pass (codec-aware).
 
     The implicit-Q residual-direction update: V = Q - Z alpha with
-    Q = M_qr @ W never materialized (ops/fused.py mm2_update_gram)."""
+    Q = M_qr @ W never materialized (ops/fused.py mm2_update_gram).
+    ``donate`` aliases Y onto B1 when B1 is dead at the call site."""
     from blockcg_tpu.ops import fused
 
     M1, M2 = _ce(codec, M1), _ce(codec, M2)
     if fused.mm2_update_gram_available(B1t):
-        Y, G = fused.mm2_update_gram(M1, B1t, M2, B2t)
+        Y, G = fused.mm2_update_gram(M1, B1t, M2, B2t, donate=donate)
         return Y, psum_if(_gc(codec, G), axis_name)
     Y = (mm(M1, B1t) + mm(M2, B2t)).astype(B1t.dtype)
     return Y, gram_t(Y, Y, axis_name, codec)
 
 
-def f_px_update(M1, Wt, rho, Pt, C, Xt, codec=None):
+def f_px_update(M1, Wt, rho, Pt, C, Xt, codec=None, donate: bool = False):
     """(Pn = M1 @ W + rho @ P, Xn = X + C @ P) in one pass — the implicit-Q
-    SBCGrQ iteration tail (no Q write; ops/fused.py px_update)."""
+    SBCGrQ iteration tail (no Q write; ops/fused.py px_update). ``donate``
+    aliases Pn<->P and Xn<->X when both are dead at the call site."""
     from blockcg_tpu.ops import fused
 
     M1, rho, C = _ce(codec, M1), _ce(codec, rho), _ce(codec, C)
     if fused.px_update_available(Wt):
-        return fused.px_update(M1, Wt, rho, Pt, C, Xt)
+        return fused.px_update(M1, Wt, rho, Pt, C, Xt, donate=donate)
     Pn = (mm(M1, Wt) + mm(rho, Pt)).astype(Pt.dtype)
     return Pn, (Xt + mm(C, Pt)).astype(Xt.dtype)
 
@@ -371,7 +375,8 @@ def qr_passes_from_gram(G, Wt, passes: int, axis_name: str | None = None,
 
         def two_pass(args):
             Mi, Ri, Wt = args
-            Wt2, G2 = f_mm_update_gram(Mi, Wt, None, axis_name, codec)
+            Wt2, G2 = f_mm_update_gram(Mi, Wt, None, axis_name, codec,
+                                       donate=True)
             Mi2, Ri2 = qr_factors_from_gram(G2)
             oe = qr_ortho_err(Mi2, G2) if want_ortho else None
             return (Mi2, Wt2, kk_mm(Ri2, Ri)) + ((oe,) if want_ortho else ())
@@ -403,7 +408,8 @@ def qr_passes_from_gram(G, Wt, passes: int, axis_name: str | None = None,
             Mi, Ri = qr_factors_from_gram(G)
         rho = Ri if rho is None else kk_mm(Ri, rho)
         if p < passes - 1:
-            Wt, G = f_mm_update_gram(Mi, Wt, None, axis_name, codec)
+            Wt, G = f_mm_update_gram(Mi, Wt, None, axis_name, codec,
+                                     donate=True)
     extras = ()
     if want_cond:
         extras += (cond1,)

@@ -45,7 +45,7 @@ def solve_sbcgrq_deflated(
     replace_every: int = 0,
     min_width: int = 8,
     width_quantum: int = 8,
-    restart_overhead_iters: float = 12.0,
+    restart_overhead_s: float | None = None,
 ) -> tuple[jax.Array, SolverInfo]:
     """SBCGrQ with converged-column deflation (width-halving restarts).
 
@@ -54,8 +54,8 @@ def solve_sbcgrq_deflated(
     stages) and ``matvec_cols`` (total SpMM column-passes = sum of
     stage_width x stage_matvecs — the bandwidth-weighted work metric that
     deflation actually reduces). ``tol`` may be a per-RHS (k,) vector;
-    ``restart_overhead_iters`` gates unprofitable tail restarts (see
-    ``_deflated_driver``).
+    ``restart_overhead_s`` gates unprofitable restarts by measured seconds
+    (see ``_deflated_driver``; None = measure the dispatch latency).
     """
 
     def stage(Bs, X0s, budget, floor, tol_s):
@@ -70,7 +70,7 @@ def solve_sbcgrq_deflated(
 
     return _deflated_driver(stage, B, X0, tol=tol, max_iter=max_iter,
                             min_width=min_width, width_quantum=width_quantum,
-                            restart_overhead_iters=restart_overhead_iters)
+                            restart_overhead_s=restart_overhead_s)
 
 
 @jax.jit
@@ -91,9 +91,43 @@ def _scatter_cols(X, D, idx):
     return X.at[:, idx].set(D, mode="drop")
 
 
+@jax.jit
+def _latency_probe(v):
+    return v + 1.0
+
+
+_LATENCY_CACHE: dict = {}
+
+
+def _dispatch_latency_s() -> float:
+    """Measured per-dispatch host->device round-trip (value fetch forced).
+
+    ~30 ms through this sandbox's remote-attached chip; O(10 us) on a
+    locally attached device — which is exactly why the restart gate must
+    measure rather than assume. Cached per backend: the probe itself costs
+    a compile + 4 dispatches, and re-measuring inside every deflated solve
+    would bill that to the solve (measured +0.35 s/call when the first cut
+    rebuilt the probe lambda — a fresh remote compile — per call)."""
+    import time as _time
+
+    key = jax.default_backend()
+    hit = _LATENCY_CACHE.get(key)
+    if hit is not None:
+        return hit
+    x = jnp.zeros((8,), jnp.float32)
+    _ = float(jnp.sum(_latency_probe(x)))  # compile + warm
+    best = float("inf")
+    for _ in range(3):
+        t0 = _time.time()
+        _ = float(jnp.sum(_latency_probe(x)))
+        best = min(best, _time.time() - t0)
+    _LATENCY_CACHE[key] = best
+    return best
+
+
 def _deflated_driver(
     stage, B, X0, *, tol, max_iter, min_width, width_quantum,
-    restart_overhead_iters: float = 12.0,
+    restart_overhead_s: float | None = None,
 ) -> tuple[jax.Array, SolverInfo]:
     """Width-halving restart loop around a stage solver.
 
@@ -106,18 +140,23 @@ def _deflated_driver(
     ``tol`` may be a scalar or a per-RHS (k,) vector (per-column targets
     are the textbook spread-convergence case deflation exists for).
 
-    ``restart_overhead_iters`` is the halving gate: a restart costs one
-    extra SpMM (the fresh thin-QR) plus ~10 host dispatches, which on a
-    remote-attached chip is worth O(10) full iterations of the narrowed
-    block (measured: CHIP_QUEUE_r3.log deflation-ab lost 5x wall time on a
-    110-iteration solve whose floor-exit landed ~10 iterations before
-    convergence). Before halving, the driver projects the remaining
-    iterations of the still-active columns from their log-residual decay
-    rate over the stage just run; it halves only when the projected saving
-    ``remaining x (w - w_next)`` exceeds ``restart_overhead_iters x
-    w_next`` column-iterations — otherwise it finishes at the current
-    width. Set it to 0 to halve unconditionally (round-2 behavior).
+    The SECONDS-BASED halving gate (``restart_overhead_s``): a restart
+    costs one extra SpMM (the fresh thin-QR) plus ~8 host dispatches; on a
+    remote-attached chip a dispatch is ~30 ms, so a restart can cost more
+    than the entire remaining solve (measured: CHIP_QUEUE_r3.log
+    deflation-ab, 5.4x wall-time loss at n=262k even with a 37% column
+    cut). The driver measures the per-iteration wall cost of the stage
+    just run and the device dispatch latency, projects the survivors'
+    remaining iterations from their log-residual decay rate, and halves
+    only when the projected traffic saving
+    ``remaining x per_iter x (1 - w_next/w)`` exceeds the restart cost —
+    otherwise it finishes at the current (already-shrunk) width. Pass 0 to
+    halve unconditionally (round-2 behavior); None measures the overhead.
+    The one exploratory restart after the first floor-exit is the price of
+    observing the convergence spread; the gate bounds the loss to that.
     """
+    import time as _time
+
     n, k = B.shape
     tol_arr = np.broadcast_to(np.asarray(tol, np.float64), (k,))
     tol_stage = tol if np.ndim(tol) == 0 else np.asarray(tol, np.float64)
@@ -125,6 +164,9 @@ def _deflated_driver(
         X, info = stage(B, X0, max_iter, 0, tol_stage)
         info.matvec_cols = info.matvecs * k
         return X, info
+
+    if restart_overhead_s is None:
+        restart_overhead_s = 8.0 * _dispatch_latency_s()
 
     X = jnp.zeros_like(B) if X0 is None else X0
     active = np.arange(k)
@@ -154,11 +196,13 @@ def _deflated_driver(
             tol_s = np.pad(np.asarray(tol, np.float64)[active],
                            (0, w - na), constant_values=1.0)
         budget = max(max_iter - iters_total, 1)
+        t0 = _time.time()
         D, info = stage(Bs, X0s, budget, floor, tol_s)
+        stage_iters = int(info.iterations)  # forces the stage's values
+        stage_wall = _time.time() - t0
         X = _scatter_cols(X, D, idx)
         if info.breakdown is not None:
             any_breakdown = any_breakdown or bool(info.breakdown)
-        stage_iters = int(info.iterations)
         stage_mv = int(info.matvecs)
         iters_total += stage_iters
         mv_total += stage_mv
@@ -175,9 +219,8 @@ def _deflated_driver(
             break
         if len(still) == na and stage_iters >= budget:
             break  # no progress left in the budget
-        # Halving gate: projected remaining iterations of the survivors
-        # from their log-decay rate over this stage.
-        if restart_overhead_iters > 0:
+        # Halving gate: projected remaining SECONDS saved vs restart cost.
+        if restart_overhead_s > 0:
             lr_prev = np.log(np.maximum(rr_prev[active], 1e-300))
             lr_now = np.log(np.maximum(rr, 1e-300))
             rate = (lr_prev - lr_now) / max(stage_iters, 1)
@@ -186,7 +229,13 @@ def _deflated_driver(
                            np.inf)
             remaining = float(np.max(rem[still_mask]))
             w_next = _ceil_to(len(still), width_quantum)
-            if remaining * (w - w_next) < restart_overhead_iters * w_next:
+            # Per-iteration wall cost at this width, with the stage call's
+            # own ~3-dispatch overhead subtracted (repack, solve, fetches).
+            per_iter = max(stage_wall - 3.0 * _dispatch_latency_s(),
+                           0.0) / max(stage_iters, 1)
+            saving = (remaining * per_iter * (1.0 - w_next / w)
+                      if np.isfinite(remaining) else float("inf"))
+            if saving < restart_overhead_s:
                 allow_floor = False  # finish at the next (already-shrunk) width
         rr_prev[active] = rr
         active = still

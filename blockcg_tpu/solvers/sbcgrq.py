@@ -159,7 +159,10 @@ def _sbcgrq_impl(
         # The V update also emits V V^H, whose diagonal carries the CholQR
         # equilibration norms: the QR needs no extra field passes (T-K2).
         alpha_t = jnp.conj(alpha)
-        Vt, G = f_mm2_update_gram(Mqr, Wt, -alpha_t, Zt, axis_name, codec=op)
+        # donate: Wt is dead after this (replaced by Wt2 in the carry) —
+        # the in-place write halves the kernel's HBM write cost (fused.py).
+        Vt, G = f_mm2_update_gram(Mqr, Wt, -alpha_t, Zt, axis_name, codec=op,
+                                  donate=True)
         Mqr2, Wt2, rho, cond1, oe = qr_passes_from_gram(
             G, Vt, qr_passes, axis_name, codec=op, want_cond=True,
             want_ortho=True,
@@ -168,7 +171,8 @@ def _sbcgrq_impl(
         # Fused tail (5 passes): P' = Mqr2 Wt2 + conj(rho) P and
         # X' = X + (S^T alpha^T) P — both read the PRE-update P.
         Pt, Xt = f_px_update(
-            Mqr2, Wt2, jnp.conj(rho), Pt, kk_mm(S.T, alpha_t), Xt, codec=op
+            Mqr2, Wt2, jnp.conj(rho), Pt, kk_mm(S.T, alpha_t), Xt, codec=op,
+            donate=True,  # P and X both dead: overwritten in place
         )
         S = kk_mm(rho, S)
         mv = mv + 1
