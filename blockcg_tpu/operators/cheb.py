@@ -49,7 +49,7 @@ def _cheb_m_apply(base, Rt, lo, hi, degree: int):
         c1 = rho_new * rho
         c2 = 2.0 * rho_new / delta
         if fused.cheb_step_available(Rt):
-            z, dlt = fused.cheb_step(Rt, z, dlt, Az, c1, c2)
+            z, dlt = fused.cheb_step(Rt, z, dlt, Az, c1, c2, donate=True)
         else:
             dlt = c1 * dlt + c2 * (Rt - Az)
             z = z + dlt

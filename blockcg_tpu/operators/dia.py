@@ -84,7 +84,8 @@ class DIAOperator(MatmatMixin):
         if self._pallas_ok(Xt):  # f32-only kernel; f64 takes the XLA path
             if self._use_ring(Xt):
                 return stencil_ring.ring_spmm_t(self.diags, self.offsets, Xt)
-            return stencil.stencil_spmm_t(self.diags, self.offsets, Xt)
+            if stencil.available(self.n, Xt.shape[0], self.offsets):
+                return stencil.stencil_spmm_t(self.diags, self.offsets, Xt)
         return self._matmat_t_xla(Xt)
 
     def _use_ring(self, Xt) -> bool:
@@ -93,10 +94,26 @@ class DIAOperator(MatmatMixin):
         re-reads (x_reads ≈ 3 for 3D at ≥1M rows: 6.2 vs 9.0 Gnnz/s
         measured, CHIP_QUEUE_r3b.log probe-ring). At small n the windowed
         kernel wins instead — the chained solve's working set stays
-        VMEM-resident (BASELINE.md round-3), so leave x_reads ≤ 2 alone."""
+        VMEM-resident (BASELINE.md round-3), so leave x_reads ≤ 2 alone.
+        ``BLOCKCG_NO_RING=1`` disables the ring path (safety valve: its
+        in-while-loop compile is slow and its ANY-space operand changes the
+        solve's HBM footprint at capacity sizes)."""
+        import os
+
         from blockcg_tpu.ops import stencil, stencil_ring
 
+        if os.environ.get("BLOCKCG_NO_RING"):
+            return False
         k = Xt.shape[0]
+        # Capacity gate: the ring's ANY-space X operand extends the field's
+        # live range / forces a layout-satisfying copy in big compositions —
+        # the full-size config-5 run (16.7M rows, 1.07 GB bf16 fields,
+        # ~12 GB peak) OOM'd with ring dispatch and passes without it
+        # (CHIP_QUEUE_r3b.log config5-FULL A/B, 2026-08-19). 512 MB keeps
+        # the measured-win regime (128^3 k=32 f32 = 268 MB: 9.0 vs 6.2
+        # Gnnz/s) and keeps HBM-limit compositions on the windowed path.
+        if k * self.n * Xt.dtype.itemsize > 512 * 1024 * 1024:
+            return False
         p = stencil.plan(self.n, k, self.offsets)
         if p is not None and p.x_reads <= 2.0:
             return False
@@ -129,7 +146,9 @@ class DIAOperator(MatmatMixin):
             if self._use_ring(Xt):
                 return stencil_ring.ring_spmm_gram_t(
                     self.diags, self.offsets, Xt)
-            return stencil.stencil_spmm_gram_t(self.diags, self.offsets, Xt)
+            if stencil.available(self.n, Xt.shape[0], self.offsets):
+                return stencil.stencil_spmm_gram_t(self.diags, self.offsets,
+                                                   Xt)
         return self.matmat_t(Xt), None
 
     def _matmat_t_xla(self, Xt: jax.Array) -> jax.Array:

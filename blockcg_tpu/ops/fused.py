@@ -211,12 +211,16 @@ def gram_available(U) -> bool:
 # ------------------------------------------------------------- mm_update --
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "donate"))
 def mm_update(
     M: jax.Array, B: jax.Array, A: jax.Array | None = None, *,
-    interpret: bool = False,
+    interpret: bool = False, donate: str | None = None,
 ) -> jax.Array:
-    """Y = M @ B (+ A), fields (k, ...), M (k, k)."""
+    """Y = M @ B (+ A), fields (k, ...), M (k, k).
+
+    ``donate`` aliases Y onto the named dead operand ("b" or "a"): in-place
+    HBM writes stream ~2x faster than fresh-buffer writes (see px_update).
+    BCG's X-update donates A (= old X); its P-update donates B (= old P)."""
     interpret = interpret or _env_interpret()
     k, bs, lanes = _field_dims(B)
     nf = 2 if A is None else 3
@@ -243,12 +247,23 @@ def mm_update(
     if has_a:
         in_specs.append(_spec(k, bs, R))
         args.append(A)
+    if donate == "b":
+        aliases = {1: 0}
+    elif donate == "a":
+        if not has_a:
+            raise ValueError("donate='a' requires an A operand")
+        aliases = {2: 0}
+    elif donate is None:
+        aliases = {}
+    else:
+        raise ValueError(f"donate must be None, 'a' or 'b', got {donate!r}")
     return pl.pallas_call(
         kernel,
         grid=(nb,),
         in_specs=in_specs,
         out_specs=_spec(k, bs, R),
         out_shape=out_struct(B.shape, B.dtype, B),
+        input_output_aliases=aliases,
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
     )(*args)
@@ -476,10 +491,10 @@ def px_update_available(W) -> bool:
 # ------------------------------------------------------------- cheb_step --
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "donate"))
 def cheb_step(
     R: jax.Array, Z: jax.Array, D: jax.Array, AZ: jax.Array,
-    c1, c2, *, interpret: bool = False,
+    c1, c2, *, interpret: bool = False, donate: bool = False,
 ):
     """One Chebyshev semi-iteration step, one pass over the fields:
 
@@ -520,6 +535,8 @@ def cheb_step(
             out_struct(R.shape, jnp.float32, R),
             out_struct(R.shape, jnp.float32, R),
         ),
+        # donate: Z'<->Z and D'<->D (dead each semi-iteration step).
+        input_output_aliases={2: 0, 3: 1} if donate else {},
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
     )(cvec, R, Z, D, AZ)
@@ -534,12 +551,14 @@ def cheb_step_available(R) -> bool:
 # ---------------------------------------------------------- qr_p_update --
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "donate"))
 def qr_p_update(
     M2: jax.Array, Q1: jax.Array, rho: jax.Array, P: jax.Array, *,
-    interpret: bool = False,
+    interpret: bool = False, donate: bool = False,
 ):
-    """Q = M2 @ Q1 ;  Pn = Q + rho @ P — fused (reads Q1, P once)."""
+    """Q = M2 @ Q1 ;  Pn = Q + rho @ P — fused (reads Q1, P once).
+    ``donate`` aliases Q<->Q1 and Pn<->P (both dead in the shifted-block
+    SBCGrQ body; in-place HBM writes stream ~2x faster, see px_update)."""
     interpret = interpret or _env_interpret()
     k, bs, lanes = _field_dims(Q1)
     R = _require_tile(_pick_tile(k, bs, lanes, 4), k, bs, lanes)
@@ -569,6 +588,7 @@ def qr_p_update(
             out_struct(Q1.shape, Q1.dtype, Q1),
             out_struct(P.shape, P.dtype, P),
         ),
+        input_output_aliases={1: 0, 3: 1} if donate else {},
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
     )(M2, Q1, rho, P)
@@ -582,10 +602,10 @@ def qr_p_update_available(Q1) -> bool:
 # ---------------------------------------------------------- qr_px_update --
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "donate"))
 def qr_px_update(
     M2: jax.Array, Q1: jax.Array, rho: jax.Array, P: jax.Array,
-    C: jax.Array, X: jax.Array, *, interpret: bool = False,
+    C: jax.Array, X: jax.Array, *, interpret: bool = False, donate: bool = False,
 ):
     """Q = M2 @ Q1 ;  Pn = Q + rho @ P ;  Xn = X + C @ P — one pass.
 
@@ -629,6 +649,7 @@ def qr_px_update(
             out_struct(P.shape, P.dtype, P),
             out_struct(X.shape, X.dtype, X),
         ),
+        input_output_aliases={3: 0, 4: 1, 5: 2} if donate else {},
         interpret=interpret,
         compiler_params=_COMPILER_PARAMS,
     )(M2, rho, C, Q1, P, X)

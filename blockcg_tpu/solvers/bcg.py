@@ -52,11 +52,14 @@ def _bcg_impl(op, Bt, X0t, tol, max_iter, axis_name, record_history):
         alpha = chol_solve_spd(M, S)  # M alpha = S
         # Fused one-pass updates (T-K2): the residual update also emits the
         # next Gram S' = R R^T in the same pass.
-        Xt = f_mm_update(alpha.T, Pt, Xt, codec=op)
+        # donate: each update overwrites its dead operand in place (old X,
+        # Z, old P respectively) — in-place HBM writes stream ~2x faster
+        # than fresh-buffer writes (ops/fused.py px_update docstring).
+        Xt = f_mm_update(alpha.T, Pt, Xt, codec=op, donate="a")
         Rt, S_new = f_mm_update_gram(-alpha.T, Zt, Rt, axis_name,
-                                     codec=op)
+                                     codec=op, donate=True)
         beta = chol_solve_spd(S, S_new)  # S beta = S'
-        Pt = f_mm_update(beta.T, Pt, Rt, codec=op)
+        Pt = f_mm_update(beta.T, Pt, Rt, codec=op, donate="b")
         if hist is not None:
             hist = hist.at[it].set(
                 jnp.sqrt(jnp.max(jnp.real(jnp.diag(S_new)) / bnorm2))

@@ -76,15 +76,16 @@ def _bcgdq_impl(op, Bt, X0t, tol, max_iter, qr_passes, axis_name,
         g = f_gram(Wt, Rt, axis_name, codec=op)  # W^H R
         alpha = chol_solve_spd(M, g)
         # Lanes-major: X += W alpha  ->  Xt += alpha^T Wt  (plain transpose).
-        Xt = f_mm_update(alpha.T, Wt, Xt, codec=op)
+        Xt = f_mm_update(alpha.T, Wt, Xt, codec=op, donate="a")
         Rt, S_new = f_mm_update_gram(-alpha.T, Zt, Rt, axis_name,
-                                     codec=op)
+                                     codec=op, donate=True)
         h = f_gram(Zt, Rt, axis_name, codec=op)  # Z^H R
         beta = -chol_solve_spd(M, h)
-        Vt, Gv = f_mm_update_gram(beta.T, Wt, Rt, axis_name, codec=op)
+        Vt, Gv = f_mm_update_gram(beta.T, Wt, Rt, axis_name, codec=op,
+                                  donate=True)
         M1, Vt, _rho = qr_passes_from_gram(Gv, Vt, qr_passes, axis_name,
                                            codec=op)
-        Wt = f_mm_update(M1, Vt, codec=op)
+        Wt = f_mm_update(M1, Vt, codec=op, donate="b")
         if hist is not None:
             hist = hist.at[it].set(
                 jnp.sqrt(jnp.max(jnp.real(jnp.diag(S_new)) / bnorm2))

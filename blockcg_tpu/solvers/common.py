@@ -194,13 +194,25 @@ def f_gram(Ut, Vt, axis_name: str | None = None, codec=None):
     return gram_t(Ut, Vt, axis_name, codec)
 
 
-def f_mm_update(M, Bt, At=None, codec=None):
-    """M @ B (+ A) in one pass (M expanded to internal rows via codec)."""
+def _donate_ok() -> bool:
+    """BLOCKCG_NO_DONATE=1 disables in-place kernel output aliasing — the
+    capacity-debugging valve: donation changes XLA buffer assignment, and
+    at HBM-limit sizes an inserted satisfying copy can tip a 12 GB
+    composition over 16 GB."""
+    import os
+
+    return not os.environ.get("BLOCKCG_NO_DONATE")
+
+
+def f_mm_update(M, Bt, At=None, codec=None, donate: str | None = None):
+    """M @ B (+ A) in one pass (M expanded to internal rows via codec).
+    ``donate`` aliases the output onto the named dead operand ('a'/'b')."""
     from blockcg_tpu.ops import fused
 
     M = _ce(codec, M)
     if fused.mm_update_available(Bt, At is not None):
-        return fused.mm_update(M, Bt, At)
+        return fused.mm_update(M, Bt, At,
+                               donate=donate if _donate_ok() else None)
     Y = mm(M, Bt)
     Y = Y if At is None else Y + At
     return Y.astype(Bt.dtype)  # bf16 fields: compute f32, store bf16
@@ -215,7 +227,8 @@ def f_mm_update_gram(M, Bt, At=None, axis_name: str | None = None,
 
     M = _ce(codec, M)
     if fused.mm_update_available(Bt, At is not None):
-        Y, G = fused.mm_update_gram(M, Bt, At, donate=donate)
+        Y, G = fused.mm_update_gram(M, Bt, At,
+                                    donate=donate and _donate_ok())
         return Y, psum_if(_gc(codec, G), axis_name)
     Y = mm(M, Bt)
     if At is not None:
@@ -235,7 +248,8 @@ def f_mm2_update_gram(M1, B1t, M2, B2t, axis_name: str | None = None,
 
     M1, M2 = _ce(codec, M1), _ce(codec, M2)
     if fused.mm2_update_gram_available(B1t):
-        Y, G = fused.mm2_update_gram(M1, B1t, M2, B2t, donate=donate)
+        Y, G = fused.mm2_update_gram(M1, B1t, M2, B2t,
+                                     donate=donate and _donate_ok())
         return Y, psum_if(_gc(codec, G), axis_name)
     Y = (mm(M1, B1t) + mm(M2, B2t)).astype(B1t.dtype)
     return Y, gram_t(Y, Y, axis_name, codec)
@@ -249,30 +263,36 @@ def f_px_update(M1, Wt, rho, Pt, C, Xt, codec=None, donate: bool = False):
 
     M1, rho, C = _ce(codec, M1), _ce(codec, rho), _ce(codec, C)
     if fused.px_update_available(Wt):
-        return fused.px_update(M1, Wt, rho, Pt, C, Xt, donate=donate)
+        return fused.px_update(M1, Wt, rho, Pt, C, Xt,
+                               donate=donate and _donate_ok())
     Pn = (mm(M1, Wt) + mm(rho, Pt)).astype(Pt.dtype)
     return Pn, (Xt + mm(C, Pt)).astype(Xt.dtype)
 
 
-def f_qr_p_update(M2, Q1t, rho, Pt, codec=None):
-    """(Q = M2 @ Q1, Pn = Q + rho @ P) in one pass (codec-aware)."""
+def f_qr_p_update(M2, Q1t, rho, Pt, codec=None, donate: bool = False):
+    """(Q = M2 @ Q1, Pn = Q + rho @ P) in one pass (codec-aware).
+    ``donate`` aliases Q<->Q1 and Pn<->P when both are dead."""
     from blockcg_tpu.ops import fused
 
     M2, rho = _ce(codec, M2), _ce(codec, rho)
     if fused.qr_p_update_available(Q1t):
-        return fused.qr_p_update(M2, Q1t, rho, Pt)
+        return fused.qr_p_update(M2, Q1t, rho, Pt,
+                                 donate=donate and _donate_ok())
     Qt = mm(M2, Q1t)
     return Qt.astype(Q1t.dtype), (Qt + mm(rho, Pt)).astype(Pt.dtype)
 
 
-def f_qr_px_update(M2, Q1t, rho, Pt, C, Xt, codec=None):
+def f_qr_px_update(M2, Q1t, rho, Pt, C, Xt, codec=None,
+                   donate: bool = False):
     """(Q = M2 @ Q1, Pn = Q + rho @ P, Xn = X + C @ P) in one pass —
-    the fused SBCGrQ iteration tail (reads P once for both updates)."""
+    the fused SBCGrQ iteration tail (reads P once for both updates).
+    ``donate`` aliases Q<->Q1, Pn<->P, Xn<->X when all are dead."""
     from blockcg_tpu.ops import fused
 
     M2, rho, C = _ce(codec, M2), _ce(codec, rho), _ce(codec, C)
     if fused.qr_px_update_available(Q1t):
-        return fused.qr_px_update(M2, Q1t, rho, Pt, C, Xt)
+        return fused.qr_px_update(M2, Q1t, rho, Pt, C, Xt,
+                                  donate=donate and _donate_ok())
     Qt = mm(M2, Q1t)
     return (Qt.astype(Q1t.dtype), (Qt + mm(rho, Pt)).astype(Pt.dtype),
             (Xt + mm(C, Pt)).astype(Xt.dtype))

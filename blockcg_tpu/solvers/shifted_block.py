@@ -140,10 +140,12 @@ def _shifted_sbcgrq_impl(op, Bt, sigmas, tol, max_iter, qr_passes, axis_name,
 
         # ---- seed SBCGrQ update (shared Krylov engine) --------------------
         alpha_t = jnp.conj(alpha)
-        Vt, G = f_mm_update_gram(-alpha_t, Zt, Qt, axis_name, codec=op)
+        Vt, G = f_mm_update_gram(-alpha_t, Zt, Qt, axis_name, codec=op,
+                                 donate=True)
         Mi, Wt, rho = qr_passes_from_gram(G, Vt, qr_passes, axis_name,
                                          codec=op)
-        Qt, Pt = f_qr_p_update(Mi, Wt, jnp.conj(rho), Pt, codec=op)
+        Qt, Pt = f_qr_p_update(Mi, Wt, jnp.conj(rho), Pt, codec=op,
+                               donate=True)
 
         # shifted residual coefficient: rho_{i+1} M_i eta
         coef = _smm(jnp.broadcast_to(kk_mm(rho, M), (ns, k, k)), eta)

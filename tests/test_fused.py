@@ -49,6 +49,33 @@ def test_gram_seeded(shape):
 
 
 @pytest.mark.parametrize("shape", [(8, 1024), (6, 4, 512)])
+def test_donated_kernels_match_undonated(shape):
+    """input_output_aliases (the in-place HBM-write fast path) must be
+    semantics-free: donated and fresh-output runs agree bitwise in
+    interpret mode."""
+    k = shape[0]
+    M1, rho, C = _kk(k, 10), _kk(k, 11), _kk(k, 12)
+    W, P, X = _field(shape, 13), _field(shape, 14), _field(shape, 15)
+    a = fused.px_update(M1, W, rho, P, C, X, interpret=True)
+    b = fused.px_update(M1, W, rho, P, C, X, interpret=True, donate=True)
+    for u, v in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(u), np.asarray(v))
+    a = fused.mm2_update_gram(M1, W, rho, P, interpret=True)
+    b = fused.mm2_update_gram(M1, W, rho, P, interpret=True, donate=True)
+    for u, v in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(u), np.asarray(v))
+    a = fused.mm_update(M1, W, X, interpret=True)
+    b = fused.mm_update(M1, W, X, interpret=True, donate="a")
+    c = fused.mm_update(M1, W, X, interpret=True, donate="b")
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+    a = fused.qr_px_update(M1, W, rho, P, C, X, interpret=True)
+    b = fused.qr_px_update(M1, W, rho, P, C, X, interpret=True, donate=True)
+    for u, v in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(u), np.asarray(v))
+
+
+@pytest.mark.parametrize("shape", [(8, 1024), (6, 4, 512)])
 @pytest.mark.parametrize("with_a", [False, True])
 def test_mm_update(shape, with_a):
     k = shape[0]
