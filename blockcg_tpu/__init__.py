@@ -19,6 +19,16 @@ Layering (SURVEY.md §2.2):
   L0 platform      : jax, pjit/shard_map, Mesh over ICI/DCN
 """
 
+from blockcg_tpu.utils.platform import enable_compilation_cache as _encc
+
+# Persistent compilation cache, enabled for every entry point by the
+# package import itself (pure config: touches no backend). Measured round-3
+# cost of cold compiles through this sandbox's remote-compile tunnel:
+# 346 s per ring-solve shape, 519-777 s for full-size config 5 — per
+# PROCESS. The cache key hashes the serialized HLO, so kernel edits never
+# hit stale entries. BLOCKCG_NO_COMPILE_CACHE=1 opts out.
+_encc()
+
 from blockcg_tpu.types import SolverOptions, SolverInfo
 from blockcg_tpu.operators import (
     CSROperator,

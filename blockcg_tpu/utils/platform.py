@@ -36,6 +36,39 @@ def force_cpu_mesh(n_devices: int, *, require: bool = False) -> None:
             )
 
 
+_CACHE_DIR = os.environ.get(
+    "BLOCKCG_COMPILE_CACHE", "/root/repo/.jax_compile_cache"
+)
+
+
+def enable_compilation_cache() -> str | None:
+    """Point JAX's persistent compilation cache at a repo-local directory.
+
+    Round-3 measured cost of NOT doing this: 346 s to compile the
+    ring-in-while-loop solve per shape, 519-777 s cold for full-size
+    config 5, 752 s for a 16k-row CG preset — every chip-queue item paid
+    it again in every process (VERDICT r3 weak 4). The cache persists
+    compiled executables across processes; entry thresholds are zeroed so
+    even small programs (the ~30 s first-jit tunnel cost) are amortized.
+
+    Call before the first jit. Returns the cache dir, or None if the
+    running jax cannot enable it. ``BLOCKCG_NO_COMPILE_CACHE=1`` disables
+    (debugging valve: stale-cache suspicion during kernel surgery).
+    """
+    if os.environ.get("BLOCKCG_NO_COMPILE_CACHE"):
+        return None
+    import jax
+
+    try:
+        os.makedirs(_CACHE_DIR, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:  # pragma: no cover — older/newer config key drift
+        return None
+    return _CACHE_DIR
+
+
 def lsq_slope(points: dict) -> float:
     """Least-squares slope of {loop_length: seconds} — the chained-loop
     timing methodology (BASELINE.md): the marginal per-iteration cost with
