@@ -36,7 +36,8 @@ def _timed_loop(compiled, x, n_ignored):
     return time.time() - t0
 
 
-def measure_apply(op, Xt, lengths=(8, 264, 520), trials=3, rounds=3):
+def measure_apply(op, Xt, lengths=(8, 264, 520), trials=3, rounds=3,
+                  donate=False):
     """Seconds per operator apply.
 
     Times jitted fori_loops of N chained applies for several N and fits the
@@ -51,6 +52,15 @@ def measure_apply(op, Xt, lengths=(8, 264, 520), trials=3, rounds=3):
     The long loops keep residual noise small: ±2 ms on a 520-apply loop is
     ±4 us/apply. Falls back to the longest loop's average if the fitted
     slope is non-positive.
+
+    ``donate=True`` chains through the operator's in-place apply
+    (``matmat_t(u, donate=True)`` — DIA ring path): without it, the fresh
+    Pallas output entering the fori_loop carry costs XLA a FULL extra
+    field copy per apply (measured 2x on the copy kernel,
+    tools/probe_write_alias.py), so fresh-output chains measure
+    kernel + copy, not the kernel. Solver bodies don't pay that copy for
+    the SpMM (Z is a loop-local temp there), so the donated chain is the
+    number that represents in-solve SpMM cost.
     """
     def nudge(u):
         # Tiny in-place mutation (128 lanes) so chained applies can't be
@@ -60,12 +70,20 @@ def measure_apply(op, Xt, lengths=(8, 264, 520), trials=3, rounds=3):
         idx = (slice(None),) * (u.ndim - 1) + (slice(0, 128),)
         return u.at[idx].multiply(0.5)
 
+    if donate:
+        def apply_once(o, u):
+            return o.matmat_t(u, donate=True)
+    else:
+        def apply_once(o, u):
+            return o.matmat_t(u)
+
     compiled = {}
     for n in lengths:
         def loop(o, v, n=n):
             return jax.lax.fori_loop(
                 0, n,
-                lambda i, u: jax.lax.optimization_barrier(nudge(o.matmat_t(u))),
+                lambda i, u: jax.lax.optimization_barrier(
+                    nudge(apply_once(o, u))),
                 v, unroll=False,
             )
         compiled[n] = jax.jit(loop).lower(op, Xt).compile()
@@ -222,6 +240,20 @@ def main():
     roofline_nnzs = calib_bw * 1e9 / bpn
     implied_bw = bytes_apply / dt / 1e9
 
+    # Streaming-regime apply (VERDICT r3 item 5): the contract regime is
+    # the >=1M-row 3D Laplacian where the working set CANNOT sit in VMEM.
+    # Chained through the DONATED ring apply — the artifact-free chain
+    # (fresh-output chains pay a full XLA carry copy per apply; see
+    # tools/probe_write_alias.py / probe_ring_donate.py, CHIP_QUEUE_r4.log:
+    # 17.8 Gnnz/s donated vs 9.0 fresh at 128^3).
+    op_s = laplacian_dia((128, 128, 64), dtype=jnp.float32)  # 1,048,576 rows
+    Xs = jnp.asarray(rng.standard_normal((32, op_s.n)), dtype=jnp.float32)
+    dt_s = measure_apply(op_s, Xs, donate=True)
+    k_s, ndiag_s = Xs.shape[0], len(op_s.offsets)
+    streaming_traffic = 4.0 * (k_s * op_s.n * 1.0 + ndiag_s * op_s.n
+                               + k_s * op_s.n)  # ring: X once + diags + Y
+    streaming_gnnzs = op_s.nnz / dt_s / 1e9
+
     # Config 4 (Dirac 32^4, k=12) SpMM as an extra data point.
     op4 = dirac_cbdia(32, m=0.5, dtype=jnp.float32)
     X4 = op4.to_internal(
@@ -257,6 +289,12 @@ def main():
         # sweep in BASELINE.md round-3 measurements (>=1M-row problems
         # stream at ~6.2 Gnnz/s = 63% of calibration).
         "working_set_vmem_resident": bool(bytes_apply - 4 * op.nnz < 128e6),
+        # The contract regime (>=1M rows, nothing VMEM-resident): donated
+        # ring-kernel chain on a 1,048,576-row 3D Laplacian, k=32.
+        "streaming_gnnzs": round(streaming_gnnzs, 2),
+        "streaming_frac_of_bw": round(
+            streaming_traffic / dt_s / 1e9 / calib_bw, 3),
+        "streaming_ms": round(dt_s * 1e3, 4),
         "spmm_ms": round(dt * 1e3, 4),
         "sbcgrq_time_to_tol_s": round(solve_s, 3),
         "sbcgrq_iters": iters,

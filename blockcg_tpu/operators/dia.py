@@ -28,6 +28,11 @@ class DIAOperator(MatmatMixin):
 
     diags: jax.Array
     offsets: tuple[int, ...]
+    # True iff every coefficient whose column index wraps modulo n is
+    # EXACTLY zero (Dirichlet constructors zero them by construction).
+    # Gates the ring kernel's donated (in-place) apply: wrap-crossing
+    # lanes read already-overwritten data there, legal only value-masked.
+    wrap_zero: bool = False
 
     @property
     def n(self) -> int:
@@ -71,19 +76,28 @@ class DIAOperator(MatmatMixin):
                 diags[d, -o:n] = a.data[d, : n + o]
         return cls(diags=jnp.asarray(diags), offsets=offsets)
 
-    def matmat_t(self, Xt: jax.Array) -> jax.Array:
+    def matmat_t(self, Xt: jax.Array, donate: bool = False) -> jax.Array:
         """(k, n) lanes-major apply: ``Yt[:, i] = sum_d c_d[i] * Xt[:, i+o_d]``.
 
         Dispatch: on TPU this routes to the Pallas stencil kernel (T-K1 fast
         path, ~5x the XLA path: it windows X through VMEM once instead of
         re-reading it per diagonal). The XLA fallback below covers CPU, odd
         shapes, and BLOCKCG_NO_PALLAS=1.
+
+        ``donate=True`` asks for the in-place apply (Y aliased onto Xt).
+        Callers may set it ONLY when Xt is dead at the call site (e.g. a
+        chained y = A x loop that drops x). It takes effect only on the
+        ring path of a ``wrap_zero`` operator (the one combination where
+        in-place is race-free — ops/stencil_ring.py); elsewhere it is
+        silently ignored, never wrong.
         """
         from blockcg_tpu.ops import stencil, stencil_ring
 
         if self._pallas_ok(Xt):  # f32-only kernel; f64 takes the XLA path
             if self._use_ring(Xt):
-                return stencil_ring.ring_spmm_t(self.diags, self.offsets, Xt)
+                return stencil_ring.ring_spmm_t(self.diags, self.offsets, Xt,
+                                                donate=donate and
+                                                self.wrap_zero)
             if stencil.available(self.n, Xt.shape[0], self.offsets):
                 return stencil.stencil_spmm_t(self.diags, self.offsets, Xt)
         return self._matmat_t_xla(Xt)
@@ -136,16 +150,18 @@ class DIAOperator(MatmatMixin):
                                            Xt.dtype.itemsize))
         )
 
-    def matmat_gram_t(self, Xt: jax.Array):
+    def matmat_gram_t(self, Xt: jax.Array, donate: bool = False):
         """Fused (Y = A X, G = X^H Y): the stencil kernel emits the k x k
         Gram from tiles already in VMEM (solvers' P^H A P — saves the
-        2-pass separate Gram). Falls back to (matmat_t, None)."""
+        2-pass separate Gram). Falls back to (matmat_t, None).
+        ``donate`` as in :meth:`matmat_t` (ring + wrap_zero only)."""
         from blockcg_tpu.ops import stencil, stencil_ring
 
         if self._pallas_ok(Xt):
             if self._use_ring(Xt):
                 return stencil_ring.ring_spmm_gram_t(
-                    self.diags, self.offsets, Xt)
+                    self.diags, self.offsets, Xt,
+                    donate=donate and self.wrap_zero)
             if stencil.available(self.n, Xt.shape[0], self.offsets):
                 return stencil.stencil_spmm_gram_t(self.diags, self.offsets,
                                                    Xt)
@@ -170,5 +186,5 @@ class DIAOperator(MatmatMixin):
 jax.tree_util.register_dataclass(
     DIAOperator,
     data_fields=["diags"],
-    meta_fields=["offsets"],
+    meta_fields=["offsets", "wrap_zero"],
 )

@@ -216,7 +216,7 @@ def _ring_kernel(p: RingPlan, ndiag, nb, with_gram,
             g_ref[:, :] += g
 
 
-def _ring_impl(diags, offsets, Xt, with_gram, interpret):
+def _ring_impl(diags, offsets, Xt, with_gram, interpret, donate=False):
     ndiag, n = diags.shape
     k = Xt.shape[0]
     p = plan(n, k, offsets, itemsize=Xt.dtype.itemsize)
@@ -232,7 +232,7 @@ def _ring_impl(diags, offsets, Xt, with_gram, interpret):
 
     in_specs = [
         pl.BlockSpec((ndiag, R), lambda i: (0, i), memory_space=pltpu.VMEM),
-        pl.BlockSpec(memory_space=pltpu.ANY),  # X stays in HBM; manual DMA
+        pl.BlockSpec(memory_space=pl.ANY),  # X stays in HBM; manual DMA
     ]
     y_spec = pl.BlockSpec((k, R), lambda i: (0, i), memory_space=pltpu.VMEM)
     y_shape = out_struct((k, n), Xt.dtype, Xt)
@@ -268,22 +268,43 @@ def _ring_impl(diags, offsets, Xt, with_gram, interpret):
             flops=flops, bytes_accessed=int(bytes_accessed),
             transcendentals=0,
         ),
+        # donate: Y overwrites X in place. Safe by the ring's own DMA
+        # ordering: every HBM read of X block j (the lookahead fetch) runs
+        # at grid step j-M-1, strictly before the step-j output write —
+        # EXCEPT the toroidal wrap fetches at the grid tail (blocks 0..M
+        # re-read for steps nb-M-1..nb-1), which see overwritten data.
+        # Callers must therefore guarantee every wrap-crossing coefficient
+        # is exactly zero (Dirichlet-built operators; DIAOperator.wrap_zero)
+        # so the corrupted lanes are value-masked out of the products.
+        # Interpret mode materializes outputs separately and CANNOT catch a
+        # violation — the on-chip donated-vs-fresh smoke test can.
+        input_output_aliases={1: 0} if donate else {},
         interpret=interpret,
     )(diags_ord, Xt)
 
 
-@functools.partial(jax.jit, static_argnames=("offsets", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("offsets", "interpret", "donate"))
 def ring_spmm_t(diags, offsets: tuple[int, ...], Xt, *,
-                interpret: bool = False):
-    """Lanes-major stencil SpMM, each X block fetched from HBM once."""
-    return _ring_impl(diags, offsets, Xt, False, interpret)
+                interpret: bool = False, donate: bool = False):
+    """Lanes-major stencil SpMM, each X block fetched from HBM once.
+
+    ``donate=True`` aliases Y onto X (legal only when X is dead at the call
+    site AND wrap coefficients are zero — see _ring_impl). The payoff is
+    NOT kernel speed: a fresh Pallas output that becomes a ``while_loop``
+    carry costs XLA a full extra field copy per iteration (measured
+    2x aggregate: 329 vs 659 GB/s, tools/probe_write_alias.py — the
+    round-3 'in-place HBM writes' effect, correctly attributed); aliasing
+    the output into the dead carry buffer elides that copy."""
+    return _ring_impl(diags, offsets, Xt, False, interpret, donate)
 
 
-@functools.partial(jax.jit, static_argnames=("offsets", "interpret"))
+@functools.partial(jax.jit,
+                   static_argnames=("offsets", "interpret", "donate"))
 def ring_spmm_gram_t(diags, offsets: tuple[int, ...], Xt, *,
-                     interpret: bool = False):
+                     interpret: bool = False, donate: bool = False):
     """Ring SpMM with the k x k Gram fused: ``(Yt, G = X Y^T)``."""
-    return _ring_impl(diags, offsets, Xt, True, interpret)
+    return _ring_impl(diags, offsets, Xt, True, interpret, donate)
 
 
 def available(n: int, k: int, offsets: tuple[int, ...],

@@ -58,7 +58,10 @@ def laplacian_dia(shape: tuple[int, ...], dtype=jnp.float32) -> DIAOperator:
     """Dirichlet Laplacian as a DIAOperator (the stencil fast path)."""
     np_dtype = np.dtype(jnp.dtype(dtype).name)
     offsets, diags = _laplacian_bands(tuple(shape), np_dtype)
-    return DIAOperator(diags=jnp.asarray(diags), offsets=offsets)
+    # Dirichlet: every boundary (hence every mod-n wrap-crossing)
+    # coefficient is exactly zero -> the donated ring apply is race-free.
+    return DIAOperator(diags=jnp.asarray(diags), offsets=offsets,
+                       wrap_zero=True)
 
 
 def laplacian_ell(shape: tuple[int, ...], dtype=jnp.float32) -> ELLOperator:

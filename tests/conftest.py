@@ -68,6 +68,13 @@ _TPU_SMOKE = {
     "test_shard_map_single_device_solve_f32",
     "test_rcm_bf16_tiled_solve_f32",
     "test_sbcgrq_restart_replacement_f32_frequent",
+    # ring kernel: the family with documented HARDWARE-ONLY failure modes
+    # (in-flight-DMA aborts; donated wrap reads) — interpret mode cannot
+    # catch them (VERDICT r3 item 3/4).
+    "test_ring_onchip_smoke",
+    # bf16 tier on the real chip (the bf16 CG preset crash was chip-only).
+    "test_sbcgrq_bf16_fields_converge",
+    "test_cg_bf16_fields_converge",
 }
 
 

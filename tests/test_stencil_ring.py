@@ -91,3 +91,59 @@ def test_ring_plan_rejects_tiny():
     # below the n floor, and n not a multiple of 128
     assert stencil_ring.plan(256, 8, (0, 1, -1)) is None
     assert not stencil_ring.available(4096 + 64, 8, (0, 1, -1))
+
+
+def test_ring_donate_matches_fresh():
+    """Donated (Y aliased onto X) vs fresh apply, Dirichlet operator.
+
+    Interpret mode exercises the aliasing plumbing but materializes the
+    output separately, so it CANNOT reproduce the wrap-read hazard the
+    wrap_zero gate exists for — test_ring_onchip_smoke covers that on
+    hardware (the donated result there reads real overwritten slots)."""
+    shape = (16, 16, 8)
+    op = laplacian_dia(shape, dtype=jnp.float32)
+    assert op.wrap_zero
+    rng = np.random.default_rng(4)
+    Xt = jnp.asarray(rng.standard_normal((8, op.n)), jnp.float32)
+    fresh = stencil_ring.ring_spmm_t(op.diags, op.offsets, Xt,
+                                     interpret=True)
+    donated = stencil_ring.ring_spmm_t(op.diags, op.offsets, Xt,
+                                       interpret=True, donate=True)
+    np.testing.assert_array_equal(np.asarray(fresh), np.asarray(donated))
+    # gram variant
+    yf, gf = stencil_ring.ring_spmm_gram_t(op.diags, op.offsets, Xt,
+                                           interpret=True)
+    yd, gd = stencil_ring.ring_spmm_gram_t(op.diags, op.offsets, Xt,
+                                           interpret=True, donate=True)
+    np.testing.assert_array_equal(np.asarray(yf), np.asarray(yd))
+    np.testing.assert_array_equal(np.asarray(gf), np.asarray(gd))
+
+
+def test_ring_onchip_smoke():
+    """Ring kernel vs oracle, fresh AND donated — the on-chip regression
+    entry for the kernel family with a documented hardware-only failure
+    class (unawaited in-flight DMAs abort; wrap reads of donated buffers).
+    On CPU this runs interpret mode (same assertions); in the
+    BLOCKCG_TEST_TPU=1 smoke run it executes the real Mosaic kernel."""
+    import jax
+
+    interp = jax.default_backend() != "tpu"
+    shape = (32, 16, 8)  # n = 4096: several ring wraps, tiny on chip
+    op = laplacian_dia(shape, dtype=jnp.float32)
+    rng = np.random.default_rng(5)
+    X = rng.standard_normal((op.n, 8)).astype(np.float32)
+    Xt = jnp.asarray(X.T)
+    want = laplacian_scipy(shape) @ X
+    for donate in (False, True):
+        Yt = stencil_ring.ring_spmm_t(op.diags, op.offsets, Xt,
+                                      interpret=interp, donate=donate)
+        got = np.asarray(Yt).T
+        assert np.abs(got - want).max() / np.abs(want).max() < 1e-5, (
+            f"donate={donate}")
+    # fused-gram variant incl. donation
+    Yt, G = stencil_ring.ring_spmm_gram_t(op.diags, op.offsets, Xt,
+                                          interpret=interp, donate=True)
+    assert np.abs(np.asarray(Yt).T - want).max() / np.abs(want).max() < 1e-5
+    wantG = X.T.astype(np.float64) @ want.astype(np.float64)
+    assert np.abs(np.asarray(G, np.float64) - wantG).max() / np.abs(
+        wantG).max() < 1e-5

@@ -29,12 +29,17 @@ from blockcg_tpu.problems import laplacian_dia
 
 @jax.tree_util.register_static
 class _RingOp:
-    def __init__(self, diags, offsets):
+    """Forces ring dispatch regardless of the DIA auto-selector.
+    ``wrap_zero`` gates the donated apply exactly as DIAOperator does."""
+
+    def __init__(self, diags, offsets, wrap_zero=False):
         object.__setattr__(self, "diags", diags)
         object.__setattr__(self, "offsets", offsets)
+        object.__setattr__(self, "wrap_zero", wrap_zero)
 
-    def matmat_t(self, Xt):
-        return stencil_ring.ring_spmm_t(self.diags, self.offsets, Xt)
+    def matmat_t(self, Xt, donate=False):
+        return stencil_ring.ring_spmm_t(self.diags, self.offsets, Xt,
+                                        donate=donate and self.wrap_zero)
 
 
 def main():
@@ -57,8 +62,11 @@ def main():
                     (jnp.max(jnp.abs(y_win)) + 1e-30))
 
         dt_win = measure_apply(op, Xt)
-        ring_op = _RingOp(op.diags, op.offsets)
+        ring_op = _RingOp(op.diags, op.offsets, wrap_zero=op.wrap_zero)
         dt_ring = measure_apply(ring_op, Xt)
+        # donated chain: the artifact-free number (fresh-output chains pay
+        # a full XLA carry copy per apply — BASELINE.md round 4)
+        dt_don = measure_apply(ring_op, Xt, donate=True)
         pw = stencil.plan(n, k, op.offsets)
         pr = stencil_ring.plan(n, k, op.offsets)
         print(json.dumps({
@@ -66,23 +74,25 @@ def main():
             "rel_err_vs_windowed": err,
             "win_ms": round(dt_win * 1e3, 4),
             "ring_ms": round(dt_ring * 1e3, 4),
+            "ring_donated_ms": round(dt_don * 1e3, 4),
             "win_gnnzs": round(op.nnz / dt_win / 1e9, 2),
             "ring_gnnzs": round(op.nnz / dt_ring / 1e9, 2),
+            "ring_donated_gnnzs": round(op.nnz / dt_don / 1e9, 2),
             "win_x_reads": pw.x_reads if pw else None,
             "ring_R": pr.R, "ring_S": pr.S, "ring_H": pr.H,
-            "speedup": round(dt_win / dt_ring, 2),
+            "speedup": round(dt_win / dt_don, 2),
         }), flush=True)
 
     # bf16 fields at 128^3 (the config-5 per-shard regime)
     op = laplacian_dia((128, 128, 128), dtype=jnp.bfloat16)
     k = 32
     Xt = jnp.asarray(rng.standard_normal((k, op.n)), jnp.bfloat16)
-    ring_op = _RingOp(op.diags, op.offsets)
-    dt_ring = measure_apply(ring_op, Xt)
+    ring_op = _RingOp(op.diags, op.offsets, wrap_zero=op.wrap_zero)
+    dt_ring = measure_apply(ring_op, Xt, donate=True)
     print(json.dumps({
         "probe": "ring", "shape": [128, 128, 128], "k": k, "dtype": "bf16",
-        "ring_ms": round(dt_ring * 1e3, 4),
-        "ring_gnnzs": round(op.nnz / dt_ring / 1e9, 2),
+        "ring_donated_ms": round(dt_ring * 1e3, 4),
+        "ring_donated_gnnzs": round(op.nnz / dt_ring / 1e9, 2),
     }), flush=True)
 
     # gram-fused ring variant (solver inner loop shape)
