@@ -126,7 +126,10 @@ class DIAOperator(MatmatMixin):
         # (CHIP_QUEUE_r3b.log config5-FULL A/B, 2026-08-19). 512 MB keeps
         # the measured-win regime (128^3 k=32 f32 = 268 MB: 9.0 vs 6.2
         # Gnnz/s) and keeps HBM-limit compositions on the windowed path.
-        if k * self.n * Xt.dtype.itemsize > 512 * 1024 * 1024:
+        # BLOCKCG_RING_MAX_MB overrides (0 disables; probes use it to force
+        # either arm — tools/probe_ring_capacity.py pins the OOM numbers).
+        ring_max_mb = int(os.environ.get("BLOCKCG_RING_MAX_MB", "512"))
+        if k * self.n * Xt.dtype.itemsize > ring_max_mb * 1024 * 1024:
             return False
         p = stencil.plan(self.n, k, self.offsets)
         if p is not None and p.x_reads <= 2.0:

@@ -34,6 +34,26 @@ def _ceil_to(x: int, q: int) -> int:
     return ((x + q - 1) // q) * q
 
 
+def _deflate_nmin() -> int:
+    """Auto-mode row threshold below which halving restarts default OFF on
+    high-latency (remote-attached) devices.
+
+    Measured on the v5e tunnel (~30 ms/dispatch, CHIP_QUEUE_r4.log
+    probe-deflation-postgate): at n=262k the exploratory restart machinery
+    alone costs ~3x the whole fixed-width solve (0.33 vs 0.083 s, 0.25x)
+    even though the column cut is a healthy 37% — the seconds-gate bounds
+    the loss to that first restart but cannot eliminate it, because the
+    spread is only observable by paying it. At n=2.1M the same machinery
+    wins (1.13x). Default threshold: 1M rows, overridable via
+    BLOCKCG_DEFLATE_NMIN (0 = always on — probes and locally-attached
+    chips, where the ~10 us dispatch makes restarts nearly free; the
+    latency condition in _deflated_driver already keeps those on).
+    """
+    import os
+
+    return int(os.environ.get("BLOCKCG_DEFLATE_NMIN", str(1 << 20)))
+
+
 def solve_sbcgrq_deflated(
     op,
     B: jax.Array,
@@ -167,6 +187,14 @@ def _deflated_driver(
 
     if restart_overhead_s is None:
         restart_overhead_s = 8.0 * _dispatch_latency_s()
+        # Auto small-n default: on a high-latency device the restart
+        # machinery's dispatches dwarf a small solve (measured 0.25x at
+        # 262k — see _deflate_nmin); run one fixed-width stage instead.
+        # Explicit restart_overhead_s (including 0) bypasses this.
+        if n < _deflate_nmin() and restart_overhead_s > 0.01:
+            X, info = stage(B, X0, max_iter, 0, tol_stage)
+            info.matvec_cols = info.matvecs * k
+            return X, info
 
     X = jnp.zeros_like(B) if X0 is None else X0
     active = np.arange(k)

@@ -8,6 +8,7 @@ still converge every column, (b) cut the bandwidth-weighted SpMM work
 
 import numpy as np
 import pytest
+import jax
 import jax.numpy as jnp
 
 from blockcg_tpu import solve_sbcgrq, solve_sbcgrq_deflated
@@ -174,3 +175,32 @@ def test_deflated_dist_matches_single():
     assert abs(int(inf_d.matvec_cols) - int(inf_s.matvec_cols)) <= \
         8 * B.shape[1]
     assert np.abs(np.asarray(Xd) - np.asarray(Xs)).max() <= 5e-4
+
+
+def test_small_n_auto_defaults_to_fixed_width(monkeypatch):
+    """Auto mode on a HIGH-LATENCY device skips halving below the measured
+    n threshold (chip A/B, CHIP_QUEUE_r4.log probe-deflation-postgate:
+    0.25x at 262k vs 1.01x at 2.1M — the exploratory restart's ~8 x 30 ms
+    dispatches dwarf a small solve). Simulated here by faking the latency
+    cache; on CPU (us dispatch) the normal tests above keep halving on."""
+    from blockcg_tpu.solvers import deflate
+
+    shape = (48, 48)
+    op = laplacian_dia(shape, dtype=jnp.float32)
+    B = jnp.asarray(_spread_rhs(shape, k_easy=12, k_hard=4), jnp.float32)
+    tol = 1e-6
+
+    monkeypatch.setitem(deflate._LATENCY_CACHE, jax.default_backend(), 0.03)
+    Xd, inf_d = solve_sbcgrq_deflated(op, B, tol=tol, max_iter=600)
+    Xf, inf_f = solve_sbcgrq(op, B, tol=tol, max_iter=600)
+    # single fixed-width stage: identical iteration count and full-width
+    # column-passes (no cut), same solution
+    assert int(inf_d.iterations) == int(inf_f.iterations)
+    assert int(inf_d.matvec_cols) == int(inf_f.matvecs) * B.shape[1]
+    assert np.abs(np.asarray(Xd) - np.asarray(Xf)).max() <= 1e-6
+
+    # explicit restart_overhead_s (measured-seconds gate) bypasses the
+    # size default — halving engages and cuts column-passes
+    Xd2, inf_d2 = solve_sbcgrq_deflated(op, B, tol=tol, max_iter=600,
+                                        restart_overhead_s=0.0)
+    assert int(inf_d2.matvec_cols) < int(inf_f.matvecs) * B.shape[1]

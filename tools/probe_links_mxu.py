@@ -80,19 +80,34 @@ def probe_general_kernel(L, ks=(12, 16)):
     return out
 
 
-def _fma_kernel(reps, bcast, c_ref, x_ref, y_ref):
-    acc = jnp.zeros_like(x_ref[:])
-    nc = c_ref.shape[0]
+def _fma_kernel(reps, bcast, k, nacc, c_ref, x_ref, y_ref):
+    # Both arms index a DIFFERENT coefficient slice per rep. The round-3
+    # probe reused one (k, R) coefficient for every non-broadcast rep, so
+    # `c * x` was a common subexpression — CSE collapsed reps multiplies
+    # into one, inflating that arm's "FLOP rate" ~2x (the reported 15.3
+    # TFLOP/s / 2.4x-penalty numbers in CHIP_QUEUE_r3.log measured the
+    # rewrite, not the hardware). Distinct slices defeat the rewrite.
+    #
+    # ``nacc`` independent accumulator chains model the real kernel's ILP:
+    # the general block kernel interleaves bs=4 acc[a] chains, while a
+    # single chain serializes on the FMA's latency — nacc=1 measures the
+    # latency bound, nacc=4 the kernel-shaped attainable rate.
+    accs = [jnp.zeros_like(x_ref[:]) for _ in range(nacc)]
+    nc = c_ref.shape[0] // (1 if bcast else k)
     for r in range(reps):
         if bcast:
             c = c_ref[r % nc, :].reshape(1, -1)   # (1, R) sublane broadcast
         else:
-            c = c_ref[:]                           # full (k, R), no broadcast
-        acc = acc + c * x_ref[:]
+            j = (r % nc) * k
+            c = c_ref[j:j + k, :]                  # full (k, R), no broadcast
+        accs[r % nacc] = accs[r % nacc] + c * x_ref[:]
+    acc = accs[0]
+    for a in accs[1:]:
+        acc = acc + a
     y_ref[:] = acc
 
 
-def probe_vpu_roofline(k=12, R=512, nb=2048, reps=64, trials=3):
+def probe_vpu_roofline(k=12, R=512, nb=8192, reps=128, trials=5):
     """Attainable VPU broadcast-FMA rate with all operands VMEM-resident.
 
     Measurement rules for this sandbox (BASELINE.md): inputs are
@@ -101,6 +116,14 @@ def probe_vpu_roofline(k=12, R=512, nb=2048, reps=64, trials=3):
     fetches a value, and the rate comes from DIFFERENCING two compiled
     reps-counts — the dispatch overhead and the X/Y HBM passes are
     identical in both, so the delta isolates the in-VMEM FMA work.
+
+    Sizing: the marginal work must clear the tunnel's one-sided ±10 ms
+    jitter. The round-3/first-round-4 shapes (nb=2048, reps 16 vs 64) put
+    only ~1.2 GFLOP in the delta — ~1 ms at 1 TFLOP/s, inside the noise
+    (the non-broadcast delta measured NEGATIVE, CHIP_QUEUE_r4.log
+    probe-links-mxu FIXED). nb=8192, reps 32 vs 128 puts ~9.7 GFLOP in
+    the delta: 1.5-10 ms across the plausible 1-6 TFLOP/s range, resolved
+    by best-of-5 minima.
     """
     rng = np.random.default_rng(1)
     reps_lo = max(reps // 4, 1)
@@ -110,13 +133,14 @@ def probe_vpu_roofline(k=12, R=512, nb=2048, reps=64, trials=3):
     for x in Xs:
         _ = float(jnp.sum(x))
     out = []
-    for bcast in (True, False):
+    for bcast, nacc in ((True, 1), (True, 4), (False, 1), (False, 4)):
         C = jnp.asarray(
-            rng.standard_normal((reps if bcast else k, R)), dtype=jnp.float32)
+            rng.standard_normal((reps if bcast else reps * k, R)),
+            dtype=jnp.float32)
         best = {}
         for nrep in (reps_lo, reps):
             fn = pl.pallas_call(
-                functools.partial(_fma_kernel, nrep, bcast),
+                functools.partial(_fma_kernel, nrep, bcast, k, nacc),
                 grid=(nb,),
                 in_specs=[
                     pl.BlockSpec(C.shape, lambda i: (0, 0),
@@ -141,7 +165,7 @@ def probe_vpu_roofline(k=12, R=512, nb=2048, reps=64, trials=3):
         flops = 2 * (reps - reps_lo) * k * R * nb
         rec = {
             "probe": "vpu_fma_roofline", "k": k, "R": R,
-            "broadcast_coeff": bcast,
+            "broadcast_coeff": bcast, "nacc": nacc,
             "reps_pair": [reps_lo, reps],
             "ms_pair": [round(best[reps_lo] * 1e3, 3),
                         round(best[reps] * 1e3, 3)],
@@ -155,7 +179,7 @@ def probe_vpu_roofline(k=12, R=512, nb=2048, reps=64, trials=3):
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--L", type=int, default=16)
-    ap.add_argument("--reps", type=int, default=64)
+    ap.add_argument("--reps", type=int, default=128)
     ap.add_argument("--interpret-check", action="store_true",
                     help="tiny CPU interpret-mode smoke of the probe kernel")
     args = ap.parse_args()
@@ -165,29 +189,32 @@ def main():
         # correctness: reps x (broadcast FMA) == manual numpy
         k, R, nb, reps = 8, 128, 2, 3
         rng = np.random.default_rng(2)
-        C = rng.standard_normal((reps, R)).astype(np.float32)
         X = rng.standard_normal((k, nb * R)).astype(np.float32)
-        fn = pl.pallas_call(
-            functools.partial(_fma_kernel, reps, True),
-            grid=(nb,),
-            in_specs=[
-                pl.BlockSpec(C.shape, lambda i: (0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((k, R), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-            ],
-            out_specs=pl.BlockSpec((k, R), lambda i: (0, i),
-                                   memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((k, nb * R), jnp.float32),
-            interpret=True,
-        )
-        got = np.asarray(fn(jnp.asarray(C), jnp.asarray(X)))
-        want = np.zeros_like(X)
-        for b in range(nb):
-            sl = slice(b * R, (b + 1) * R)
-            for r in range(reps):
-                want[:, sl] += C[r % reps][None, :] * X[:, sl]
-        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+        for bcast in (True, False):
+            C = rng.standard_normal(
+                (reps if bcast else reps * k, R)).astype(np.float32)
+            fn = pl.pallas_call(
+                functools.partial(_fma_kernel, reps, bcast, k, 2),
+                grid=(nb,),
+                in_specs=[
+                    pl.BlockSpec(C.shape, lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((k, R), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((k, R), lambda i: (0, i),
+                                       memory_space=pltpu.VMEM),
+                out_shape=jax.ShapeDtypeStruct((k, nb * R), jnp.float32),
+                interpret=True,
+            )
+            got = np.asarray(fn(jnp.asarray(C), jnp.asarray(X)))
+            want = np.zeros_like(X)
+            for b in range(nb):
+                sl = slice(b * R, (b + 1) * R)
+                for r in range(reps):
+                    c = C[r][None, :] if bcast else C[r * k:(r + 1) * k]
+                    want[:, sl] += c * X[:, sl]
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
         print("interpret check ok")
         return
 
