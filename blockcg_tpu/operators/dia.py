@@ -119,17 +119,22 @@ class DIAOperator(MatmatMixin):
         if os.environ.get("BLOCKCG_NO_RING"):
             return False
         k = Xt.shape[0]
-        # Capacity gate: the ring's ANY-space X operand extends the field's
-        # live range / forces a layout-satisfying copy in big compositions —
-        # the full-size config-5 run (16.7M rows, 1.07 GB bf16 fields,
-        # ~12 GB peak) OOM'd with ring dispatch and passes without it
-        # (CHIP_QUEUE_r3b.log config5-FULL A/B, 2026-08-19). 512 MB keeps
-        # the measured-win regime (128^3 k=32 f32 = 268 MB: 9.0 vs 6.2
-        # Gnnz/s) and keeps HBM-limit compositions on the windowed path.
-        # BLOCKCG_RING_MAX_MB overrides (0 disables; probes use it to force
-        # either arm — tools/probe_ring_capacity.py pins the OOM numbers).
-        ring_max_mb = int(os.environ.get("BLOCKCG_RING_MAX_MB", "512"))
-        if k * self.n * Xt.dtype.itemsize > ring_max_mb * 1024 * 1024:
+        # The round-3 512 MB capacity gate is GONE: its premise ("the
+        # ring's ANY-space X operand costs ~1 GB extra liveness at
+        # capacity") was refuted by XLA's own buffer assignment — the ring
+        # arm's temp allocation is 0.25 GB SMALLER than windowed at 8.4M
+        # and 16.7M rows, and a ballast bisect put both arms' runtime
+        # boundary at the same 6-8 GB of external live state
+        # (tools/probe_ring_capacity.py, CHIP_QUEUE_r4.log). The round-3
+        # config-5 OOM was the refined-lean DRIVER holding ~7.7 GB at its
+        # peak (fixed: Rn dropped before the last inner slice,
+        # solvers/refine.py); full-size config 5 now runs the ring inner:
+        # 58.5 s vs 73.6 s windowed. BLOCKCG_RING_MAX_MB remains as the
+        # probe/escape valve: unset = unlimited, 0 = ring off (the
+        # probes' windowed arm), any other value = a field-byte cap.
+        ring_max_mb = int(os.environ.get("BLOCKCG_RING_MAX_MB", "-1"))
+        if ring_max_mb >= 0 and (
+                k * self.n * Xt.dtype.itemsize > ring_max_mb * 2**20):
             return False
         p = stencil.plan(self.n, k, self.offsets)
         if p is not None and p.x_reads <= 2.0:

@@ -77,11 +77,15 @@ def _kernel(near, far, H, bs, diags_ref, *refs):
         else:
             lo = W + fi * R
             fi += 1
-        for a in range(bs):
-            for b in range(bs):
+        for b in range(bs):
+            # Read the (lane-shifted — a cross-lane relayout) window once
+            # per (offset, b), not once per (offset, a, b) term: same
+            # hoist as the merged kernel below (bs x fewer relayouts).
+            wb = w_ref[b, :, lo : lo + R]
+            for a in range(bs):
                 # diags are 2D-reshaped (noff*bs*bs, R) to avoid sublane pad
                 c = diags_ref[(d * bs + a) * bs + b, :].reshape(1, R)
-                acc[a] = acc[a] + c * w_ref[b, :, lo : lo + R]
+                acc[a] = acc[a] + c * wb
     for a in range(bs):
         y_ref[:, a, :] = acc[a]
 
@@ -229,22 +233,24 @@ def _m_kernel(near, far, H, bs, k, with_gram, diags_ref, *refs):
         fi_of[d] = fi
         fi += 1
 
-    def window_rows(d, o, b):
-        lo, hi = b * k, (b + 1) * k
-        if d < len(near):
-            if o == 0:
-                return xcur[lo:hi, :]
-            return w_ref[lo:hi, H + o : H + o + R]
-        return far_refs[fi_of[d]][lo:hi, :]
-
     acc = [jnp.zeros((k, R), dtype=y_ref.dtype) for _ in range(bs)]
     for d, o in enumerate(near + far):  # static unroll over site-offsets
+        # One full-m window read per offset instead of bs separate (k, R)
+        # reads. Chip A/B: NEUTRAL (37.6/40.1 -> 37.5/40.1 Gnnz/s at L=16;
+        # CHIP_QUEUE_r4.log probe-links-hoisted) — Mosaic was already
+        # merging the per-(b) reads — kept because it states the intent
+        # (one cross-lane relayout per offset) explicitly. The kernel runs
+        # at ~12% of the measured attainable broadcast-FMA rate
+        # (probe-links-mxu RESIZED), so its bound is elsewhere in the
+        # schedule; see BASELINE.md round-4 matrix-link notes.
+        if d < len(near):
+            wd = xcur[:] if o == 0 else w_ref[:, H + o : H + o + R]
+        else:
+            wd = far_refs[fi_of[d]][:, :]
         for b in range(bs):
-            wb = None
+            wb = wd[b * k : (b + 1) * k, :]
             for a in range(bs):
                 c = diags_ref[(d * bs + a) * bs + b, :].reshape(1, R)
-                if wb is None:
-                    wb = window_rows(d, o, b)
                 acc[a] = acc[a] + c * wb
     for a in range(bs):
         y_ref[a * k : (a + 1) * k, :] = acc[a]

@@ -320,12 +320,25 @@ def solve_refined_lean(
             stagnant = 0
         prev_worst = worst
         parts = []
-        for j in range(0, k, kb):
+        nsl = k // kb
+        for jj in range(nsl):
+            Bs = Rn[jj * kb : (jj + 1) * kb]
+            if jj == nsl - 1:
+                # Rn (a full (k, n) field — 2 GB at full-size config 5) is
+                # dead once its last slice is extracted; dropping it before
+                # the peak-liveness inner solve buys the margin that lets
+                # the ring-path inner fit. Measured boundary (ballast
+                # bisect, CHIP_QUEUE_r4.log probe-ring-capacity): the
+                # 16.7M-row kb=32 inner passes BOTH arms at 6 GB of live
+                # outer state and fails both at 8; the driver's last-slice
+                # ballast was ~7.7 GB with Rn held, ~5.7 GB without.
+                del Rn
             Dj, info_j = _sbcgrq_impl(
-                op, Rn[j : j + kb], jnp.zeros((kb, n), compute_dtype),
+                op, Bs, jnp.zeros((kb, n), compute_dtype),
                 inner_tol, inner_max_iter, qr_passes=qr_passes,
                 replace_every=0, axis_name=None, record_history=False,
             )
+            del Bs
             matvecs += int(info_j.matvecs)
             parts.append(Dj)
         Dt = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)

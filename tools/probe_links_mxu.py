@@ -180,6 +180,8 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--L", type=int, default=16)
     ap.add_argument("--reps", type=int, default=128)
+    ap.add_argument("--skip-roofline", action="store_true",
+                    help="general-kernel measurement only (kernel A/Bs)")
     ap.add_argument("--interpret-check", action="store_true",
                     help="tiny CPU interpret-mode smoke of the probe kernel")
     args = ap.parse_args()
@@ -219,7 +221,8 @@ def main():
         return
 
     probe_general_kernel(args.L)
-    probe_vpu_roofline(reps=args.reps)
+    if not args.skip_roofline:
+        probe_vpu_roofline(reps=args.reps)
 
 
 if __name__ == "__main__":
