@@ -107,6 +107,57 @@ def measure_apply(op, Xt, lengths=(8, 264, 520), trials=3, rounds=3,
     return s
 
 
+def measure_gram_chain(op, Xm, use_ring, lengths=(8, 136, 264),
+                       trials=3, rounds=3):
+    """Seconds per gram-fused merged block apply, loop dependence routed
+    through the kernels' (m, m) ``seed`` operand.
+
+    The artifact-free chain for operators whose donated apply is ILLEGAL
+    (periodic operators: nonzero toroidal wrap coefficients): the field
+    output Y stays loop-local — no XLA while-carry field copy — and the
+    carry is the small Gram, which re-enters the next apply as a real
+    kernel input so the loop body cannot be hoisted (CLAUDE.md benchmark
+    invariant). Same noise handling as measure_apply: per-length MINIMA
+    across rounds x trials, then one least-squares slope."""
+    import functools
+
+    from blockcg_tpu.ops.block_stencil import block_stencil_spmm_m_gram_t
+    from blockcg_tpu.ops.block_stencil_ring import ring_block_spmm_m_gram_t
+    from blockcg_tpu.utils.platform import lsq_slope
+
+    fn = ring_block_spmm_m_gram_t if use_ring else block_stencil_spmm_m_gram_t
+    offsets = op.offsets
+
+    def loop(blocks, X, g0, n):
+        def body(i, g):
+            _, G = fn(blocks, offsets, X, seed=g * jnp.float32(1e-30))
+            return G
+        return jax.lax.fori_loop(0, n, body, g0, unroll=False)
+
+    m = Xm.shape[0]
+    g0 = jnp.zeros((m, m), jnp.float32)
+    compiled = {}
+    for n in lengths:
+        compiled[n] = jax.jit(
+            functools.partial(loop, n=n)).lower(op.blocks, Xm, g0).compile()
+
+    best = {n: float("inf") for n in lengths}
+    for r in range(rounds):
+        for n in lengths:
+            for t in range(trials):
+                gs = g0 + 1e-6 * (r * trials + t + 1)
+                _ = float(jnp.sum(gs))
+                t0 = time.time()
+                g = compiled[n](op.blocks, Xm, gs)
+                _ = float(jnp.sum(g))
+                best[n] = min(best[n], time.time() - t0)
+    s = lsq_slope(best)
+    if s <= 0:
+        nmax = max(lengths)
+        return best[nmax] / nmax
+    return s
+
+
 def calibrate_bw(n_lanes: int = 4 * 1024 * 1024, k: int = 32,
                  lengths=(4, 36, 68)) -> float:
     """Measured achievable HBM bandwidth (GB/s) on THIS chip, in-run.
@@ -261,6 +312,30 @@ def main():
     )
     dt4 = measure_apply(op4, X4)
 
+    # Matrix-valued-link (SU(N)-style) general block kernel at 32^4 — the
+    # problem family the const-hop factorization cannot express, measured
+    # with the gram-seed chain (artifact-free for this periodic operator;
+    # see measure_gram_chain / tools/probe_block_ring.py). Guarded: a
+    # failure here must not take down the headline metric.
+    matrix_link: dict = {}
+    try:
+        from blockcg_tpu.ops import block_stencil_ring
+        from blockcg_tpu.problems import dirac_gauged_matrix
+
+        opm = dirac_gauged_matrix(32, m=0.5, dtype=jnp.float32)
+        k_m = 12
+        Xm = opm.to_internal(jnp.asarray(
+            rng.standard_normal((k_m, opm.n)), dtype=jnp.float32))
+        use_ring = block_stencil_ring.available(
+            opm.ns, opm.bs * k_m, opm.bs, opm.offsets)
+        dt_m = measure_gram_chain(opm, Xm, use_ring)
+        matrix_link = {
+            "matrix_link_gnnzs": round(opm.nnz / dt_m / 1e9, 2),
+            "matrix_link_kernel": "ring" if use_ring else "windowed",
+        }
+    except Exception as e:  # pragma: no cover - chip-env guard
+        matrix_link = {"matrix_link_error": f"{type(e).__name__}: {e}"}
+
     # SBCGrQ time-to-tol on the same config (32 RHS, tol 1e-6).
     B = jnp.asarray(rng.standard_normal((op.n, 32)), dtype=jnp.float32)
     X, info = bc.solve_sbcgrq(op, B, tol=1e-6, max_iter=300)
@@ -300,6 +375,7 @@ def main():
         "sbcgrq_iters": iters,
         "sbcgrq_max_relres": float(jnp.max(info.relres)),
         "dirac32_gnnzs": round(op4.nnz / dt4 / 1e9, 3),
+        **matrix_link,
         "device": str(jax.devices()[0]),
     }))
 

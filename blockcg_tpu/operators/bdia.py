@@ -32,6 +32,12 @@ class BlockDIAOperator(MatmatMixin):
 
     blocks: jax.Array
     offsets: tuple[int, ...]
+    # True iff every coefficient whose SITE column wraps modulo ns is
+    # EXACTLY zero (open-BC builders zero them by construction; periodic
+    # builders ride the toroidal wrap with NONZERO slowest-axis hops).
+    # Gates the ring kernel's donated (in-place) apply, exactly as
+    # DIAOperator.wrap_zero does for the scalar ring kernel.
+    wrap_zero: bool = False
 
     @property
     def bs(self) -> int:
@@ -96,20 +102,54 @@ class BlockDIAOperator(MatmatMixin):
             and not os.environ.get("BLOCKCG_NO_PALLAS")
         )
 
-    def matmat_t(self, Xt: jax.Array) -> jax.Array:
+    def _use_ring(self, Xm) -> bool:
+        """Large-n merged-path dispatch: the rolling-ring block kernel
+        (each X block fetched from HBM once, x_reads = 1.0 vs ~3 windowed
+        — ops/block_stencil_ring.py). Mirrors DIAOperator._use_ring:
+        ``BLOCKCG_NO_RING=1`` disables; ``BLOCKCG_RING_MAX_MB`` is the
+        escape valve (unset = unlimited, 0 = ring off)."""
+        import os
+
+        from blockcg_tpu.ops import block_stencil_ring
+
+        if os.environ.get("BLOCKCG_NO_RING"):
+            return False
+        ring_max_mb = int(os.environ.get("BLOCKCG_RING_MAX_MB", "-1"))
+        if ring_max_mb >= 0 and (
+                Xm.shape[0] * self.ns * Xm.dtype.itemsize
+                > ring_max_mb * 2**20):
+            return False
+        return block_stencil_ring.available(
+            self.ns, Xm.shape[0], self.bs, self.offsets,
+            itemsize=Xm.dtype.itemsize,
+            coeff_itemsize=self.blocks.dtype.itemsize)
+
+    def matmat_t(self, Xt: jax.Array, donate: bool = False) -> jax.Array:
         """Apply to a lanes-major block: merged internal (m, ns), flat
         (k, bs*ns), or the legacy 3D (k, bs, ns) view (used by the
-        distributed wrapper's local shards)."""
-        from blockcg_tpu.ops import block_stencil
+        distributed wrapper's local shards).
+
+        ``donate=True`` asks for the in-place apply (Y aliased onto Xt).
+        Honored only on the merged ring path of a ``wrap_zero`` operator
+        (the one combination where in-place is race-free — see
+        ops/block_stencil_ring.py); elsewhere it is silently a fresh-output
+        apply."""
+        from blockcg_tpu.ops import block_stencil, block_stencil_ring
 
         if Xt.ndim == 2 and Xt.shape[-1] == self.ns:  # merged internal
             Xm = Xt
-            if self._kernel_ok(Xt.dtype) and block_stencil.available_m(
-                self.ns, Xm.shape[0], self.bs, self.offsets
-            ):
-                return block_stencil.block_stencil_spmm_m_t(
-                    self.blocks, self.offsets, Xm
-                )
+            if self._kernel_ok(Xt.dtype):
+                if self._use_ring(Xm):
+                    return block_stencil_ring.ring_block_spmm_m_t(
+                        self.blocks, self.offsets, Xm,
+                        donate=donate and self.wrap_zero,
+                    )
+                if block_stencil.available_m(
+                    self.ns, Xm.shape[0], self.bs, self.offsets
+                ):
+                    return block_stencil.block_stencil_spmm_m_t(
+                        self.blocks, self.offsets, Xm
+                    )
             return self._matmat_m_xla(Xm)
         flat = Xt.ndim == 2
         Xv = Xt.reshape(Xt.shape[0], self.bs, self.ns) if flat else Xt
@@ -121,21 +161,29 @@ class BlockDIAOperator(MatmatMixin):
             Yv = self._matmat_v_xla(Xv)
         return Yv.reshape(Yv.shape[0], self.n) if flat else Yv
 
-    def matmat_gram_t(self, Xt: jax.Array):
-        """Fused (Y = A X, G) on the merged internal view; (Y, None) else."""
-        from blockcg_tpu.ops import block_stencil
+    def matmat_gram_t(self, Xt: jax.Array, donate: bool = False):
+        """Fused (Y = A X, G) on the merged internal view; (Y, None) else.
+
+        ``donate`` as in :meth:`matmat_t` (ring + wrap_zero only)."""
+        from blockcg_tpu.ops import block_stencil, block_stencil_ring
 
         if (
             Xt.ndim == 2 and Xt.shape[-1] == self.ns
             and self._kernel_ok(Xt.dtype)
             and Xt.dtype == jnp.float32 and self.dtype == jnp.float32
-            and block_stencil.available_m(self.ns, Xt.shape[0], self.bs,
-                                          self.offsets)
         ):
-            Ym, Gm = block_stencil.block_stencil_spmm_m_gram_t(
-                self.blocks, self.offsets, Xt
-            )
-            return Ym, self.gram_contract(Gm)
+            if self._use_ring(Xt):
+                Ym, Gm = block_stencil_ring.ring_block_spmm_m_gram_t(
+                    self.blocks, self.offsets, Xt,
+                    donate=donate and self.wrap_zero,
+                )
+                return Ym, self.gram_contract(Gm)
+            if block_stencil.available_m(self.ns, Xt.shape[0], self.bs,
+                                         self.offsets):
+                Ym, Gm = block_stencil.block_stencil_spmm_m_gram_t(
+                    self.blocks, self.offsets, Xt
+                )
+                return Ym, self.gram_contract(Gm)
         return self.matmat_t(Xt), None
 
     def _matmat_m_xla(self, Xm: jax.Array) -> jax.Array:
@@ -173,5 +221,7 @@ class BlockDIAOperator(MatmatMixin):
 
 
 jax.tree_util.register_dataclass(
-    BlockDIAOperator, data_fields=["blocks"], meta_fields=["offsets"]
+    BlockDIAOperator,
+    data_fields=["blocks"],
+    meta_fields=["offsets", "wrap_zero"],
 )

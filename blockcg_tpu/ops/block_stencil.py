@@ -205,8 +205,11 @@ def plan_m(n_sites: int, m: int, bs: int, offsets: tuple[int, ...]):
                  coeff_rows=noff * bs * bs)
 
 
-def _m_kernel(near, far, H, bs, k, with_gram, diags_ref, *refs):
+def _m_kernel(near, far, H, bs, k, with_gram, seeded, diags_ref, *refs):
     nf = len(far)
+    if seeded:
+        s_ref = refs[0]
+        refs = refs[1:]
     if H > 0:
         xprev, xcur, xnext = refs[0], refs[1], refs[2]
         far_refs = refs[3 : 3 + nf]
@@ -266,14 +269,14 @@ def _m_kernel(near, far, H, bs, k, with_gram, diags_ref, *refs):
 
         @pl.when(i0 == 0)
         def _():
-            g_ref[:, :] = g
+            g_ref[:, :] = g + s_ref[:, :] if seeded else g
 
         @pl.when(i0 > 0)
         def _():
             g_ref[:, :] += g
 
 
-def _bsm_impl(blocks, offsets, Xm, with_gram, interpret):
+def _bsm_impl(blocks, offsets, Xm, with_gram, interpret, seed=None):
     noff, bs, _, ns = blocks.shape
     m = Xm.shape[0]
     k = m // bs
@@ -290,11 +293,16 @@ def _bsm_impl(blocks, offsets, Xm, with_gram, interpret):
     blocks_ord = blocks[jnp.asarray(order)] if order != list(range(noff)) else blocks
     diags2d = blocks_ord.reshape(noff * bs * bs, ns)
 
+    seeded = seed is not None
     in_specs = [
         pl.BlockSpec((noff * bs * bs, R), lambda i: (0, i),
                      memory_space=pltpu.VMEM)
     ]
     x_args = []
+    if seeded:
+        in_specs.append(pl.BlockSpec((m, m), lambda i: (0, 0),
+                                     memory_space=pltpu.VMEM))
+        x_args.append(seed)
     if H > 0:
         in_specs += [
             pl.BlockSpec((m, H), lambda i: (0, (i * (R // H) - 1) % nh),
@@ -320,7 +328,8 @@ def _bsm_impl(blocks, offsets, Xm, with_gram, interpret):
         )
         x_args.append(Xm)
 
-    kernel = functools.partial(_m_kernel, p.near, p.far, H, bs, k, with_gram)
+    kernel = functools.partial(_m_kernel, p.near, p.far, H, bs, k, with_gram,
+                               seeded)
     flops = 2 * noff * bs * bs * k * ns + (2 * m * m * ns if with_gram else 0)
     bytes_accessed = 4 * (m * ns * p.x_reads + noff * bs * bs * ns + m * ns)
     scratch = [pltpu.VMEM((m, R + 2 * H), Xm.dtype)] if H > 0 else []
@@ -366,10 +375,16 @@ def block_stencil_spmm_m_gram_t(
     offsets: tuple[int, ...],
     Xm: jax.Array,
     *,
+    seed: jax.Array | None = None,
     interpret: bool = False,
 ):
-    """Merged-layout block-stencil SpMM with the (m, m) Gram fused."""
-    return _bsm_impl(blocks, offsets, Xm, True, interpret)
+    """Merged-layout block-stencil SpMM with the (m, m) Gram fused.
+
+    ``seed`` (optional, (m, m) f32) is added into G — the benchmark-chain
+    dependence hook (same contract as the ring kernel's; it lets a timing
+    loop route its carry through the small G instead of the field, so the
+    chain pays no XLA while-carry field copy)."""
+    return _bsm_impl(blocks, offsets, Xm, True, interpret, seed=seed)
 
 
 def available_m(n_sites: int, m: int, bs: int, offsets: tuple[int, ...]) -> bool:

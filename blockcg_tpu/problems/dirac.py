@@ -119,7 +119,8 @@ def dirac_bdia(
             blocks.append(masked(-H[ax].conj().T, c == 0))
 
     blk = np.stack(blocks)  # (noff, bs, bs, ns)
-    op = BlockDIAOperator(blocks=_host_aware_asarray(blk), offsets=tuple(offsets))
+    op = BlockDIAOperator(blocks=_host_aware_asarray(blk), offsets=tuple(offsets),
+                          wrap_zero=(bc == "open"))
     object.__setattr__(op, "_nnz", int(np.count_nonzero(blk)))
     return op
 
@@ -264,7 +265,8 @@ def dirac_gauged(
             blocks.append(fielded(-H[ax].conj().T, phi_dn, c == 0))
 
     blk = np.stack(blocks)
-    op = BlockDIAOperator(blocks=_host_aware_asarray(blk), offsets=tuple(offsets))
+    op = BlockDIAOperator(blocks=_host_aware_asarray(blk), offsets=tuple(offsets),
+                          wrap_zero=(bc == "open"))
     object.__setattr__(op, "_nnz", int(np.count_nonzero(blk)))
     return op
 
@@ -339,7 +341,8 @@ def dirac_gauged_matrix(
             blocks.append(masked(bwd, c == 0))
 
     blk = np.stack(blocks)
-    op = BlockDIAOperator(blocks=_host_aware_asarray(blk), offsets=tuple(offsets))
+    op = BlockDIAOperator(blocks=_host_aware_asarray(blk), offsets=tuple(offsets),
+                          wrap_zero=(bc == "open"))
     object.__setattr__(op, "_nnz", int(np.count_nonzero(blk)))
     return op
 

@@ -105,6 +105,13 @@ def test_block_stencil_merged_gram():
                                rtol=1e-6, atol=1e-6)
     want_g = np.asarray(Xm, np.float64) @ np.asarray(want_y, np.float64).T
     np.testing.assert_allclose(np.asarray(G), want_g, rtol=1e-4, atol=1e-3)
+    # seed hook: added into G (benchmark-chain dependence, see kernel doc)
+    seed = jnp.asarray(rng.standard_normal((op.bs * 2, op.bs * 2)),
+                       jnp.float32)
+    _, Gs = block_stencil_spmm_m_gram_t(op.blocks, op.offsets, Xm,
+                                        seed=seed, interpret=True)
+    np.testing.assert_allclose(np.asarray(Gs), np.asarray(G + seed),
+                               rtol=1e-5, atol=1e-4)
 
 
 def test_block_stencil_duplicate_offsets():

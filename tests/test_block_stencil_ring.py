@@ -1,0 +1,157 @@
+"""Rolling-ring BLOCK-stencil SpMM kernel tests (T-K1 matrix-link large-n
+path), interpret mode on CPU.
+
+ops/block_stencil_ring.py streams the merged spin-major field through a
+manually-DMA'd VMEM ring (x_reads = 1.0) — the round-4 fix for the general
+matrix-link kernel's measured 31.1/26.7 Gnnz/s at 32^4 (~42% of its own
+windowed HBM model, BASELINE.md round-4 matrix-link notes). Oracles are
+scipy assemblies / the operator's XLA fallback in f64.
+"""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from blockcg_tpu.ops import block_stencil_ring
+from blockcg_tpu.problems import bdia_scipy, dirac_bdia, dirac_gauged_matrix
+
+
+def _merged(op, X):
+    """(n, k) column block -> merged spin-major (m, ns) view."""
+    return op.to_internal(jnp.asarray(X.T))
+
+
+@pytest.mark.parametrize("bc,k", [("periodic", 2), ("open", 2),
+                                  ("periodic", 4)])
+def test_ring_block_matches_scipy(bc, k):
+    L = 8  # ns = 4096: several ring wraps; t-offset 512 exercises far slots
+    op = dirac_bdia(L, m=0.5, bc=bc, dtype=jnp.float32)
+    assert block_stencil_ring.available(op.ns, op.bs * k, op.bs, op.offsets)
+    a = bdia_scipy(op)
+    rng = np.random.default_rng(0)
+    X = rng.standard_normal((op.n, k)).astype(np.float32)
+    Ym = block_stencil_ring.ring_block_spmm_m_t(
+        op.blocks, op.offsets, _merged(op, X), interpret=True)
+    got = np.asarray(op.from_internal(Ym)).T
+    want = a @ X
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
+
+
+def test_ring_block_matrix_links_matches_scipy():
+    """The genuine matrix-link (per-site orthogonal U) subject."""
+    op = dirac_gauged_matrix(8, m=0.5, dtype=jnp.float32)
+    a = bdia_scipy(op)
+    rng = np.random.default_rng(1)
+    k = 2
+    X = rng.standard_normal((op.n, k)).astype(np.float32)
+    Ym = block_stencil_ring.ring_block_spmm_m_t(
+        op.blocks, op.offsets, _merged(op, X), interpret=True)
+    got = np.asarray(op.from_internal(Ym)).T
+    want = a @ X
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
+
+
+def test_ring_block_gram_and_seed():
+    op = dirac_bdia(8, m=0.5, bc="periodic", dtype=jnp.float32)
+    rng = np.random.default_rng(2)
+    k = 2
+    m = op.bs * k
+    Xm = jnp.asarray(rng.standard_normal((m, op.ns)), jnp.float32)
+    Y0 = block_stencil_ring.ring_block_spmm_m_t(
+        op.blocks, op.offsets, Xm, interpret=True)
+    Y, G = block_stencil_ring.ring_block_spmm_m_gram_t(
+        op.blocks, op.offsets, Xm, interpret=True)
+    np.testing.assert_allclose(np.asarray(Y), np.asarray(Y0),
+                               rtol=1e-6, atol=1e-6)
+    wantG = np.asarray(Xm, np.float64) @ np.asarray(Y0, np.float64).T
+    assert np.abs(np.asarray(G, np.float64) - wantG).max() / np.abs(
+        wantG).max() < 1e-5
+    # seed is added into G (the benchmark-chain dependence hook)
+    seed = jnp.asarray(rng.standard_normal((m, m)), jnp.float32)
+    _, Gs = block_stencil_ring.ring_block_spmm_m_gram_t(
+        op.blocks, op.offsets, Xm, seed=seed, interpret=True)
+    np.testing.assert_allclose(np.asarray(Gs), np.asarray(G + seed),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_ring_block_bf16_accumulates_f32():
+    op = dirac_bdia(8, m=0.5, bc="periodic", dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    Xm = jnp.asarray(rng.standard_normal((8, op.ns)), jnp.float32)
+    want = block_stencil_ring.ring_block_spmm_m_t(
+        op.blocks, op.offsets, Xm, interpret=True)
+    Yb = block_stencil_ring.ring_block_spmm_m_t(
+        op.blocks.astype(jnp.bfloat16), op.offsets,
+        Xm.astype(jnp.bfloat16), interpret=True)
+    assert Yb.dtype == jnp.bfloat16
+    ref = np.asarray(want, np.float64)
+    # bf16 stores ~8e-3 relative; accumulation stays f32
+    assert np.abs(np.asarray(Yb, np.float64) - ref).max() / np.abs(
+        ref).max() < 5e-2
+
+
+def test_ring_block_plan_rejects():
+    offs = (0, 1, -1, 64, -64, 512, -512)
+    # m not a multiple of the 8-row sublane tile
+    assert block_stencil_ring.plan(4096, 12, 4, offs) is None
+    # ns below the floor / not a multiple of 128
+    assert block_stencil_ring.plan(256, 8, 4, offs) is None
+    assert not block_stencil_ring.available(4096 + 64, 8, 4, offs)
+
+
+def test_ring_block_donate_matches_fresh():
+    """Donated (Y aliased onto Xm) vs fresh, open-BC (wrap_zero) operator.
+
+    Interpret mode exercises the aliasing plumbing but materializes the
+    output separately, so it cannot reproduce the wrap-read hazard —
+    test_ring_block_onchip_smoke covers that on hardware."""
+    op = dirac_bdia(8, m=0.5, bc="open", dtype=jnp.float32)
+    assert op.wrap_zero
+    rng = np.random.default_rng(4)
+    Xm = jnp.asarray(rng.standard_normal((8, op.ns)), jnp.float32)
+    fresh = block_stencil_ring.ring_block_spmm_m_t(
+        op.blocks, op.offsets, Xm, interpret=True)
+    donated = block_stencil_ring.ring_block_spmm_m_t(
+        op.blocks, op.offsets, Xm, interpret=True, donate=True)
+    np.testing.assert_array_equal(np.asarray(fresh), np.asarray(donated))
+
+
+def test_ring_block_operator_dispatch_gate():
+    """wrap_zero gates donation; periodic builders must NOT set it (their
+    slowest-axis hop coefficients ride the toroidal wrap nonzero)."""
+    assert dirac_bdia(4, bc="open").wrap_zero
+    assert not dirac_bdia(4, bc="periodic").wrap_zero
+    assert dirac_gauged_matrix(4, bc="open").wrap_zero
+    assert not dirac_gauged_matrix(4, bc="periodic").wrap_zero
+
+
+def test_ring_block_onchip_smoke():
+    """Ring block kernel vs oracle, fresh + donated + gram — the on-chip
+    regression entry (manual-DMA kernel family: unawaited in-flight DMAs
+    abort on hardware only; donated wrap reads need wrap_zero). On CPU this
+    runs interpret mode; under BLOCKCG_TEST_TPU=1 it executes the real
+    Mosaic kernel."""
+    import jax
+
+    interp = jax.default_backend() != "tpu"
+    op = dirac_bdia(8, m=0.5, bc="open", dtype=jnp.float32)
+    a = bdia_scipy(op)
+    rng = np.random.default_rng(5)
+    k = 2
+    X = rng.standard_normal((op.n, k)).astype(np.float32)
+    want = a @ X
+    for donate in (False, True):
+        Ym = block_stencil_ring.ring_block_spmm_m_t(
+            op.blocks, op.offsets, _merged(op, X),
+            interpret=interp, donate=donate)
+        got = np.asarray(op.from_internal(Ym)).T
+        assert np.abs(got - want).max() / np.abs(want).max() < 1e-5, (
+            f"donate={donate}")
+    Ym, G = block_stencil_ring.ring_block_spmm_m_gram_t(
+        op.blocks, op.offsets, _merged(op, X), interpret=interp)
+    got = np.asarray(op.from_internal(Ym)).T
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
+    Xm = np.asarray(_merged(op, X), np.float64)
+    wantG = Xm @ np.asarray(Ym, np.float64).T
+    assert np.abs(np.asarray(G, np.float64) - wantG).max() / np.abs(
+        wantG).max() < 1e-5
