@@ -18,6 +18,7 @@ from blockcg_tpu.problems.dirac_eo import (
     EOContext,
     dirac_eo,
     dirac_gauged_eo,
+    dirac_gauged_matrix_eo,
     eo_assemble,
     eo_split,
     solve_dirac_eo,
@@ -49,6 +50,7 @@ __all__ = [
     "EOContext",
     "dirac_eo",
     "dirac_gauged_eo",
+    "dirac_gauged_matrix_eo",
     "eo_assemble",
     "eo_split",
     "solve_dirac_eo",

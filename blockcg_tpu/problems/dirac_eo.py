@@ -31,7 +31,8 @@ from blockcg_tpu.operators.cbdia import ConstBlockDIAOperator, detect_slabs
 from blockcg_tpu.operators.schur import SchurEvenOperator
 from blockcg_tpu.problems.dirac import BS, _NDIM, hopping_matrices
 
-__all__ = ["dirac_eo", "dirac_gauged_eo", "eo_split", "eo_assemble",
+__all__ = ["dirac_eo", "dirac_gauged_eo", "dirac_gauged_matrix_eo",
+           "eo_split", "eo_assemble",
            "solve_dirac_eo", "solve_dirac_eo_dist", "solve_dirac_eo_shifted",
            "EOContext"]
 
@@ -286,6 +287,111 @@ def dirac_gauged_eo(
         ns=ns, bs=2 * BS if cplx else BS,
         cdtype=(jnp.complex64 if np_dtype == np.complex64 else
                 jnp.complex128) if cplx else None,
+    )
+
+
+def _parity_hop_matrix(L: int, H: np.ndarray, U: np.ndarray,
+                       target_parity: int, bc: str, np_dtype):
+    """Half-lattice hop with per-site MATRIX links — a BlockDIAOperator.
+
+    The matrix-link (SU(N)-style) analog of ``_parity_hop``: link matrices
+    cannot factor into (constant spin block) x (scalar mask), so the hops
+    carry full per-site bs x bs blocks grouped by half-index offset. On the
+    half lattice they ride the general block-stencil kernels — the ring
+    schedule (ops/block_stencil_ring.py) at large L.
+
+    Hop convention: A = c I - H_total, so the +mu hop block at row site s
+    is +U_mu(s) H_mu and the -mu block is (U_mu(s-mu) H_mu)^H (the
+    Hermitian pair anchored at the neighbor), matching
+    problems.dirac.dirac_gauged_matrix's A-blocks up to the global sign."""
+    ns2 = L**_NDIM // 2
+    t, z, y, x = _half_coords(L, target_parity)
+    coords = [t, z, y, x]
+    s_full = ((t * L + z) * L + y) * L + x
+
+    diag: dict = {}  # soff -> (BS, BS, ns2) accumulated per-site blocks
+    for ax in range(_NDIM):
+        for sgn in (+1, -1):
+            nc = [c.copy() for c in coords]
+            nc[ax] = coords[ax] + sgn
+            wrap = (nc[ax] < 0) | (nc[ax] >= L)
+            nc[ax] = nc[ax] % L
+            hprime = _half_index(L, *nc)
+            valid = np.ones(ns2, bool) if bc == "periodic" else ~wrap
+            if sgn > 0:
+                blk = np.einsum("sij,jk->sik", U[ax][s_full], H[ax])
+            else:
+                nfull = ((nc[0] * L + nc[1]) * L + nc[2]) * L + nc[3]
+                blk = np.conj(
+                    np.einsum("sij,jk->sik", U[ax][nfull], H[ax])
+                ).transpose(0, 2, 1)
+            off_vec = (hprime - np.arange(ns2)) % ns2
+            for off in np.unique(off_vec[valid]):
+                mask = valid & (off_vec == off)
+                soff = int(((off + ns2 // 2) % ns2) - ns2 // 2)
+                acc = diag.setdefault(
+                    soff, np.zeros((BS, BS, ns2), np_dtype))
+                acc[:, :, mask] += blk[mask].transpose(1, 2, 0)
+
+    from blockcg_tpu.operators.bdia import BlockDIAOperator
+    from blockcg_tpu.problems.dirac import _host_aware_asarray
+
+    offsets = sorted(diag)
+    blocks = np.stack([diag[o] for o in offsets])
+    # open BC: every modulus-wrapping column read has a zero block (the
+    # slowest-axis flat wrap IS the lattice t-wrap, masked off; faster-axis
+    # hops never wrap the half-index modulus) — same argument as the full-
+    # lattice builders, so the donated ring apply is legal.
+    op = BlockDIAOperator(
+        blocks=_host_aware_asarray(blocks), offsets=tuple(offsets),
+        wrap_zero=(bc == "open"))
+    object.__setattr__(op, "_nnz", int(np.count_nonzero(blocks)))
+    return op
+
+
+def dirac_gauged_matrix_eo(
+    L: int, m: float = 0.5, bc: str = "periodic", dtype=jnp.float32,
+    seed: int = 7, gauge_seed: int = 11,
+) -> EOContext:
+    """Even-odd Schur form of the MATRIX-link (SU(N)-style) gauged operator.
+
+    Matches ``problems.dirac_gauged_matrix(L, m, bc, dtype, seed,
+    gauge_seed)`` exactly (same link-field RNG sequence). The parity hops
+    are general BlockDIAOperators on the half lattice — the one gauged
+    family whose hops cannot ride the const-hop MXU kernel — so the Schur
+    solve runs the general block-stencil kernels (the ring schedule at
+    large L). Real dtypes carry orthogonal links (the TPU path); complex
+    dtypes unitary links (CPU/oracle path, like dirac_gauged_matrix)."""
+    if bc not in ("periodic", "open"):
+        raise ValueError(f"bc must be 'periodic' or 'open', got {bc!r}")
+    if L % 2:
+        raise ValueError("even-odd reduction needs even L")
+    if L < 4:
+        raise ValueError("even-odd reduction needs L >= 4")
+    np_dtype = np.dtype(jnp.dtype(dtype).name)
+    cplx = np.issubdtype(np_dtype, np.complexfloating)
+    H = hopping_matrices(seed, hermitian=cplx).astype(np_dtype)
+    ns = L**_NDIM
+    grng = np.random.default_rng(gauge_seed)
+    g = grng.standard_normal((_NDIM, ns, BS, BS))
+    if cplx:
+        g = g + 1j * grng.standard_normal((_NDIM, ns, BS, BS))
+    U, _ = np.linalg.qr(g)
+    U = U.astype(np_dtype)
+
+    c = float(m * m + 2.0 * _NDIM)
+    hop_eo = _parity_hop_matrix(L, H, U, 0, bc, np_dtype)
+    hop_oe = _parity_hop_matrix(L, H, U, 1, bc, np_dtype)
+    schur = SchurEvenOperator(hop_eo=hop_eo, hop_oe=hop_oe, c=c)
+
+    te, ze, ye, xe = _half_coords(L, 0)
+    to, zo, yo, xo = _half_coords(L, 1)
+    even_sites = ((te * L + ze) * L + ye) * L + xe
+    odd_sites = ((to * L + zo) * L + yo) * L + xo
+    return EOContext(
+        schur=schur, hop_eo=hop_eo, hop_oe=hop_oe, c=c,
+        even_sites=even_sites, odd_sites=odd_sites,
+        ns=ns, bs=BS,
     )
 
 

@@ -260,3 +260,71 @@ def test_shifted_eo_u1_complex():
         R = (a + sg * np.eye(full.n)) @ np.asarray(Xs[j]) - B
         rel = (np.linalg.norm(R, axis=0) / np.linalg.norm(B, axis=0)).max()
         assert rel < 1e-9, (sg, rel)
+
+
+def test_gauged_matrix_eo_hops_match_A_blocks():
+    """Matrix-link parity hops == the full matrix's even/odd off-diagonal
+    blocks (sign convention A = cI - H)."""
+    from blockcg_tpu.problems import dirac_gauged_matrix
+    from blockcg_tpu.problems.dirac_eo import dirac_gauged_matrix_eo
+
+    L = 4
+    full = dirac_gauged_matrix(L, m=0.5, dtype=jnp.float64)
+    a = bdia_scipy(full).toarray()
+    eo = dirac_gauged_matrix_eo(L, m=0.5, dtype=jnp.float64)
+    er = _site_rows(eo.even_sites, eo.ns, eo.bs)
+    orr = _site_rows(eo.odd_sites, eo.ns, eo.bs)
+    H_eo = -a[np.ix_(er, orr)]
+    H_oe = -a[np.ix_(orr, er)]
+    rng = np.random.default_rng(90)
+    k = 3
+    Xo = rng.standard_normal((len(orr), k))
+    Xe = rng.standard_normal((len(er), k))
+    got_eo = np.asarray(eo.hop_eo.matmat_t(jnp.asarray(Xo.T))).T
+    got_oe = np.asarray(eo.hop_oe.matmat_t(jnp.asarray(Xe.T))).T
+    np.testing.assert_allclose(got_eo, H_eo @ Xo, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(got_oe, H_oe @ Xe, rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(a[np.ix_(er, er)],
+                               eo.c * np.eye(len(er)), atol=1e-12)
+
+
+@pytest.mark.parametrize("bc", ["periodic", "open"])
+def test_gauged_matrix_eo_solve_matches_full(bc):
+    """Matrix-link even-odd Schur solve == direct solve of the full
+    matrix-link operator, and Schur cuts the iteration count."""
+    from blockcg_tpu.problems import dirac_gauged_matrix
+    from blockcg_tpu.problems.dirac_eo import dirac_gauged_matrix_eo
+
+    L = 4
+    eo = dirac_gauged_matrix_eo(L, m=0.5, bc=bc, dtype=jnp.float64)
+    full = dirac_gauged_matrix(L, m=0.5, bc=bc, dtype=jnp.float64)
+    a = bdia_scipy(full)
+    rng = np.random.default_rng(91)
+    B = jnp.asarray(rng.standard_normal((full.n, 3)))
+    X, info = solve_dirac_eo(eo, B, tol=1e-11, max_iter=500)
+    R = a @ np.asarray(X) - np.asarray(B)
+    rel = (np.linalg.norm(R, axis=0)
+           / np.linalg.norm(np.asarray(B), axis=0)).max()
+    assert rel < 1e-9
+    from blockcg_tpu.solvers.sbcgrq import solve_sbcgrq
+
+    _, i_full = solve_sbcgrq(full, B, tol=1e-11, max_iter=500)
+    assert int(info.iterations) < int(i_full.iterations)
+
+
+def test_gauged_matrix_eo_f32_solve():
+    """f32 end-to-end matrix-link even-odd solve through the general block
+    kernels (interpret on CPU; on-chip smoke eligible)."""
+    from blockcg_tpu.problems import dirac_gauged_matrix
+    from blockcg_tpu.problems.dirac_eo import dirac_gauged_matrix_eo
+
+    L = 4
+    eo = dirac_gauged_matrix_eo(L, m=0.5, dtype=jnp.float32)
+    full = dirac_gauged_matrix(L, m=0.5, dtype=jnp.float32)
+    rng = np.random.default_rng(92)
+    B = jnp.asarray(rng.standard_normal((full.n, 4)), dtype=jnp.float32)
+    X, info = solve_dirac_eo(eo, B, tol=1e-5, max_iter=300)
+    R = np.asarray(full(X), np.float64) - np.asarray(B, np.float64)
+    rel = (np.linalg.norm(R, axis=0)
+           / np.linalg.norm(np.asarray(B, np.float64), axis=0)).max()
+    assert rel < 1e-4
