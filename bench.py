@@ -324,8 +324,13 @@ def main():
 
         opm = dirac_gauged_matrix(32, m=0.5, dtype=jnp.float32)
         k_m = 12
+        # Dedicated rng (advisor r4): drawing from the shared `rng` here
+        # would shift the headline SBCGrQ B draw below relative to every
+        # pre-round-4 baseline row (and make it depend on whether this
+        # guarded block fails before its draw).
+        rng_m = np.random.default_rng(1234)
         Xm = opm.to_internal(jnp.asarray(
-            rng.standard_normal((k_m, opm.n)), dtype=jnp.float32))
+            rng_m.standard_normal((k_m, opm.n)), dtype=jnp.float32))
         use_ring = block_stencil_ring.available(
             opm.ns, opm.bs * k_m, opm.bs, opm.offsets)
         dt_m = measure_gram_chain(opm, Xm, use_ring)
@@ -335,6 +340,37 @@ def main():
         }
     except Exception as e:  # pragma: no cover - chip-env guard
         matrix_link = {"matrix_link_error": f"{type(e).__name__}: {e}"}
+
+    # The literal north-star composition (VERDICT r4 item 5): "SBCGrQ
+    # converges to ||R||/||B|| <= 1e-10 on a 1M-row 3D Laplacian with 32
+    # RHS" — run at 128^3 = 2.1M rows (> the 1M the contract names) through
+    # the current stack (ring kernel + donation + f64-outer refinement) and
+    # recorded as one number in the driver JSON. Guarded like matrix_link.
+    northstar: dict = {}
+    try:
+        from blockcg_tpu.solvers.refine import solve_refined
+
+        op_ns = laplacian_dia((128, 128, 128), dtype=jnp.float32)
+        rng_ns = np.random.default_rng(5678)
+        B_ns = jnp.asarray(rng_ns.standard_normal((op_ns.n, 32)),
+                           dtype=jnp.float32)
+        X_ns, info_ns = solve_refined(op_ns, B_ns, tol=1e-10)  # warm/compile
+        _ = int(info_ns.iterations)
+        ns_s = float("inf")
+        for t in range(2):
+            bs_ns = B_ns * (1.0 + 1e-6 * (t + 1))
+            _ = float(jnp.sum(bs_ns))
+            t0 = time.time()
+            X_ns, info_ns = solve_refined(op_ns, bs_ns, tol=1e-10)
+            _ = int(info_ns.iterations)
+            ns_s = min(ns_s, time.time() - t0)
+        northstar = {
+            "northstar_1e10_s": round(ns_s, 3),
+            "northstar_relres": float(jnp.max(info_ns.relres)),
+            "northstar_rows": op_ns.n,
+        }
+    except Exception as e:  # pragma: no cover - chip-env guard
+        northstar = {"northstar_error": f"{type(e).__name__}: {e}"}
 
     # SBCGrQ time-to-tol on the same config (32 RHS, tol 1e-6).
     B = jnp.asarray(rng.standard_normal((op.n, 32)), dtype=jnp.float32)
@@ -376,6 +412,7 @@ def main():
         "sbcgrq_max_relres": float(jnp.max(info.relres)),
         "dirac32_gnnzs": round(op4.nnz / dt4 / 1e9, 3),
         **matrix_link,
+        **northstar,
         "device": str(jax.devices()[0]),
     }))
 

@@ -44,6 +44,35 @@ class LinearOperator(Protocol):
     def __call__(self, X: jax.Array) -> jax.Array: ...
 
 
+def assert_wrap_zero(vals, offsets, ns: int, what: str = "operator") -> None:
+    """Verify the ``wrap_zero`` contract NUMERICALLY at build time.
+
+    ``wrap_zero=True`` authorizes the ring kernels' donated (in-place)
+    apply, whose race-freedom depends on every coefficient whose COLUMN
+    wraps modulo ``ns`` being exactly zero — a violation corrupts silently
+    on hardware only (toroidal tail re-reads see overwritten data;
+    interpret mode cannot catch it). This check costs one host pass over
+    the wrap slices of each diagonal; builders that set wrap_zero must
+    call it on their host-side value arrays (advisor r4).
+
+    ``vals``: (noff, ..., ns) host array, site axis last. Diagonal ``d``
+    couples site ``s`` to column ``(s + offsets[d]) mod ns``; sites whose
+    column computation leaves [0, ns) are the wrap-crossing ones.
+    """
+    import numpy as np
+
+    for d, o in enumerate(offsets):
+        if o == 0 or abs(o) >= ns:
+            continue
+        wrap = vals[d, ..., ns - o:] if o > 0 else vals[d, ..., : -o]
+        nz = int(np.count_nonzero(np.asarray(wrap)))
+        if nz:
+            raise AssertionError(
+                f"{what}: wrap_zero claimed, but diagonal {d} "
+                f"(offset {o:+d}) has {nz} nonzero wrap-crossing "
+                "coefficients — the donated ring apply would race")
+
+
 class MatmatMixin:
     """Fallback glue: ``op(X)``, and each of matmat/matmat_t in terms of the
     other (subclasses must define at least one natively)."""

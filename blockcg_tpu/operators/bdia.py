@@ -119,6 +119,19 @@ class BlockDIAOperator(MatmatMixin):
                 Xm.shape[0] * self.ns * Xm.dtype.itemsize
                 > ring_max_mb * 2**20):
             return False
+        # Small-n guard, mirroring DIAOperator._use_ring: when the windowed
+        # plan re-reads X at most twice the field is (near-)VMEM-resident and
+        # the windowed kernel wins big (chip L=8 probe: windowed 286 vs ring
+        # 79.6 Gnnz/s, CHIP_QUEUE_r4.log:242-243; crossover measured in
+        # CHIP_QUEUE_r5.log probe-block-ring-crossover). Ring pays off only
+        # once the windowed schedule starts re-streaming X from HBM.
+        from blockcg_tpu.ops import block_stencil
+
+        if not os.environ.get("BLOCKCG_FORCE_RING"):
+            p = block_stencil.plan_m(
+                self.ns, Xm.shape[0], self.bs, self.offsets)
+            if p is not None and p.x_reads <= 2.0:
+                return False
         return block_stencil_ring.available(
             self.ns, Xm.shape[0], self.bs, self.offsets,
             itemsize=Xm.dtype.itemsize,

@@ -136,9 +136,12 @@ class DIAOperator(MatmatMixin):
         if ring_max_mb >= 0 and (
                 k * self.n * Xt.dtype.itemsize > ring_max_mb * 2**20):
             return False
-        p = stencil.plan(self.n, k, self.offsets)
-        if p is not None and p.x_reads <= 2.0:
-            return False
+        # BLOCKCG_FORCE_RING=1 skips only the small-n preference guard
+        # (probe/crossover valve) — availability still decides below.
+        if not os.environ.get("BLOCKCG_FORCE_RING"):
+            p = stencil.plan(self.n, k, self.offsets)
+            if p is not None and p.x_reads <= 2.0:
+                return False
         return stencil_ring.available(self.n, k, self.offsets,
                                       Xt.dtype.itemsize)
 

@@ -180,6 +180,12 @@ def block_stencil_spmm_t(
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=int(bytes_accessed), transcendentals=0
         ),
+        # Mosaic's spill/staging temporaries exceed the 16 MiB scoped
+        # default on top of the planner's declared blocks (chip-measured:
+        # 20.69 MiB wanted at L=8, noff=15, k=4 — CHIP_QUEUE_r5.log
+        # probe-matrix-eo first run). Same headroom fix as fused.py.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
     )(diags2d, *x_args)
     return Yv.reshape(k, bs * ns) if flat else Yv
@@ -353,6 +359,10 @@ def _bsm_impl(blocks, offsets, Xm, with_gram, interpret, seed=None):
         cost_estimate=pl.CostEstimate(
             flops=flops, bytes_accessed=int(bytes_accessed), transcendentals=0
         ),
+        # 48 MiB scoped-vmem headroom over the planner budget — see the
+        # 3D-view call above (Mosaic staging temps beyond declared blocks).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
     )(diags2d, *x_args)
 

@@ -102,6 +102,10 @@ def plan(n_sites: int, m: int, bs: int, offsets: tuple[int, ...],
                     + 2 * itemsize * m * R            # out (double-buffered)
                     + 2 * coeff_itemsize * cr * R     # diags (double-buffered)
                     + 4 * m * R                       # f32 accumulators
+                    + 3 * 4 * m * m   # gram-fused variant: seed + (m, m)
+                                      # Gram out double-buffered, f32
+                                      # (advisor r4: keep the model honest
+                                      # as m grows; ~48 KB at m=64)
                 )
                 if vmem <= budget:
                     groups: dict[int, list[int]] = {}

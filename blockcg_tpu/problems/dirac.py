@@ -26,6 +26,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from blockcg_tpu.operators import BSROperator
+from blockcg_tpu.operators.base import assert_wrap_zero
 from blockcg_tpu.operators.bdia import BlockDIAOperator
 
 BS = 4  # spin-block size
@@ -119,6 +120,8 @@ def dirac_bdia(
             blocks.append(masked(-H[ax].conj().T, c == 0))
 
     blk = np.stack(blocks)  # (noff, bs, bs, ns)
+    if bc == "open":
+        assert_wrap_zero(blk, offsets, ns, what=f"dirac builder (L={L}, open)")
     op = BlockDIAOperator(blocks=_host_aware_asarray(blk), offsets=tuple(offsets),
                           wrap_zero=(bc == "open"))
     object.__setattr__(op, "_nnz", int(np.count_nonzero(blk)))
@@ -265,6 +268,8 @@ def dirac_gauged(
             blocks.append(fielded(-H[ax].conj().T, phi_dn, c == 0))
 
     blk = np.stack(blocks)
+    if bc == "open":
+        assert_wrap_zero(blk, offsets, ns, what=f"dirac builder (L={L}, open)")
     op = BlockDIAOperator(blocks=_host_aware_asarray(blk), offsets=tuple(offsets),
                           wrap_zero=(bc == "open"))
     object.__setattr__(op, "_nnz", int(np.count_nonzero(blk)))
@@ -341,6 +346,8 @@ def dirac_gauged_matrix(
             blocks.append(masked(bwd, c == 0))
 
     blk = np.stack(blocks)
+    if bc == "open":
+        assert_wrap_zero(blk, offsets, ns, what=f"dirac builder (L={L}, open)")
     op = BlockDIAOperator(blocks=_host_aware_asarray(blk), offsets=tuple(offsets),
                           wrap_zero=(bc == "open"))
     object.__setattr__(op, "_nnz", int(np.count_nonzero(blk)))

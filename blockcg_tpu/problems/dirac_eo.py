@@ -341,7 +341,13 @@ def _parity_hop_matrix(L: int, H: np.ndarray, U: np.ndarray,
     # open BC: every modulus-wrapping column read has a zero block (the
     # slowest-axis flat wrap IS the lattice t-wrap, masked off; faster-axis
     # hops never wrap the half-index modulus) — same argument as the full-
-    # lattice builders, so the donated ring apply is legal.
+    # lattice builders, so the donated ring apply is legal. The comment-
+    # level argument is VERIFIED numerically at build time (advisor r4):
+    if bc == "open":
+        from blockcg_tpu.operators.base import assert_wrap_zero
+
+        assert_wrap_zero(blocks, offsets, ns2,
+                         what=f"parity hop (L={L}, to={target_parity}, open)")
     op = BlockDIAOperator(
         blocks=_host_aware_asarray(blocks), offsets=tuple(offsets),
         wrap_zero=(bc == "open"))

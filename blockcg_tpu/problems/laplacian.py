@@ -60,6 +60,11 @@ def laplacian_dia(shape: tuple[int, ...], dtype=jnp.float32) -> DIAOperator:
     offsets, diags = _laplacian_bands(tuple(shape), np_dtype)
     # Dirichlet: every boundary (hence every mod-n wrap-crossing)
     # coefficient is exactly zero -> the donated ring apply is race-free.
+    # Verified numerically at build time (advisor r4):
+    from blockcg_tpu.operators.base import assert_wrap_zero
+
+    assert_wrap_zero(diags, offsets, diags.shape[-1],
+                     what=f"laplacian_dia{tuple(shape)}")
     return DIAOperator(diags=jnp.asarray(diags), offsets=offsets,
                        wrap_zero=True)
 

@@ -125,6 +125,84 @@ def test_ring_block_operator_dispatch_gate():
     assert not dirac_gauged_matrix(4, bc="periodic").wrap_zero
 
 
+def test_assert_wrap_zero_catches_violation():
+    """The build-time numeric wrap_zero check (advisor r4): a periodic
+    operator's blocks — nonzero slowest-axis toroidal wraps — must FAIL the
+    check its open sibling passes (hardware corrupts silently otherwise)."""
+    from blockcg_tpu.operators.base import assert_wrap_zero
+
+    op_open = dirac_bdia(4, bc="open")
+    # passes (also exercised inside every open builder already)
+    assert_wrap_zero(np.asarray(op_open.blocks), op_open.offsets, op_open.ns)
+    op_per = dirac_bdia(4, bc="periodic")
+    with pytest.raises(AssertionError, match="wrap_zero claimed"):
+        assert_wrap_zero(np.asarray(op_per.blocks), op_per.offsets,
+                         op_per.ns)
+    # EO half-lattice open hops pass it too (they authorize the donated
+    # ring apply on a comment-level argument — now numerically verified)
+    from blockcg_tpu.problems.dirac_eo import dirac_gauged_matrix_eo
+
+    eo = dirac_gauged_matrix_eo(4, bc="open")
+    for h in (eo.hop_eo, eo.hop_oe):
+        assert h.wrap_zero
+        assert_wrap_zero(np.asarray(h.blocks), h.offsets, h.ns)
+
+
+def test_ring_block_dispatch_small_n_guard(monkeypatch):
+    """BlockDIAOperator._use_ring refuses the ring when the windowed plan is
+    (near-)VMEM-resident (x_reads <= 2) — mirror of the scalar DIA guard.
+
+    Chip basis: L=8 merged-path windowed 286 vs ring 79.6 Gnnz/s
+    (CHIP_QUEUE_r4.log); the guard keeps small matrix-link solves on the
+    windowed kernel. Shape-only ShapeDtypeStructs keep the large-L cases
+    allocation-free."""
+    import jax
+
+    from blockcg_tpu.operators.bdia import BlockDIAOperator
+    from blockcg_tpu.ops import block_stencil
+
+    monkeypatch.delenv("BLOCKCG_NO_RING", raising=False)
+    monkeypatch.delenv("BLOCKCG_RING_MAX_MB", raising=False)
+
+    def op_and_field(L, k=12):
+        offs = [0]
+        for ax in range(4):
+            st = L ** ax
+            offs += [st, -st]
+            if ax < 3:
+                offs += [-(L - 1) * st, (L - 1) * st]
+        ns, bs = L ** 4, 4
+        op = BlockDIAOperator(
+            blocks=jax.ShapeDtypeStruct((len(offs), bs, bs, ns),
+                                        jnp.float32),
+            offsets=tuple(offs))
+        Xm = jax.ShapeDtypeStruct((bs * k, ns), jnp.float32)
+        return op, Xm
+
+    # L=8: windowed x_reads 1.25 -> windowed wins, ring refused
+    op8, X8 = op_and_field(8)
+    p8 = block_stencil.plan_m(op8.ns, X8.shape[0], op8.bs, op8.offsets)
+    assert p8 is not None and p8.x_reads <= 2.0
+    assert not op8._use_ring(X8)
+    # L=32 (the 32^4 matrix-link config): windowed re-reads 7x -> ring
+    op32, X32 = op_and_field(32)
+    p32 = block_stencil.plan_m(op32.ns, X32.shape[0], op32.bs, op32.offsets)
+    assert p32 is not None and p32.x_reads > 2.0
+    assert op32._use_ring(X32)
+    # L=24: no windowed merged plan exists at all -> ring (the only path)
+    op24, X24 = op_and_field(24)
+    assert block_stencil.plan_m(op24.ns, X24.shape[0], op24.bs,
+                                op24.offsets) is None
+    assert op24._use_ring(X24)
+    # escape valves still override
+    monkeypatch.setenv("BLOCKCG_NO_RING", "1")
+    assert not op32._use_ring(X32)
+    monkeypatch.delenv("BLOCKCG_NO_RING")
+    # probe valve: FORCE_RING skips only the small-n preference guard
+    monkeypatch.setenv("BLOCKCG_FORCE_RING", "1")
+    assert op8._use_ring(X8)
+
+
 def test_ring_block_onchip_smoke():
     """Ring block kernel vs oracle, fresh + donated + gram — the on-chip
     regression entry (manual-DMA kernel family: unawaited in-flight DMAs

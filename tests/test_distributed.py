@@ -89,6 +89,45 @@ def test_partitioned_bdia_spmm_matches_scipy(bc):
     np.testing.assert_allclose(got, a @ X, rtol=1e-12, atol=1e-12)
 
 
+def test_partitioned_matrix_link_spmm_matches_scipy():
+    """Matrix-valued-link gauged operator, site-sharded: per-site bs x bs
+    block VALUES cross shard edges (VERDICT r4 item 10 — previously only
+    0/1-masked and scalar-link crossings had distributed coverage). The
+    boundary-correction arrays must carry the full per-site blocks."""
+    from blockcg_tpu.problems import dirac_gauged_matrix
+
+    L, D, k = 4, 4, 3
+    op = dirac_gauged_matrix(L, m=0.5, dtype=jnp.float64)
+    a = bdia_scipy(op)
+    mesh = row_mesh(D)
+    dop = partition_bdia(op, D)
+    rng = np.random.default_rng(21)
+    X = rng.standard_normal((op.n, k))
+    Xd = to_dist_order(X, op.bs, D)
+    got_d = np.asarray(_dist_apply(dop, mesh, jnp.asarray(Xd.T))).T
+    got = from_dist_order(got_d, op.bs, D)
+    np.testing.assert_allclose(got, a @ X, rtol=1e-12, atol=1e-12)
+
+
+def test_solve_sbcgrq_dist_matrix_links():
+    """Distributed solve on the matrix-link operator (fake mesh): the full
+    row-partitioned pipeline over site-varying block coefficients."""
+    from blockcg_tpu.problems import dirac_gauged_matrix
+
+    L, D = 4, 4
+    op = dirac_gauged_matrix(L, m=0.5, dtype=jnp.float64)
+    mesh = row_mesh(D)
+    dop = partition_bdia(op, D)
+    B = random_block(op.n, 4, seed=13)
+    X_d, info = solve_sbcgrq_dist(dop, jnp.asarray(B), mesh, tol=1e-9,
+                                  max_iter=300)
+    assert bool(info.converged.all())
+    a = bdia_scipy(op)
+    X = np.asarray(X_d)
+    res = np.linalg.norm(a @ X - B, axis=0) / np.linalg.norm(B, axis=0)
+    assert res.max() <= 2e-9
+
+
 def test_dist_order_roundtrip():
     X = np.random.default_rng(3).standard_normal((4 * 16, 2))
     Xd = to_dist_order(X, 4, 4)

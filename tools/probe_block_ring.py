@@ -119,6 +119,13 @@ def main():
                               lambda: measure_apply(op, Xm,
                                                     lengths=(8, 136, 264)))]
             else:
+                # A dispatch fallback (no ring plan, or donation refused by
+                # wrap_zero) would silently time a fresh windowed apply
+                # under the 'ring_donated' label — fail loudly instead
+                # (advisor r4).
+                assert rp is not None and op.wrap_zero, (
+                    "open-BC donated arm requires a ring plan and wrap_zero",
+                    rp, op.wrap_zero)
                 arms += [("ring_donated_chain",
                           lambda: measure_apply(op, Xm, donate=True,
                                                 lengths=(8, 136, 264))),
