@@ -108,7 +108,7 @@ def measure_apply(op, Xt, lengths=(8, 264, 520), trials=3, rounds=3,
 
 
 def measure_gram_chain(op, Xm, use_ring, lengths=(8, 136, 264),
-                       trials=3, rounds=3):
+                       trials=3, rounds=3, fold="auto"):
     """Seconds per gram-fused merged block apply, loop dependence routed
     through the kernels' (m, m) ``seed`` operand.
 
@@ -125,12 +125,26 @@ def measure_gram_chain(op, Xm, use_ring, lengths=(8, 136, 264),
     from blockcg_tpu.ops.block_stencil_ring import ring_block_spmm_m_gram_t
     from blockcg_tpu.utils.platform import lsq_slope
 
-    fn = ring_block_spmm_m_gram_t if use_ring else block_stencil_spmm_m_gram_t
-    offsets = op.offsets
+    # Folded periodic wraps (ring only): "auto" follows the operator's
+    # dispatch default; False forces the plain diagonal stream (probe
+    # control arm).
+    use_fold = bool(use_ring and fold and getattr(op, "fold", ()))
+    if use_fold:
+        offsets, fold_t = op.fold_offsets, op.fold
+        coeffs = op.blocks_folded
+    else:
+        offsets, fold_t = op.offsets, ()
+        coeffs = op.blocks
+
+    def fn(blocks, offs, X, seed):
+        if use_ring:
+            return ring_block_spmm_m_gram_t(blocks, offs, X, seed=seed,
+                                            fold=fold_t)
+        return block_stencil_spmm_m_gram_t(blocks, offs, X, seed=seed)
 
     def loop(blocks, X, g0, n):
         def body(i, g):
-            _, G = fn(blocks, offsets, X, seed=g * jnp.float32(1e-30))
+            _, G = fn(blocks, offsets, X, g * jnp.float32(1e-30))
             return G
         return jax.lax.fori_loop(0, n, body, g0, unroll=False)
 
@@ -139,7 +153,7 @@ def measure_gram_chain(op, Xm, use_ring, lengths=(8, 136, 264),
     compiled = {}
     for n in lengths:
         compiled[n] = jax.jit(
-            functools.partial(loop, n=n)).lower(op.blocks, Xm, g0).compile()
+            functools.partial(loop, n=n)).lower(coeffs, Xm, g0).compile()
 
     best = {n: float("inf") for n in lengths}
     for r in range(rounds):
@@ -148,7 +162,7 @@ def measure_gram_chain(op, Xm, use_ring, lengths=(8, 136, 264),
                 gs = g0 + 1e-6 * (r * trials + t + 1)
                 _ = float(jnp.sum(gs))
                 t0 = time.time()
-                g = compiled[n](op.blocks, Xm, gs)
+                g = compiled[n](coeffs, Xm, gs)
                 _ = float(jnp.sum(g))
                 best[n] = min(best[n], time.time() - t0)
     s = lsq_slope(best)

@@ -47,6 +47,10 @@ def main() -> None:
     ap.add_argument("--inner-tol", type=float, default=5e-3)
     ap.add_argument("--max-cycles", type=int, default=12)
     ap.add_argument("--inner-max-iter", type=int, default=3000)
+    ap.add_argument("--deflate", action="store_true",
+                    help="converged-column deflation in the lean inner "
+                         "slices (lanes-major width-halving driver; "
+                         "VERDICT r4 item 8 capacity A/B)")
     ap.add_argument("--verify", action="store_true",
                     help="host f64 true-residual check (scale <= 0.5 only: "
                     "needs an (n, k) f64 host matmul)")
@@ -71,7 +75,7 @@ def main() -> None:
     X, info = solve_refined_lean(
         op, key, args.k, tol=args.tol, inner_tol=args.inner_tol,
         max_cycles=args.max_cycles, inner_max_iter=args.inner_max_iter,
-        inner_block=args.kb, verbose=True,
+        inner_block=args.kb, deflate=args.deflate, verbose=True,
     )
     jax.block_until_ready(X)
     wall = time.perf_counter() - t0
@@ -84,7 +88,7 @@ def main() -> None:
     X, info = solve_refined_lean(
         op, key, args.k, tol=args.tol, inner_tol=args.inner_tol,
         max_cycles=args.max_cycles, inner_max_iter=args.inner_max_iter,
-        inner_block=args.kb,
+        inner_block=args.kb, deflate=args.deflate,
     )
     jax.block_until_ready(X)
     warm = time.perf_counter() - t0
@@ -105,6 +109,7 @@ def main() -> None:
         "wall_warm_s": round(warm, 3),
         "field_dtype": "bfloat16",
         "outer_dtype": "float32",
+        "deflate": bool(args.deflate),
     }
     if args.verify and args.scale <= 0.5:
         from blockcg_tpu.problems import laplacian_scipy

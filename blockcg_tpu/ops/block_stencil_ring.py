@@ -59,18 +59,41 @@ _VMEM_BUDGET = 40 * 1024 * 1024
 _VMEM_LIMIT = 64 * 1024 * 1024
 
 
+def _fold_wrap_offset(o: int, L: int) -> int:
+    """Toroidal wrap partner of bulk hop ``o`` on an axis of extent L:
+    +st pairs with -(L-1)st, -st with +(L-1)st — both are o*(1-L)."""
+    return o * (1 - L)
+
+
 def plan(n_sites: int, m: int, bs: int, offsets: tuple[int, ...],
-         itemsize: int = 4, coeff_itemsize: int = 4) -> RingPlan | None:
+         itemsize: int = 4, coeff_itemsize: int = 4,
+         fold: tuple[tuple[int, int], ...] = ()) -> RingPlan | None:
     """Largest R whose ring fits the VMEM budget, with nb > S.
 
     ``m`` is the merged row count (bs*k); the coefficient stream has
     noff*bs*bs rows per lane. Requires 8 | m (unpadded sublane tiles) and
     bs | m.
-    """
+
+    ``fold``: tuple of (diag_index, L) FOLDED periodic wraps (VERDICT r4
+    item 3). A folded diagonal's coefficient array carries BOTH the bulk
+    hop (sites with axis coordinate < L-1 for o > 0) and its toroidal wrap
+    partner (coordinate == L-1, column o*(1-L) away) — their site supports
+    are complementary, so one dense stream serves both and the wrap's
+    mostly-zero dense diagonal never leaves HBM (periodic 32^4: 15 -> 9
+    streamed diagonals, 1344 -> 960 B/site at k=12). The kernel selects
+    between the two window reads with a compile-time iota mask on the
+    destination coordinate. Ring geometry (H/M/S) is computed over the
+    EFFECTIVE offset set (bulk + wrap partners)."""
     if m % 8 != 0 or m % bs != 0:
         return None
     if n_sites % 128 != 0 or n_sites < 512:
         return None
+    for d, L in fold:
+        st = abs(offsets[d])
+        if st == 0 or st * L > n_sites or n_sites % (st * L) != 0:
+            return None
+    eff_offsets = tuple(offsets) + tuple(
+        _fold_wrap_offset(offsets[d], L) for d, L in fold)
     noff = len(offsets)
     cr = noff * bs * bs
     # Mixed coefficient/field dtypes (bf16-stored blocks, f32 fields) make
@@ -89,8 +112,9 @@ def plan(n_sites: int, m: int, bs: int, offsets: tuple[int, ...],
     while R <= min(n_sites, _R_MAX):
         if n_sites % R == 0:
             dec = _decompose(offsets, R)
-            H = max((abs(r) for _, r in dec), default=0)
-            M = max((abs(mm) + (1 if r != 0 else 0) for mm, r in dec),
+            dec_eff = _decompose(eff_offsets, R)
+            H = max((abs(r) for _, r in dec_eff), default=0)
+            M = max((abs(mm) + (1 if r != 0 else 0) for mm, r in dec_eff),
                     default=1)
             M = max(M, 1)
             S = 2 * M + 2
@@ -119,7 +143,7 @@ def plan(n_sites: int, m: int, bs: int, offsets: tuple[int, ...],
     return best
 
 
-def _ring_m_kernel(p: RingPlan, bs, k, nb, with_gram, seeded,
+def _ring_m_kernel(p: RingPlan, bs, k, nb, with_gram, seeded, terms,
                    diags_ref, *refs):
     if seeded:
         s_ref = refs[0]
@@ -181,30 +205,43 @@ def _ring_m_kernel(p: RingPlan, bs, k, nb, with_gram, seeded,
         w_ref[:, H:H + R] = ring[slot_of(0)]
         w_ref[:, H + R:] = ring[slot_of(1), :, :H]
 
+    def read_window(mm, r):
+        # window for a site-offset, read ONCE per offset (the windowed
+        # kernel's hoist) then sliced per spin b
+        if mm == 0 and p.H > 0 and abs(r) <= p.H:
+            return w_ref[:, p.H + r: p.H + r + R]
+        if r == 0:
+            return ring[slot_of(mm)]
+        if r > 0:
+            return jnp.concatenate(
+                [ring[slot_of(mm), :, r:],
+                 ring[slot_of(mm + 1), :, :r]], axis=1)
+        return jnp.concatenate(
+            [ring[slot_of(mm - 1), :, R + r:],
+             ring[slot_of(mm), :, :R + r]], axis=1)
+
     acc = [jnp.zeros((k, R), dtype=adt) for _ in range(bs)]
-    d = 0
-    for mm, rs in p.groups:
-        for r in rs:
-            # window for this site-offset, read ONCE per offset (the
-            # windowed kernel's hoist) then sliced per spin b
-            if mm == 0 and p.H > 0:
-                wd = w_ref[:, p.H + r: p.H + r + R]
-            elif r == 0:
-                wd = ring[slot_of(mm)]
-            elif r > 0:
-                wd = jnp.concatenate(
-                    [ring[slot_of(mm), :, r:],
-                     ring[slot_of(mm + 1), :, :r]], axis=1)
-            else:
-                wd = jnp.concatenate(
-                    [ring[slot_of(mm - 1), :, R + r:],
-                     ring[slot_of(mm), :, :R + r]], axis=1)
-            for b in range(bs):
-                wb = up(wd[b * k:(b + 1) * k, :])
-                for a in range(bs):
-                    c = up(diags_ref[(d * bs + a) * bs + b, :].reshape(1, R))
-                    acc[a] = acc[a] + c * wb
-            d += 1
+    for d, (mm, r, f4) in enumerate(terms):
+        wd = read_window(mm, r)
+        if f4 is not None:
+            # FOLDED periodic wrap (see plan()): this diagonal's dense
+            # coefficient stream carries bulk hop AND toroidal wrap values
+            # on complementary destination-site sets. Select the source
+            # window per lane by the destination's axis coordinate — a
+            # compile-time-structured iota mask, zero extra HBM.
+            mm_w, r_w, st, L, phase = f4
+            wd_w = read_window(mm_w, r_w)
+            lanes = (jax.lax.broadcasted_iota(jnp.int32, (1, R), 1)
+                     + i * jnp.int32(R))
+            coord = jax.lax.rem(jax.lax.div(lanes, jnp.int32(st)),
+                                jnp.int32(L))
+            mask = (coord == jnp.int32(phase)).astype(adt)
+            wd = up(wd) + mask * (up(wd_w) - up(wd))
+        for b in range(bs):
+            wb = up(wd[b * k:(b + 1) * k, :])
+            for a in range(bs):
+                c = up(diags_ref[(d * bs + a) * bs + b, :].reshape(1, R))
+                acc[a] = acc[a] + c * wb
     for a in range(bs):
         y_ref[a * k:(a + 1) * k, :] = acc[a].astype(y_ref.dtype)
 
@@ -227,16 +264,16 @@ def _ring_m_kernel(p: RingPlan, bs, k, nb, with_gram, seeded,
 
 
 def _ring_m_impl(blocks, offsets, Xm, with_gram, interpret, donate,
-                 seed=None):
+                 seed=None, fold=()):
     noff, bs, _, ns = blocks.shape
     m = Xm.shape[0]
     k = m // bs
     p = plan(ns, m, bs, offsets, itemsize=Xm.dtype.itemsize,
-             coeff_itemsize=blocks.dtype.itemsize)
+             coeff_itemsize=blocks.dtype.itemsize, fold=fold)
     if p is None:
         raise ValueError(
             f"no ring block-stencil plan for ns={ns}, m={m}, bs={bs}, "
-            f"offsets={offsets}")
+            f"offsets={offsets}, fold={fold}")
     R = p.R
     nb = ns // R
 
@@ -245,6 +282,21 @@ def _ring_m_impl(blocks, offsets, Xm, with_gram, interpret, donate,
                   if order != list(range(noff)) else blocks)
     diags2d = blocks_ord.reshape(noff * bs * bs, ns)
     cr = noff * bs * bs
+
+    # Static per-diagonal terms in plan (streamed-row) order; folded
+    # diagonals carry their wrap partner's decomposition (see plan()).
+    fold_by_d = dict(fold)
+    terms = []
+    for dj in order:
+        o = offsets[dj]
+        (mm, r), = _decompose((o,), R)
+        f4 = None
+        if dj in fold_by_d:
+            L = fold_by_d[dj]
+            (mm_w, r_w), = _decompose((_fold_wrap_offset(o, L),), R)
+            f4 = (mm_w, r_w, abs(o), L, L - 1 if o > 0 else 0)
+        terms.append((mm, r, f4))
+    terms = tuple(terms)
 
     seeded = seed is not None
     in_specs = [
@@ -274,7 +326,7 @@ def _ring_m_impl(blocks, offsets, Xm, with_gram, interpret, donate,
     scratch.append(pltpu.SemaphoreType.DMA((p.S,)))
 
     kernel = functools.partial(_ring_m_kernel, p, bs, k, nb, with_gram,
-                               seeded)
+                               seeded, terms)
     flops = 2 * cr * k * ns + (2 * m * m * ns if with_gram else 0)
     bytes_accessed = (Xm.dtype.itemsize * 2 * m * ns
                       + blocks.dtype.itemsize * cr * ns)
@@ -303,26 +355,33 @@ def _ring_m_impl(blocks, offsets, Xm, with_gram, interpret, donate,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("offsets", "interpret", "donate"))
+                   static_argnames=("offsets", "interpret", "donate", "fold"))
 def ring_block_spmm_m_t(blocks, offsets: tuple[int, ...], Xm, *,
-                        interpret: bool = False, donate: bool = False):
-    """Merged-layout block-stencil SpMM, each X block fetched once."""
-    return _ring_m_impl(blocks, offsets, Xm, False, interpret, donate)
+                        interpret: bool = False, donate: bool = False,
+                        fold: tuple[tuple[int, int], ...] = ()):
+    """Merged-layout block-stencil SpMM, each X block fetched once.
+
+    ``fold``: folded periodic wraps — see :func:`plan`."""
+    return _ring_m_impl(blocks, offsets, Xm, False, interpret, donate,
+                        fold=fold)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("offsets", "interpret", "donate"))
+                   static_argnames=("offsets", "interpret", "donate", "fold"))
 def ring_block_spmm_m_gram_t(blocks, offsets: tuple[int, ...], Xm, *,
                              seed=None, interpret: bool = False,
-                             donate: bool = False):
+                             donate: bool = False,
+                             fold: tuple[tuple[int, int], ...] = ()):
     """Ring block SpMM with the (m, m) Gram fused: ``(Ym, G = Xm Ym^T)``.
 
     ``seed`` (optional, (m, m) f32) is added into G — the benchmark-chain
     dependence hook (see module docstring)."""
     return _ring_m_impl(blocks, offsets, Xm, True, interpret, donate,
-                        seed=seed)
+                        seed=seed, fold=fold)
 
 
 def available(n_sites: int, m: int, bs: int, offsets: tuple[int, ...],
-              itemsize: int = 4, coeff_itemsize: int = 4) -> bool:
-    return plan(n_sites, m, bs, offsets, itemsize, coeff_itemsize) is not None
+              itemsize: int = 4, coeff_itemsize: int = 4,
+              fold: tuple[tuple[int, int], ...] = ()) -> bool:
+    return plan(n_sites, m, bs, offsets, itemsize, coeff_itemsize,
+                fold=fold) is not None

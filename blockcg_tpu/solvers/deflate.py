@@ -21,6 +21,8 @@ lanes-major (k, n) fields; narrower would pad silently and save nothing.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -93,22 +95,28 @@ def solve_sbcgrq_deflated(
                             restart_overhead_s=restart_overhead_s)
 
 
-@jax.jit
-def _gather_cols(B, X, idx, mask):
+@functools.partial(jax.jit, static_argnames=("k_axis",))
+def _gather_cols(B, X, idx, mask, k_axis=1):
     """One-dispatch stage repack: ``idx`` is padded to the stage width with
     an out-of-range index (clamped by the gather) and ``mask`` zeroes the
     pad columns. Replaces the zeros/.at[].set/gather chain — each extra
-    dispatch costs ~30 ms through a remote-attached chip (CLAUDE.md)."""
-    Bs = jnp.take(B, idx, axis=1, mode="clip") * mask
-    X0s = jnp.take(X, idx, axis=1, mode="clip") * mask
+    dispatch costs ~30 ms through a remote-attached chip (CLAUDE.md).
+
+    ``k_axis=0`` is the lanes-major (k, n) variant — the capacity driver
+    (solve_refined_lean) deflates without transposing its fields."""
+    mk = mask if k_axis == 1 else mask[:, None]
+    Bs = jnp.take(B, idx, axis=k_axis, mode="clip") * mk
+    X0s = jnp.take(X, idx, axis=k_axis, mode="clip") * mk
     return Bs, X0s
 
 
-@jax.jit
-def _scatter_cols(X, D, idx):
+@functools.partial(jax.jit, static_argnames=("k_axis",))
+def _scatter_cols(X, D, idx, k_axis=1):
     """One-dispatch stage scatter-back; pad entries of ``idx`` are out of
     range and mode="drop" discards them."""
-    return X.at[:, idx].set(D, mode="drop")
+    if k_axis == 1:
+        return X.at[:, idx].set(D, mode="drop")
+    return X.at[idx].set(D, mode="drop")
 
 
 @jax.jit
@@ -147,7 +155,7 @@ def _dispatch_latency_s() -> float:
 
 def _deflated_driver(
     stage, B, X0, *, tol, max_iter, min_width, width_quantum,
-    restart_overhead_s: float | None = None,
+    restart_overhead_s: float | None = None, k_axis: int = 1,
 ) -> tuple[jax.Array, SolverInfo]:
     """Width-halving restart loop around a stage solver.
 
@@ -177,7 +185,8 @@ def _deflated_driver(
     """
     import time as _time
 
-    n, k = B.shape
+    k = B.shape[k_axis]
+    n = B.shape[1 - k_axis]
     tol_arr = np.broadcast_to(np.asarray(tol, np.float64), (k,))
     tol_stage = tol if np.ndim(tol) == 0 else np.asarray(tol, np.float64)
     if k < 2 * min_width:
@@ -217,7 +226,7 @@ def _deflated_driver(
                                  constant_values=k), jnp.int32)
         mask = jnp.asarray(
             (np.arange(w) < na).astype(np.float32), jnp.real(B).dtype)
-        Bs, X0s = _gather_cols(B, X, idx, mask)
+        Bs, X0s = _gather_cols(B, X, idx, mask, k_axis=k_axis)
         if np.ndim(tol) == 0:
             tol_s = tol
         else:
@@ -228,7 +237,7 @@ def _deflated_driver(
         D, info = stage(Bs, X0s, budget, floor, tol_s)
         stage_iters = int(info.iterations)  # forces the stage's values
         stage_wall = _time.time() - t0
-        X = _scatter_cols(X, D, idx)
+        X = _scatter_cols(X, D, idx, k_axis=k_axis)
         if info.breakdown is not None:
             any_breakdown = any_breakdown or bool(info.breakdown)
         stage_mv = int(info.matvecs)

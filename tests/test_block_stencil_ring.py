@@ -203,6 +203,55 @@ def test_ring_block_dispatch_small_n_guard(monkeypatch):
     assert op8._use_ring(X8)
 
 
+def test_ring_block_folded_matches_plain():
+    """Folded periodic-wrap kernel (one dense stream per bulk+wrap pair,
+    iota-mask source select — VERDICT r4 item 3) vs the plain 15-diagonal
+    ring kernel and the scipy oracle."""
+    for builder, tol in ((dirac_bdia, 1e-5), (dirac_gauged_matrix, 1e-5)):
+        op = builder(8, m=0.5, bc="periodic", dtype=jnp.float32)
+        assert op.fold, builder.__name__
+        assert op.blocks_folded.shape[0] == len(op.fold_offsets)
+        # 15 plain diagonals -> 9 streamed
+        assert len(op.offsets) == 15 and len(op.fold_offsets) == 9
+        rng = np.random.default_rng(6)
+        k = 2
+        X = rng.standard_normal((op.n, k)).astype(np.float32)
+        Xm = _merged(op, X)
+        Y_plain = block_stencil_ring.ring_block_spmm_m_t(
+            op.blocks, op.offsets, Xm, interpret=True)
+        Y_fold = block_stencil_ring.ring_block_spmm_m_t(
+            op.blocks_folded, op.fold_offsets, Xm, interpret=True,
+            fold=op.fold)
+        err = float(jnp.max(jnp.abs(Y_plain - Y_fold))
+                    / jnp.max(jnp.abs(Y_plain)))
+        assert err < tol, (builder.__name__, err)
+        a = bdia_scipy(op)
+        got = np.asarray(op.from_internal(Y_fold)).T
+        want = a @ X
+        assert np.abs(got - want).max() / np.abs(want).max() < tol
+        # gram variant agrees
+        Yg, G = block_stencil_ring.ring_block_spmm_m_gram_t(
+            op.blocks_folded, op.fold_offsets, Xm, interpret=True,
+            fold=op.fold)
+        np.testing.assert_allclose(np.asarray(Yg), np.asarray(Y_fold),
+                                   rtol=1e-6, atol=1e-5)
+        wantG = np.asarray(Xm, np.float64) @ np.asarray(Y_fold,
+                                                        np.float64).T
+        assert np.abs(np.asarray(G, np.float64) - wantG).max() / np.abs(
+            wantG).max() < 1e-5
+
+
+def test_ring_block_folded_plan_geometry():
+    """The folded plan's ring geometry must cover the wrap offsets (they
+    are window reads even though they are not streamed diagonals)."""
+    op = dirac_gauged_matrix(8, m=0.5, bc="periodic", dtype=jnp.float32)
+    pf = block_stencil_ring.plan(op.ns, 8, op.bs, op.fold_offsets,
+                                 fold=op.fold)
+    pp = block_stencil_ring.plan(op.ns, 8, op.bs, op.offsets)
+    assert pf is not None and pp is not None
+    assert pf.M == pp.M and pf.S == pp.S  # same reach as the plain plan
+
+
 def test_ring_block_onchip_smoke():
     """Ring block kernel vs oracle, fresh + donated + gram — the on-chip
     regression entry (manual-DMA kernel family: unawaited in-flight DMAs
@@ -233,3 +282,17 @@ def test_ring_block_onchip_smoke():
     wantG = Xm @ np.asarray(Ym, np.float64).T
     assert np.abs(np.asarray(G, np.float64) - wantG).max() / np.abs(
         wantG).max() < 1e-5
+
+    # FOLDED periodic kernel on hardware: the iota-mask source select and
+    # the effective-offset ring geometry are new Mosaic lowering surface
+    # (round 5); verify vs oracle on the real chip too.
+    opp = dirac_bdia(8, m=0.5, bc="periodic", dtype=jnp.float32)
+    assert opp.fold
+    ap = bdia_scipy(opp)
+    Xp = rng.standard_normal((opp.n, k)).astype(np.float32)
+    Ymf = block_stencil_ring.ring_block_spmm_m_t(
+        opp.blocks_folded, opp.fold_offsets, _merged(opp, Xp),
+        interpret=interp, fold=opp.fold)
+    gotp = np.asarray(opp.from_internal(Ymf)).T
+    wantp = ap @ Xp
+    assert np.abs(gotp - wantp).max() / np.abs(wantp).max() < 1e-5

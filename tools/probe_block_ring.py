@@ -47,6 +47,11 @@ def models(op, m, calib_gbs, ring_plan, win_plan):
                  + it * cr * op.ns) if win_plan else None
     out = {"ring_ceiling_gnnzs":
            round(calib_gbs * 1e9 * op.nnz / ring_bytes / 1e9, 2)}
+    if getattr(op, "fold", ()):
+        crf = len(op.fold_offsets) * op.bs * op.bs
+        folded_bytes = fit * 2 * m * op.ns + it * crf * op.ns
+        out["folded_ceiling_gnnzs"] = round(
+            calib_gbs * 1e9 * op.nnz / folded_bytes / 1e9, 2)
     if win_bytes:
         out["windowed_ceiling_gnnzs"] = round(
             calib_gbs * 1e9 * op.nnz / win_bytes / 1e9, 2)
@@ -104,7 +109,14 @@ def main():
                 arms += [("windowed_gram_chain",
                           lambda: measure_gram_chain(op, Xm, False)),
                          ("ring_gram_chain",
-                          lambda: measure_gram_chain(op, Xm, True))]
+                          lambda: measure_gram_chain(op, Xm, True,
+                                                     fold=False))]
+                if op.fold:
+                    # round-5 folded-wrap kernel (9 streamed diagonals):
+                    # the dispatch default; plain-ring above is the control
+                    arms.append(
+                        ("ring_folded_gram_chain",
+                         lambda: measure_gram_chain(op, Xm, True)))
                 if not args.skip_fresh:
                     import os
                     def fresh_windowed():

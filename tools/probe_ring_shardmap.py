@@ -70,9 +70,15 @@ def main():
         X, info = solve(B * (1.0 + 1e-6))
         iters = int(info.iterations)
         warm = time.time() - t0
-        R = np.asarray(jax.device_get(op(X)), np.float64) - np.asarray(
-            jax.device_get(B), np.float64) * (1.0 + 1e-6)
+        # Residual on HOST scipy: X returns with the mesh's NamedSharding,
+        # and a plain-operator Pallas apply on a mesh-sharded array fails
+        # ("pallas_call requires all mesh axes to be Manual") — first run.
+        from blockcg_tpu.problems import laplacian_scipy
+
+        a = laplacian_scipy((args.dim,) * 3)
+        Xh = np.asarray(jax.device_get(X), np.float64)
         b = np.asarray(jax.device_get(B), np.float64) * (1.0 + 1e-6)
+        R = a @ Xh - b
         rel = float((np.linalg.norm(R, axis=0)
                      / np.linalg.norm(b, axis=0)).max())
         print(json.dumps({"probe": "ring_shardmap", "arm": name,

@@ -27,14 +27,19 @@ from blockcg_tpu.solvers.common import (
 )
 
 
-def slope_time(make_loop, lengths=(64, 768), trials=3):
-    compiled = {n: jax.jit(make_loop(n)).lower().compile() for n in lengths}
+def slope_time(make_loop, lengths=(64, 768), trials=3, args=()):
+    # Large fields must be ARGUMENTS, not closure captures: captured
+    # constants are baked into the program and the remote-compile upload
+    # hits the tunnel's HTTP body limit at 128^3 sizes (413, first
+    # profile-tail-128 run, CHIP_QUEUE_r5.log).
+    compiled = {n: jax.jit(make_loop(n)).lower(*args).compile()
+                for n in lengths}
     best = {}
     for n in lengths:
         b = float("inf")
         for _ in range(trials):
             t0 = time.time()
-            out = compiled[n]()
+            out = compiled[n](*args)
             _ = float(jnp.sum(out[0] if isinstance(out, tuple) else out))
             b = min(b, time.time() - t0)
         best[n] = b
@@ -56,6 +61,14 @@ def main(sections=(1, 2, 3)):
         run_field(k, rng)
     if 3 in sections:
         run_solves(rng, k)
+    if 4 in sections:
+        # Streaming size (VERDICT r4 item 9): per-kernel split + in-solve
+        # ms/iter at 128^3, where nothing is VMEM-resident. Pass target:
+        # apply ~2.2 + mm2 3 + px 5 = 10.2; the measured 4.68 ms/iter
+        # implies ~13 — this section locates the excess.
+        print("--- streaming size 128^3 ---")
+        run_field(k, rng, n3=128 ** 3, split=True)
+        run_solves(rng, k, dim=128, variants=[(1, 0)])
 
 
 def run_kk(k, G0, S0):
@@ -109,9 +122,9 @@ def run_kk(k, G0, S0):
     print(f"qr_factors_from_gram per call: {t_qrf*1e6:.1f} us")
 
 
-def run_field(k, rng):
-    # --- 2. fused field kernels at config-3 size --------------------------
-    n3 = 64 * 64 * 64
+def run_field(k, rng, n3=64 * 64 * 64, split=False):
+    # --- 2. fused field kernels (config-3 size by default; section 4 runs
+    # the 128^3 streaming size where VMEM residency cannot flatter) -------
     Zt = jnp.asarray(rng.standard_normal((k, n3)), dtype=jnp.float32)
     Qt = jnp.asarray(rng.standard_normal((k, n3)), dtype=jnp.float32)
     Pt = jnp.asarray(rng.standard_normal((k, n3)), dtype=jnp.float32)
@@ -121,7 +134,7 @@ def run_field(k, rng):
     from blockcg_tpu.ops import fused
 
     def make_field_loop(n):
-        def loop():
+        def loop(Q0, P0, X0, Z0):
             def body(i, c):
                 Q, P, X = c
                 V, G = fused.mm_update_gram(A0, Q, P)
@@ -130,42 +143,79 @@ def run_field(k, rng):
                 return (jax.lax.optimization_barrier(Qn),
                         jax.lax.optimization_barrier(Pn),
                         jax.lax.optimization_barrier(Xn))
-            return jax.lax.fori_loop(0, n, body, (Qt, Pt, Xt), unroll=False)
+            return jax.lax.fori_loop(0, n, body, (Q0, P0, X0), unroll=False)
         return loop
 
-    t_field = slope_time(make_field_loop, lengths=(8, 136))
+    t_field = slope_time(make_field_loop, lengths=(8, 136),
+                         args=(Qt, Pt, Xt, Zt))
     print(f"fused V-update(3p) + qrf + tail(6p) per iter: {t_field*1e3:.3f} ms"
           f"  ({9*k*n3*4/t_field/1e9:.0f} GB/s over 9 passes)")
 
     # Implicit-Q round-2 chain: V = Mqr W - alpha Z (+Gram), then
     # P' = Mqr2 W2 + rho^H P / X' = X + C P — 8 passes total.
     def make_iq_loop(n):
-        def loop():
+        def loop(Q0, P0, X0, Z0):
             def body(i, c):
                 W, P, X = c
-                V, G = fused.mm2_update_gram(A0, W, -A0, Zt)
+                V, G = fused.mm2_update_gram(A0, W, -A0, Z0)
                 M1, R1 = qr_factors_from_gram(G)
                 Pn, Xn = fused.px_update(M1, V, A0, P, A0, X)
                 return (jax.lax.optimization_barrier(V),
                         jax.lax.optimization_barrier(Pn),
                         jax.lax.optimization_barrier(Xn))
-            return jax.lax.fori_loop(0, n, body, (Qt, Pt, Xt), unroll=False)
+            return jax.lax.fori_loop(0, n, body, (Q0, P0, X0), unroll=False)
         return loop
 
-    t_iq = slope_time(make_iq_loop, lengths=(8, 136))
+    t_iq = slope_time(make_iq_loop, lengths=(8, 136),
+                      args=(Qt, Pt, Xt, Zt))
     print(f"implicit-Q mm2(3p) + qrf + px(5p) per iter: {t_iq*1e3:.3f} ms"
           f"  ({8*k*n3*4/t_iq/1e9:.0f} GB/s over 8 passes)")
 
+    if not split:
+        return
 
-def run_solves(rng, k):
-    # --- 3. full config-3 solves ------------------------------------------
+    # Per-kernel split at this size (VERDICT r4 item 9: which kernel is
+    # below streaming bandwidth at 128^3?). Both kernels donate their dead
+    # field operand, so the chained carries pay no XLA copy.
+    def make_mm2_loop(n):
+        def loop(Q0, P0, X0, Z0):
+            def body(i, W):
+                V, G = fused.mm2_update_gram(A0, W, -A0, Z0)
+                return jax.lax.optimization_barrier(
+                    V + jnp.float32(1e-30) * G[0, 0])
+            return jax.lax.fori_loop(0, n, body, Q0, unroll=False)
+        return loop
+
+    t_mm2 = slope_time(make_mm2_loop, lengths=(8, 136),
+                       args=(Qt, Pt, Xt, Zt))
+    print(f"  mm2_update_gram alone (3p): {t_mm2*1e3:.3f} ms"
+          f"  ({3*k*n3*4/t_mm2/1e9:.0f} GB/s)")
+
+    def make_px_loop(n):
+        def loop(Q0, P0, X0, Z0):
+            def body(i, c):
+                P, X = c
+                Pn, Xn = fused.px_update(A0, Q0, A0, P, A0, X)
+                return (jax.lax.optimization_barrier(Pn),
+                        jax.lax.optimization_barrier(Xn))
+            return jax.lax.fori_loop(0, n, body, (P0, X0), unroll=False)
+        return loop
+
+    t_px = slope_time(make_px_loop, lengths=(8, 136),
+                      args=(Qt, Pt, Xt, Zt))
+    print(f"  px_update alone (5p): {t_px*1e3:.3f} ms"
+          f"  ({5*k*n3*4/t_px/1e9:.0f} GB/s)")
+
+
+def run_solves(rng, k, dim=64, variants=None):
+    # --- 3. full solves (config 3 by default; section 4 runs 128^3) -------
     from blockcg_tpu.problems import laplacian_dia
     from blockcg_tpu.solvers.sbcgrq import solve_sbcgrq
 
-    op = laplacian_dia((64, 64, 64), dtype=jnp.float32)
+    op = laplacian_dia((dim, dim, dim), dtype=jnp.float32)
     B = jnp.asarray(rng.standard_normal((op.n, k)), dtype=jnp.float32)
-    for qp in (2, 1):
-        for re_ in (0, 50, 25):
+    for qp, re_ in (variants or
+                    [(qp, re_) for qp in (2, 1) for re_ in (0, 50, 25)]):
             X, info = solve_sbcgrq(op, B, tol=1e-6, max_iter=400,
                                    qr_passes=qp, replace_every=re_)
             _ = int(info.iterations)  # compile+force
