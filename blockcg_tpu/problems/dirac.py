@@ -74,9 +74,14 @@ def _folded_fields(blk: np.ndarray, offsets: list[int], L: int) -> dict:
         dw = offsets.index(ow)
         bsup = np.abs(blk[d]).sum(axis=(0, 1)) > 0
         wsup = np.abs(blk[dw]).sum(axis=(0, 1)) > 0
-        if (bsup & wsup).any():  # pragma: no cover — builder invariant
-            raise AssertionError(
-                f"fold pair ({o}, {ow}): overlapping site support")
+        # The kernel's iota mask selects destination sites with
+        # (s // st) % L == phase (L-1 for o > 0, 0 for o < 0) as WRAP
+        # reads and everything else as BULK reads — the values must sit
+        # exactly there, not merely on disjoint sets.
+        phase = L - 1 if o > 0 else 0
+        on_mask = (np.arange(ns) // st) % L == phase
+        if (wsup & ~on_mask).any() or (bsup & on_mask).any():
+            continue  # structure does not match the fold mask; keep plain
         pairs.append((d, dw))
     if not pairs:
         return {}

@@ -241,6 +241,26 @@ def test_ring_block_folded_matches_plain():
             wantG).max() < 1e-5
 
 
+def test_ring_block_folded_eo_hops():
+    """Periodic EO matrix-link parity hops fold too (z/y half-stride wraps
+    pair under the same o*(1-L) rule; parity-split x hops stay plain —
+    the helper's mask-structure check keeps them out)."""
+    from blockcg_tpu.problems.dirac_eo import dirac_gauged_matrix_eo
+
+    eo = dirac_gauged_matrix_eo(8, m=0.5, bc="periodic", dtype=jnp.float32)
+    for h in (eo.hop_eo, eo.hop_oe):
+        assert h.fold and len(h.fold_offsets) == 11  # 15 -> 11 streams
+        rng = np.random.default_rng(7)
+        Xm = jnp.asarray(rng.standard_normal((8, h.ns)), jnp.float32)
+        Yp = block_stencil_ring.ring_block_spmm_m_t(
+            h.blocks, h.offsets, Xm, interpret=True)
+        Yf = block_stencil_ring.ring_block_spmm_m_t(
+            h.blocks_folded, h.fold_offsets, Xm, interpret=True,
+            fold=h.fold)
+        err = float(jnp.max(jnp.abs(Yp - Yf)) / jnp.max(jnp.abs(Yp)))
+        assert err < 1e-5
+
+
 def test_ring_block_folded_plan_geometry():
     """The folded plan's ring geometry must cover the wrap offsets (they
     are window reads even though they are not streamed diagonals)."""
