@@ -126,9 +126,14 @@ def measure_gram_chain(op, Xm, use_ring, lengths=(8, 136, 264),
     from blockcg_tpu.utils.platform import lsq_slope
 
     # Folded periodic wraps (ring only): "auto" follows the operator's
-    # dispatch default; False forces the plain diagonal stream (probe
-    # control arm).
-    use_fold = bool(use_ring and fold and getattr(op, "fold", ()))
+    # dispatch default (opt-in via BLOCKCG_FOLD — chip-measured SLOWER,
+    # see BlockDIAOperator._use_fold); True forces the folded stream
+    # (probe arm), False the plain one (control arm).
+    if fold == "auto":
+        use_fold = bool(use_ring
+                        and getattr(op, "_use_fold", lambda: False)())
+    else:
+        use_fold = bool(use_ring and fold and getattr(op, "fold", ()))
     if use_fold:
         offsets, fold_t = op.fold_offsets, op.fold
         coeffs = op.blocks_folded

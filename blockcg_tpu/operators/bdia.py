@@ -145,7 +145,7 @@ class BlockDIAOperator(MatmatMixin):
                 self.ns, Xm.shape[0], self.bs, self.offsets)
             if p is not None and p.x_reads <= 2.0:
                 return False
-        if self.fold:
+        if self._use_fold():  # availability must match the dispatch form
             return block_stencil_ring.available(
                 self.ns, Xm.shape[0], self.bs, self.fold_offsets,
                 itemsize=Xm.dtype.itemsize,
@@ -155,6 +155,18 @@ class BlockDIAOperator(MatmatMixin):
             self.ns, Xm.shape[0], self.bs, self.offsets,
             itemsize=Xm.dtype.itemsize,
             coeff_itemsize=self.blocks.dtype.itemsize)
+
+    def _use_fold(self) -> bool:
+        """Folded-wrap ring dispatch is OPT-IN (BLOCKCG_FOLD=1): the chip
+        measured the plain ring FASTER (48.8 vs 45.2 Gnnz/s at 32^4 k=12,
+        52.7 vs 40.8 at k=16 — CHIP_QUEUE_r5.log probe-block-ring-FOLDED)
+        because the kernel runs at 0.67 of its own HBM ceiling — it is
+        SCHEDULE-bound, so the 1.4x coefficient-traffic cut cannot pay and
+        the per-lane source select adds VPU work. Kept for bandwidth-
+        starved parts (or a future schedule fix) behind the env valve."""
+        import os
+
+        return bool(self.fold) and bool(os.environ.get("BLOCKCG_FOLD"))
 
     def matmat_t(self, Xt: jax.Array, donate: bool = False) -> jax.Array:
         """Apply to a lanes-major block: merged internal (m, ns), flat
@@ -172,7 +184,7 @@ class BlockDIAOperator(MatmatMixin):
             Xm = Xt
             if self._kernel_ok(Xt.dtype):
                 if self._use_ring(Xm):
-                    if self.fold:
+                    if self._use_fold():
                         return block_stencil_ring.ring_block_spmm_m_t(
                             self.blocks_folded, self.fold_offsets, Xm,
                             fold=self.fold,
@@ -211,7 +223,7 @@ class BlockDIAOperator(MatmatMixin):
             and Xt.dtype == jnp.float32 and self.dtype == jnp.float32
         ):
             if self._use_ring(Xt):
-                if self.fold:
+                if self._use_fold():
                     Ym, Gm = block_stencil_ring.ring_block_spmm_m_gram_t(
                         self.blocks_folded, self.fold_offsets, Xt,
                         fold=self.fold,

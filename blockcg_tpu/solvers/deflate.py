@@ -205,7 +205,13 @@ def _deflated_driver(
             info.matvec_cols = info.matvecs * k
             return X, info
 
-    X = jnp.zeros_like(B) if X0 is None else X0
+    # X materializes LAZILY: the first stage runs all k columns, so its
+    # repack is the identity — passing B straight through (and X0 as-is)
+    # avoids two (k, n) gather copies, which is what lets the capacity
+    # driver (solve_refined_lean deflate=True, 16.7M rows) fit: the eager
+    # zeros_like(B) + Bs + X0s cost ~3 GB there and OOM'd the first
+    # full-size attempt (CHIP_QUEUE_r5.log config5-FULL-deflate).
+    X = X0
     active = np.arange(k)
     rr_prev = np.ones(k)  # per-column relres at the last stage boundary
     per_rhs = np.zeros(k, np.int64)
@@ -222,11 +228,17 @@ def _deflated_driver(
         w = _ceil_to(na, width_quantum)
         halving = allow_floor and w > min_width and iters_total < max_iter
         floor = w // 2 if halving else 0
+        identity = na == k and w == k
         idx = jnp.asarray(np.pad(active, (0, w - na),
                                  constant_values=k), jnp.int32)
-        mask = jnp.asarray(
-            (np.arange(w) < na).astype(np.float32), jnp.real(B).dtype)
-        Bs, X0s = _gather_cols(B, X, idx, mask, k_axis=k_axis)
+        if identity:
+            Bs, X0s = B, X
+        else:
+            if X is None:
+                X = jnp.zeros_like(B)
+            mask = jnp.asarray(
+                (np.arange(w) < na).astype(np.float32), jnp.real(B).dtype)
+            Bs, X0s = _gather_cols(B, X, idx, mask, k_axis=k_axis)
         if np.ndim(tol) == 0:
             tol_s = tol
         else:
@@ -237,7 +249,10 @@ def _deflated_driver(
         D, info = stage(Bs, X0s, budget, floor, tol_s)
         stage_iters = int(info.iterations)  # forces the stage's values
         stage_wall = _time.time() - t0
-        X = _scatter_cols(X, D, idx, k_axis=k_axis)
+        if identity:
+            X = D
+        else:
+            X = _scatter_cols(X, D, idx, k_axis=k_axis)
         if info.breakdown is not None:
             any_breakdown = any_breakdown or bool(info.breakdown)
         stage_mv = int(info.matvecs)

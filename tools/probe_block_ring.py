@@ -116,7 +116,8 @@ def main():
                     # the dispatch default; plain-ring above is the control
                     arms.append(
                         ("ring_folded_gram_chain",
-                         lambda: measure_gram_chain(op, Xm, True)))
+                         lambda: measure_gram_chain(op, Xm, True,
+                                                    fold=True)))
                 if not args.skip_fresh:
                     import os
                     def fresh_windowed():
