@@ -53,36 +53,66 @@ def hopping_matrices(seed: int = 7, hermitian: bool = False) -> np.ndarray:
     return np.stack(hs)
 
 
-def _folded_fields(blk: np.ndarray, offsets: list[int], L: int) -> dict:
+def _folded_fields(blk: np.ndarray, offsets: list[int], L: int,
+                   force: bool = False) -> dict:
     """Folded periodic-wrap representation for BlockDIAOperator (VERDICT r4
     item 3; see ops/block_stencil_ring.plan): each toroidal wrap diagonal
     (offset o*(1-L), nonzero only on the 1/L wrap boundary) merged into its
     bulk hop partner (offset o, zero exactly there) — one dense coefficient
     stream serves both, cutting the periodic ring kernel's coefficient
     traffic ~40%. Returns {} for open BC / no wrap diagonals. Support
-    disjointness is verified numerically (a violation would silently
-    corrupt the folded apply)."""
+    disjointness AND the exact iota-mask lane structure are verified
+    numerically (a violation would silently corrupt the folded apply).
+
+    OPT-IN like the dispatch (BLOCKCG_FOLD, or ``force`` for tests/probes):
+    the folded twin costs ~60% extra device memory for the coefficient
+    arrays, and the chip measured the plain ring FASTER (the kernel is
+    schedule-bound — BlockDIAOperator._use_fold), so the default build
+    pays nothing."""
+    import os
+
+    if not (force or os.environ.get("BLOCKCG_FOLD")):
+        return {}
+    if L <= 2:
+        # Degenerate: at L=2 the wrap offset o*(1-L) == -o coincides with
+        # the OPPOSITE bulk hop, pairing becomes bidirectional, and +st/-st
+        # reach the same neighbor anyway — nothing to fold.
+        return {}
     ns = blk.shape[-1]
     pairs = []
+    used: set[int] = set()
     for d, o in enumerate(offsets):
+        if d in used:
+            continue
         ow = o * (1 - L)
-        if o == 0 or ow == o or ow not in offsets:
+        if o == 0 or ow == o:
             continue
         st = abs(o)
         if st * L > ns or ns % (st * L) != 0:
             continue
-        dw = offsets.index(ow)
         bsup = np.abs(blk[d]).sum(axis=(0, 1)) > 0
-        wsup = np.abs(blk[dw]).sum(axis=(0, 1)) > 0
         # The kernel's iota mask selects destination sites with
         # (s // st) % L == phase (L-1 for o > 0, 0 for o < 0) as WRAP
         # reads and everything else as BULK reads — the values must sit
         # exactly there, not merely on disjoint sets.
         phase = L - 1 if o > 0 else 0
         on_mask = (np.arange(ns) // st) % L == phase
-        if (wsup & ~on_mask).any() or (bsup & on_mask).any():
-            continue  # structure does not match the fold mask; keep plain
-        pairs.append((d, dw))
+        if (bsup & on_mask).any():
+            continue
+        # Duplicate diagonal offsets are legal (CLAUDE.md: value-masked
+        # K1/K2 pairs) — scan ALL unused candidates with the wrap offset
+        # and take the first whose values sit on the mask lanes, instead
+        # of offsets.index (which would double-consume the first match).
+        for dw, oo in enumerate(offsets):
+            if oo != ow or dw in used or dw == d:
+                continue
+            wsup = np.abs(blk[dw]).sum(axis=(0, 1)) > 0
+            if (wsup & ~on_mask).any():
+                continue
+            pairs.append((d, dw))
+            used.add(d)
+            used.add(dw)
+            break
     if not pairs:
         return {}
     wrap_idx = {dw for _, dw in pairs}

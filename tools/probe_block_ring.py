@@ -76,6 +76,8 @@ def main():
     from blockcg_tpu.ops import block_stencil, block_stencil_ring
     from blockcg_tpu.problems import dirac_gauged_matrix
 
+    import os
+    os.environ["BLOCKCG_FOLD"] = "1"  # build folded twins for the probe arms
     calib = calibrate_bw()
     print(json.dumps({"probe": "block_ring", "L": args.L,
                       "calib_gbs": round(calib, 1),
