@@ -366,15 +366,31 @@ def mm2_update_gram(
 
     def kernel(m1_ref, m2_ref, b1_ref, b2_ref, y_ref, g_ref):
         i = pl.program_id(0)
-        m1 = m1_ref[:, :]
-        m2 = m2_ref[:, :]
+        # The two k x k dots are STACKED into one (k, 2k) @ (2k, R) dot —
+        # px_update's trick, now measured to matter HERE too: at k=32 a
+        # (32, 32) @ (32, R) dot uses 32 of 128 systolic rows and runs at
+        # ~2.5 TFLOP/s, and the kernel is MXU-UTILIZATION-bound, not HBM-
+        # bound (330 GB/s with two small dots while px's stacked form does
+        # 670 over MORE passes; gram cost itself is only ~15% —
+        # CHIP_QUEUE_r5.log probe-mm2-gram). Doubling the contraction
+        # halves the dominant dot time; the (2k, R) stack is a VMEM copy.
+        m12 = jnp.concatenate([_f32(m1_ref[:, :]), _f32(m2_ref[:, :])],
+                              axis=1)
         g = None
         for bi in range(max(bs, 1)):
             if bs == 0:
-                y = _dot_kk(m1, b1_ref[:]) + _dot_kk(m2, b2_ref[:])
+                bb = jnp.concatenate([_f32(b1_ref[:]), _f32(b2_ref[:])],
+                                     axis=0)
+            else:
+                bb = jnp.concatenate([_f32(b1_ref[:, bi, :]),
+                                      _f32(b2_ref[:, bi, :])], axis=0)
+            y = jax.lax.dot_general(
+                m12, bb, (((1,), (0,)), ((), ())), precision=HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            if bs == 0:
                 y_ref[:] = y.astype(y_ref.dtype)
             else:
-                y = _dot_kk(m1, b1_ref[:, bi, :]) + _dot_kk(m2, b2_ref[:, bi, :])
                 y_ref[:, bi, :] = y.astype(y_ref.dtype)
             t = _dot_gram(y, y)
             g = t if g is None else g + t
