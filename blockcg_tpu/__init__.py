@@ -40,6 +40,7 @@ from blockcg_tpu.operators import (
 from blockcg_tpu.solvers import (
     solve_cg,
     solve_bcg,
+    solve_bcga,
     solve_bcgdq,
     solve_pbcg,
     solve_psbcgrq,
@@ -66,6 +67,7 @@ __all__ = [
     "DenseOperator",
     "solve_cg",
     "solve_bcg",
+    "solve_bcga",
     "solve_bcgdq",
     "solve_bcgrq",
     "solve_sbcgrq",

@@ -581,18 +581,31 @@ def qr_p_update(
     nb = lanes // R
 
     def kernel(m2_ref, q1_ref, rho_ref, p_ref, q_ref, pn_ref):
-        m2 = m2_ref[:, :]
-        rh = rho_ref[:, :]
+        # Contraction-stacked like px_update/mm2 (MXU-utilization bound at
+        # small k): [q; rh@p] = [[m2, 0], [0, rh]] @ [q1; p], one dot.
+        z = jnp.zeros((k, k), jnp.float32)
+        wt = jnp.concatenate([
+            jnp.concatenate([_f32(m2_ref[:, :]), z], axis=1),
+            jnp.concatenate([z, _f32(rho_ref[:, :])], axis=1),
+        ], axis=0)
+
+        def one(q1, p):
+            qp = jnp.concatenate([_f32(q1), _f32(p)], axis=0)
+            y = jax.lax.dot_general(
+                wt, qp, (((1,), (0,)), ((), ())), precision=HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            return y[:k], y[:k] + y[k:]
+
         if bs == 0:
-            q = _dot_kk(m2, q1_ref[:])
+            q, pn = one(q1_ref[:], p_ref[:])
             q_ref[:] = q.astype(q_ref.dtype)
-            pn_ref[:] = (q + _dot_kk(rh, p_ref[:])).astype(pn_ref.dtype)
+            pn_ref[:] = pn.astype(pn_ref.dtype)
         else:
             for b in range(bs):
-                q = _dot_kk(m2, q1_ref[:, b, :])
+                q, pn = one(q1_ref[:, b, :], p_ref[:, b, :])
                 q_ref[:, b, :] = q.astype(q_ref.dtype)
-                pn_ref[:, b, :] = (q + _dot_kk(rh, p_ref[:, b, :])).astype(
-                    pn_ref.dtype)
+                pn_ref[:, b, :] = pn.astype(pn_ref.dtype)
 
     return pl.pallas_call(
         kernel,
@@ -635,24 +648,39 @@ def qr_px_update(
 
     def kernel(m2_ref, rho_ref, c_ref, q1_ref, p_ref, x_ref,
                q_ref, pn_ref, xn_ref):
-        m2 = m2_ref[:, :]
-        rh = rho_ref[:, :]
-        cc = c_ref[:, :]
+        # All three k x k dots STACKED into one (3k, 2k) @ (2k, R) dot —
+        # the kernels are MXU-utilization-bound at small k (a k=32 dot
+        # uses 32 of 128 systolic rows; see mm2_update_gram), so doubling
+        # the contraction and tripling the output rows is the cheap win:
+        #   [q; rh@p; cc@p] = [[m2, 0], [0, rh], [0, cc]] @ [q1; p]
+        z = jnp.zeros((k, k), jnp.float32)
+        wt = jnp.concatenate([
+            jnp.concatenate([_f32(m2_ref[:, :]), z], axis=1),
+            jnp.concatenate([z, _f32(rho_ref[:, :])], axis=1),
+            jnp.concatenate([z, _f32(c_ref[:, :])], axis=1),
+        ], axis=0)  # (3k, 2k)
+
+        def one(q1, p, x):
+            qp = jnp.concatenate([_f32(q1), _f32(p)], axis=0)
+            y = jax.lax.dot_general(
+                wt, qp, (((1,), (0,)), ((), ())), precision=HIGHEST,
+                preferred_element_type=jnp.float32,
+            )
+            q = y[:k]
+            return q, q + y[k:2 * k], _f32(x) + y[2 * k:]
+
         if bs == 0:
-            p = p_ref[:]
-            q = _dot_kk(m2, q1_ref[:])
+            q, pn, xn = one(q1_ref[:], p_ref[:], x_ref[:])
             q_ref[:] = q.astype(q_ref.dtype)
-            pn_ref[:] = (q + _dot_kk(rh, p)).astype(pn_ref.dtype)
-            xn_ref[:] = (_f32(x_ref[:]) + _dot_kk(cc, p)).astype(xn_ref.dtype)
+            pn_ref[:] = pn.astype(pn_ref.dtype)
+            xn_ref[:] = xn.astype(xn_ref.dtype)
         else:
             for b in range(bs):
-                p = p_ref[:, b, :]
-                q = _dot_kk(m2, q1_ref[:, b, :])
+                q, pn, xn = one(q1_ref[:, b, :], p_ref[:, b, :],
+                                x_ref[:, b, :])
                 q_ref[:, b, :] = q.astype(q_ref.dtype)
-                pn_ref[:, b, :] = (q + _dot_kk(rh, p)).astype(pn_ref.dtype)
-                xn_ref[:, b, :] = (
-                    _f32(x_ref[:, b, :]) + _dot_kk(cc, p)
-                ).astype(xn_ref.dtype)
+                pn_ref[:, b, :] = pn.astype(pn_ref.dtype)
+                xn_ref[:, b, :] = xn.astype(xn_ref.dtype)
 
     return pl.pallas_call(
         kernel,

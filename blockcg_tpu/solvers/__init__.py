@@ -1,5 +1,6 @@
 from blockcg_tpu.solvers.cg import solve_cg
 from blockcg_tpu.solvers.bcg import solve_bcg
+from blockcg_tpu.solvers.bcga import solve_bcga
 from blockcg_tpu.solvers.bcgdq import solve_bcgdq
 from blockcg_tpu.solvers.sbcgrq import solve_sbcgrq
 from blockcg_tpu.solvers.deflate import solve_sbcgrq_deflated
@@ -18,6 +19,7 @@ from blockcg_tpu.solvers.common import cholqr, block_dot, col_norms2
 __all__ = [
     "solve_cg",
     "solve_bcg",
+    "solve_bcga",
     "solve_bcgdq",
     "solve_pbcg",
     "solve_psbcgrq",

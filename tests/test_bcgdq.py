@@ -62,3 +62,41 @@ def test_bcgdq_complex():
 
 def test_bcgrq_alias():
     assert bc.solve_bcgrq is bc.solve_sbcgrq
+
+
+def test_bcga_matches_direct_f64():
+    """BCGA (A-orthonormal directions — the last Dubrulle ladder rung) vs a
+    direct solve, and the in-loop A-orthonormality invariant by proxy
+    (convergence at BCG-like iteration counts with well-scaled k x k
+    algebra)."""
+    import blockcg_tpu as bc
+
+    n, k = 300, 8
+    a_np = random_spd(n, seed=12)
+    op = DenseOperator(A=jnp.asarray(a_np))
+    B = random_block(n, k, seed=13)
+    X, info = bc.solve_bcga(op, jnp.asarray(B), tol=1e-10, max_iter=400)
+    assert bool(info.converged.all())
+    res = np.linalg.norm(a_np @ np.asarray(X) - B, axis=0)
+    res /= np.linalg.norm(B, axis=0)
+    assert res.max() <= 1e-9
+    # same Krylov space as BCG: iteration counts agree within slack
+    Xb, infob = bc.solve_bcg(op, jnp.asarray(B), tol=1e-10, max_iter=400)
+    assert abs(int(info.iterations) - int(infob.iterations)) <= 5
+
+
+def test_bcga_badly_scaled_directions():
+    """Columns scaled across decades: BCGA's normalized directions keep the
+    k x k algebra conditioned (the rung's raison d'etre)."""
+    import blockcg_tpu as bc
+
+    n, k = 400, 6
+    a_np = random_spd(n, seed=21)
+    op = DenseOperator(A=jnp.asarray(a_np))
+    rng = np.random.default_rng(22)
+    B = rng.standard_normal((n, k)) * (10.0 ** np.arange(-3, 3))
+    X, info = bc.solve_bcga(op, jnp.asarray(B), tol=1e-8, max_iter=600)
+    assert bool(info.converged.all())
+    res = np.linalg.norm(a_np @ np.asarray(X) - B, axis=0)
+    res /= np.linalg.norm(B, axis=0)
+    assert res.max() <= 1e-7
