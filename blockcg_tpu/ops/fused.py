@@ -103,6 +103,31 @@ def _f32(x):
     return x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x
 
 
+def _mxu_pair(m, x):
+    """(coefficient, field) operand pair for the big update dots.
+
+    bf16 FIELDS feed the MXU natively — round 5 finding: these kernels are
+    MXU-utilization-bound, not HBM-bound (a k=32 dot uses a quarter of the
+    systolic rows; CHIP_QUEUE_r5.log probe-mm2-gram), and the bf16 MXU
+    issue rate is 2x f32, so converting bf16 fields UP costs the dot 2x
+    for nothing. Accumulation stays f32 (preferred_element_type) per the
+    bf16-tier rule; only the k x k coefficient VALUES round to bf16 for
+    the multiply (~4e-3 relative — the same order as the bf16 field
+    rounding the tier already carries; the k x k ALGEBRA producing them
+    remains f32, and refinement drivers measure true residuals in f32).
+    ``BLOCKCG_NO_BF16_MXU=1`` restores the f32-convert behavior.
+
+    Returns (coeff, field, precision): Mosaic rejects bf16 operands under
+    an fp32 contract-precision hint ("Bad lhs type", first probe run), so
+    the bf16 pair rides Precision.DEFAULT — which IS the native bf16
+    multiply + f32 accumulate this path wants."""
+    import os
+
+    if x.dtype == jnp.bfloat16 and not os.environ.get("BLOCKCG_NO_BF16_MXU"):
+        return m.astype(jnp.bfloat16), x, jax.lax.Precision.DEFAULT
+    return _f32(m), _f32(x), HIGHEST
+
+
 def _dot_kk(m, x):
     """(k, k) @ (k, R) on the MXU."""
     return jax.lax.dot_general(
@@ -379,13 +404,13 @@ def mm2_update_gram(
         g = None
         for bi in range(max(bs, 1)):
             if bs == 0:
-                bb = jnp.concatenate([_f32(b1_ref[:]), _f32(b2_ref[:])],
-                                     axis=0)
+                bb = jnp.concatenate([b1_ref[:], b2_ref[:]], axis=0)
             else:
-                bb = jnp.concatenate([_f32(b1_ref[:, bi, :]),
-                                      _f32(b2_ref[:, bi, :])], axis=0)
+                bb = jnp.concatenate([b1_ref[:, bi, :],
+                                      b2_ref[:, bi, :]], axis=0)
+            mm12, bbx, prec = _mxu_pair(m12, bb)
             y = jax.lax.dot_general(
-                m12, bb, (((1,), (0,)), ((), ())), precision=HIGHEST,
+                mm12, bbx, (((1,), (0,)), ((), ())), precision=prec,
                 preferred_element_type=jnp.float32,
             )
             if bs == 0:
@@ -465,12 +490,17 @@ def px_update(
         cc = c_ref[:, :]
 
         def one(w, p, x):
-            wp = jnp.concatenate([_f32(w), _f32(p)], axis=0)
+            wp = jnp.concatenate([w, p], axis=0)
+            mmh, wpx, prec = _mxu_pair(m1rh, wp)
             pn = jax.lax.dot_general(
-                m1rh, wp, (((1,), (0,)), ((), ())), precision=HIGHEST,
+                mmh, wpx, (((1,), (0,)), ((), ())), precision=prec,
                 preferred_element_type=jnp.float32,
             )
-            xn = _f32(x) + _dot_kk(cc, p)
+            ccb, pb, prec2 = _mxu_pair(cc, p)
+            xn = _f32(x) + jax.lax.dot_general(
+                ccb, pb, (((1,), (0,)), ((), ())), precision=prec2,
+                preferred_element_type=jnp.float32,
+            )
             return pn, xn
 
         if bs == 0:
@@ -590,9 +620,10 @@ def qr_p_update(
         ], axis=0)
 
         def one(q1, p):
-            qp = jnp.concatenate([_f32(q1), _f32(p)], axis=0)
+            qp = jnp.concatenate([q1, p], axis=0)
+            wtx, qpx, prec = _mxu_pair(wt, qp)
             y = jax.lax.dot_general(
-                wt, qp, (((1,), (0,)), ((), ())), precision=HIGHEST,
+                wtx, qpx, (((1,), (0,)), ((), ())), precision=prec,
                 preferred_element_type=jnp.float32,
             )
             return y[:k], y[:k] + y[k:]
@@ -661,9 +692,10 @@ def qr_px_update(
         ], axis=0)  # (3k, 2k)
 
         def one(q1, p, x):
-            qp = jnp.concatenate([_f32(q1), _f32(p)], axis=0)
+            qp = jnp.concatenate([q1, p], axis=0)
+            wtx, qpx, prec = _mxu_pair(wt, qp)
             y = jax.lax.dot_general(
-                wt, qp, (((1,), (0,)), ((), ())), precision=HIGHEST,
+                wtx, qpx, (((1,), (0,)), ((), ())), precision=prec,
                 preferred_element_type=jnp.float32,
             )
             q = y[:k]
