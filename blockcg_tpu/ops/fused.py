@@ -129,15 +129,31 @@ def _mxu_pair(m, x):
 
 
 def _dot_kk(m, x):
-    """(k, k) @ (k, R) on the MXU."""
+    """(k, k) @ (k, R) on the MXU (bf16 fields natively — see _mxu_pair)."""
+    mm, xx, prec = _mxu_pair(m, x)
     return jax.lax.dot_general(
-        _f32(m), _f32(x), (((1,), (0,)), ((), ())), precision=HIGHEST,
+        mm, xx, (((1,), (0,)), ((), ())), precision=prec,
         preferred_element_type=jnp.float32,
     )
 
 
 def _dot_gram(u, v):
-    """(k, R) x (k, R) -> (k, k), contracting lanes."""
+    """(k, R) x (k, R) -> (k, k), contracting lanes.
+
+    bf16 x bf16 rides the MXU natively at 2x issue rate with ZERO numerics
+    change: an 8-bit-mantissa product is exactly representable in the f32
+    accumulator, so native-bf16 and convert-to-f32-first give bitwise
+    identical sums (unlike the update dots, where only the COEFFICIENT
+    rounds)."""
+    import os
+
+    if (u.dtype == jnp.bfloat16 and v.dtype == jnp.bfloat16
+            and not os.environ.get("BLOCKCG_NO_BF16_MXU")):
+        return jax.lax.dot_general(
+            u, v, (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.DEFAULT,
+            preferred_element_type=jnp.float32,
+        )
     return jax.lax.dot_general(
         _f32(u), _f32(v), (((1,), (1,)), ((), ())), precision=HIGHEST,
         preferred_element_type=jnp.float32,
@@ -331,13 +347,17 @@ def mm_update_gram(
                 y = _dot_kk(m, b_ref[:])
                 if has_a:
                     y = y + _f32(a_ref[:])
-                y_ref[:] = y.astype(y_ref.dtype)
+                ys = y.astype(y_ref.dtype)
+                y_ref[:] = ys
             else:
                 y = _dot_kk(m, b_ref[:, bi, :])
                 if has_a:
                     y = y + _f32(a_ref[:, bi, :])
-                y_ref[:, bi, :] = y.astype(y_ref.dtype)
-            t = _dot_gram(y, y)
+                ys = y.astype(y_ref.dtype)
+                y_ref[:, bi, :] = ys
+            # Gram on the stored value — see mm2_update_gram (bf16: the
+            # native-MXU gram of exactly what downstream reads).
+            t = _dot_gram(ys, ys)
             g = t if g is None else g + t
 
         @pl.when(i == 0)
@@ -413,11 +433,18 @@ def mm2_update_gram(
                 mm12, bbx, (((1,), (0,)), ((), ())), precision=prec,
                 preferred_element_type=jnp.float32,
             )
+            # Gram on the STORED value: for bf16 outputs the rounded ys IS
+            # what every downstream consumer (next iteration's reads, the
+            # CholQR whose Q this G implies) sees, so G = ys ys^T is the
+            # consistent definition — and bf16 x bf16 rides the native MXU
+            # at 2x with exact f32 accumulation (_dot_gram). For f32 the
+            # astype is the identity and nothing changes.
+            ys = y.astype(y_ref.dtype)
             if bs == 0:
-                y_ref[:] = y.astype(y_ref.dtype)
+                y_ref[:] = ys
             else:
-                y_ref[:, bi, :] = y.astype(y_ref.dtype)
-            t = _dot_gram(y, y)
+                y_ref[:, bi, :] = ys
+            t = _dot_gram(ys, ys)
             g = t if g is None else g + t
 
         @pl.when(i == 0)
