@@ -71,8 +71,13 @@ def _require_tile(R, k, bs, lanes):
     return R
 
 
-def _pick_tile(k: int, bs: int, lanes: int, nfields: int) -> int | None:
-    """Largest lane tile R dividing ``lanes`` under the VMEM budget."""
+def _pick_tile(k: int, bs: int, lanes: int, nfields: int,
+               itemsize: int = 4) -> int | None:
+    """Largest lane tile R dividing ``lanes`` under the VMEM budget.
+
+    ``itemsize``: the FIELD dtype's — bf16 tiles are half the bytes, so
+    the bf16 tier runs double-width tiles (fewer per-tile fixed costs;
+    round 5). f32 behavior unchanged."""
     if lanes % 128 != 0:
         return None
     sub = max(k, 8) if bs == 0 else k * max(bs, 8)  # padded sublane footprint
@@ -80,10 +85,14 @@ def _pick_tile(k: int, bs: int, lanes: int, nfields: int) -> int | None:
     R = 128
     while R <= min(lanes, _R_MAX):
         if lanes % R == 0:
-            if 4 * 2 * nfields * sub * R <= _VMEM_BUDGET:
+            if itemsize * 2 * nfields * sub * R <= _VMEM_BUDGET:
                 best = R
         R *= 2
     return best
+
+
+def _isz(F) -> int:
+    return jnp.dtype(F.dtype).itemsize
 
 
 def _spec(k, bs, R):
@@ -205,7 +214,7 @@ def gram(U: jax.Array, V: jax.Array, seed: jax.Array | None = None, *,
     way, CHIP_QUEUE_r3b.log bench-headline 2026-08-18)."""
     interpret = interpret or _env_interpret()
     k, bs, lanes = _field_dims(U)
-    R = _require_tile(_pick_tile(k, bs, lanes, 2), k, bs, lanes)
+    R = _require_tile(_pick_tile(k, bs, lanes, 2, _isz(U)), k, bs, lanes)
     nb = lanes // R
     seeded = seed is not None
 
@@ -265,7 +274,7 @@ def mm_update(
     interpret = interpret or _env_interpret()
     k, bs, lanes = _field_dims(B)
     nf = 2 if A is None else 3
-    R = _require_tile(_pick_tile(k, bs, lanes, nf), k, bs, lanes)
+    R = _require_tile(_pick_tile(k, bs, lanes, nf, _isz(B)), k, bs, lanes)
     nb = lanes // R
     has_a = A is not None
 
@@ -331,7 +340,7 @@ def mm_update_gram(
     interpret = interpret or _env_interpret()
     k, bs, lanes = _field_dims(B)
     nf = 2 if A is None else 3
-    R = _require_tile(_pick_tile(k, bs, lanes, nf), k, bs, lanes)
+    R = _require_tile(_pick_tile(k, bs, lanes, nf, _isz(B)), k, bs, lanes)
     nb = lanes // R
     has_a = A is not None
 
@@ -406,7 +415,7 @@ def mm2_update_gram(
     """
     interpret = interpret or _env_interpret()
     k, bs, lanes = _field_dims(B1)
-    R = _require_tile(_pick_tile(k, bs, lanes, 3), k, bs, lanes)
+    R = _require_tile(_pick_tile(k, bs, lanes, 3, _isz(B1)), k, bs, lanes)
     nb = lanes // R
 
     def kernel(m1_ref, m2_ref, b1_ref, b2_ref, y_ref, g_ref):
@@ -502,7 +511,7 @@ def px_update(
     caller still uses the donated operand — correct either way."""
     interpret = interpret or _env_interpret()
     k, bs, lanes = _field_dims(W)
-    R = _require_tile(_pick_tile(k, bs, lanes, 5), k, bs, lanes)
+    R = _require_tile(_pick_tile(k, bs, lanes, 5, _isz(W)), k, bs, lanes)
     nb = lanes // R
 
     def kernel(m1_ref, rho_ref, c_ref, w_ref, p_ref, x_ref, pn_ref, xn_ref):
@@ -634,7 +643,7 @@ def qr_p_update(
     SBCGrQ body; in-place HBM writes stream ~2x faster, see px_update)."""
     interpret = interpret or _env_interpret()
     k, bs, lanes = _field_dims(Q1)
-    R = _require_tile(_pick_tile(k, bs, lanes, 4), k, bs, lanes)
+    R = _require_tile(_pick_tile(k, bs, lanes, 4, _isz(Q1)), k, bs, lanes)
     nb = lanes // R
 
     def kernel(m2_ref, q1_ref, rho_ref, p_ref, q_ref, pn_ref):
@@ -701,7 +710,7 @@ def qr_px_update(
     for qr_p_update + a separate mm_update)."""
     interpret = interpret or _env_interpret()
     k, bs, lanes = _field_dims(Q1)
-    R = _require_tile(_pick_tile(k, bs, lanes, 6), k, bs, lanes)
+    R = _require_tile(_pick_tile(k, bs, lanes, 6, _isz(Q1)), k, bs, lanes)
     nb = lanes // R
 
     def kernel(m2_ref, rho_ref, c_ref, q1_ref, p_ref, x_ref,
