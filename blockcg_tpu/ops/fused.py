@@ -255,7 +255,7 @@ def gram(U: jax.Array, V: jax.Array, seed: jax.Array | None = None, *,
 
 def gram_available(U) -> bool:
     k, bs, lanes = _field_dims(U)
-    return _ok(U) and _pick_tile(k, bs, lanes, 2) is not None
+    return _ok(U) and _pick_tile(k, bs, lanes, 2, _isz(U)) is not None
 
 
 # ------------------------------------------------------------- mm_update --
@@ -321,7 +321,8 @@ def mm_update(
 
 def mm_update_available(B, has_a: bool) -> bool:
     k, bs, lanes = _field_dims(B)
-    return _ok(B) and _pick_tile(k, bs, lanes, 3 if has_a else 2) is not None
+    return _ok(B) and _pick_tile(k, bs, lanes, 3 if has_a else 2,
+                                 _isz(B)) is not None
 
 
 # -------------------------------------------------------- mm_update_gram --
@@ -485,7 +486,7 @@ def mm2_update_gram(
 
 def mm2_update_gram_available(B1) -> bool:
     k, bs, lanes = _field_dims(B1)
-    return _ok(B1) and _pick_tile(k, bs, lanes, 3) is not None
+    return _ok(B1) and _pick_tile(k, bs, lanes, 3, _isz(B1)) is not None
 
 
 # -------------------------------------------------------------- px_update --
@@ -567,7 +568,7 @@ def px_update(
 
 def px_update_available(W) -> bool:
     k, bs, lanes = _field_dims(W)
-    return _ok(W) and _pick_tile(k, bs, lanes, 5) is not None
+    return _ok(W) and _pick_tile(k, bs, lanes, 5, _isz(W)) is not None
 
 
 # ------------------------------------------------------------- cheb_step --
@@ -692,7 +693,7 @@ def qr_p_update(
 
 def qr_p_update_available(Q1) -> bool:
     k, bs, lanes = _field_dims(Q1)
-    return _ok(Q1) and _pick_tile(k, bs, lanes, 4) is not None
+    return _ok(Q1) and _pick_tile(k, bs, lanes, 4, _isz(Q1)) is not None
 
 
 # ---------------------------------------------------------- qr_px_update --
@@ -769,4 +770,4 @@ def qr_px_update(
 
 def qr_px_update_available(Q1) -> bool:
     k, bs, lanes = _field_dims(Q1)
-    return _ok(Q1) and _pick_tile(k, bs, lanes, 6) is not None
+    return _ok(Q1) and _pick_tile(k, bs, lanes, 6, _isz(Q1)) is not None

@@ -16,7 +16,9 @@ In exact arithmetic this is BCG in a different round-off path — the
 point of the rung is that the normalized directions cannot grow/collapse
 in scale, so the k x k algebra stays well-conditioned without BCGdQ's
 extra thin-QR machinery. The normalization is MATERIALIZED (P~, Z~ are
-formed, two extra field passes per iteration vs BCG) — substituting
+formed — ~8 extra field passes per iteration vs BCG: the two
+normalization passes plus the two alpha/beta grams that BCG's k x k
+recurrences get for free) — substituting
 L^{-H} into the coefficients instead would be algebraically identical
 but reproduce BCG's round-off, defeating the variant. Prefer
 ``solve_sbcgrq`` for production; this rung exists for ladder parity and
@@ -81,8 +83,12 @@ def _bcga_impl(op, Bt, X0t, tol, max_iter, axis_name, record_history):
         Zn_t = f_mm_update(G1, Zt, codec=op, donate="b")   # Z~ (Z dead)
         alpha = f_gram(Pn_t, Rt, axis_name, codec=op)      # P~^H R
         Xt = f_mm_update(alpha.T, Pn_t, Xt, codec=op, donate="a")
+        # NO donate here: mm_update_gram's donation aliases the output
+        # onto Zn_t, which beta still reads below — XLA would insert a
+        # full-field correctness copy (review finding; CLAUDE.md: donate
+        # only operands DEAD at the call site).
         Rt, S_new = f_mm_update_gram(-alpha.T, Zn_t, Rt, axis_name,
-                                     codec=op, donate=True)
+                                     codec=op)
         beta = -f_gram(Zn_t, Rt, axis_name, codec=op)      # -Z~^H R_new
         Pt = f_mm_update(beta.T, Pn_t, Rt, codec=op, donate="b")
         if hist is not None:
@@ -118,7 +124,7 @@ def solve_bcga(
     """Solve ``A X = B`` by BCGA — block CG with A-orthonormal directions.
 
     Same convergence rule as ``solve_bcg`` (every RHS to
-    ``||R e_j|| <= tol ||B e_j||``); two extra field passes per iteration
+    ``||R e_j|| <= tol ||B e_j||``); ~8 extra field passes per iteration
     buy scale-stable directions. See the module docstring for when to
     prefer which ladder rung.
     """

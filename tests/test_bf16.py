@@ -208,3 +208,59 @@ def test_refined_lean_deflated(monkeypatch):
     res = np.linalg.norm(a @ np.asarray(X, np.float64) - B, axis=0)
     res /= np.linalg.norm(B, axis=0)
     assert res.max() <= 2e-6
+
+
+def test_bf16_fused_kernel_coverage(monkeypatch):
+    """Every fused kernel's NATIVE-bf16 MXU branch vs a f64 oracle
+    (review finding: gram/mm_update/mm_update_gram/qr_p/qr_px had no bf16
+    interpret coverage; the Mosaic 'Bad lhs type' class of lowering bug in
+    that branch would otherwise ship with the suite green)."""
+    from blockcg_tpu.ops import fused
+
+    monkeypatch.setenv("BLOCKCG_FUSED_INTERPRET", "1")
+    k, n = 8, 512
+    rng = np.random.default_rng(31)
+    M1 = jnp.asarray(rng.standard_normal((k, k)), jnp.float32)
+    M2 = jnp.asarray(rng.standard_normal((k, k)), jnp.float32)
+    U = jnp.asarray(rng.standard_normal((k, n)), BF)
+    V = jnp.asarray(rng.standard_normal((k, n)), BF)
+    X = jnp.asarray(rng.standard_normal((k, n)), BF)
+    Uf = np.asarray(U, np.float64)
+    Vf = np.asarray(V, np.float64)
+    Xf = np.asarray(X, np.float64)
+    M1f = np.asarray(M1, np.float64)
+    M2f = np.asarray(M2, np.float64)
+
+    def close(got, want, tol=3e-2):
+        got = np.asarray(got, np.float64)
+        assert np.abs(got - want).max() / (np.abs(want).max() + 1e-30) < tol
+
+    # gram (native bf16 dot is exact in f32 accumulation)
+    G = fused.gram(U, V)
+    close(G, Uf @ Vf.T, 1e-6)
+    # mm_update (+A) — coefficient rounds to bf16 (~4e-3)
+    Y = fused.mm_update(M1, U, X)
+    close(Y, M1f @ Uf + Xf)
+    assert Y.dtype == BF
+    # mm_update_gram: gram taken on the STORED bf16 y
+    Y2, G2 = fused.mm_update_gram(M1, U, X)
+    Y2f = np.asarray(Y2, np.float64)
+    close(Y2, M1f @ Uf + Xf)
+    close(G2, Y2f @ Y2f.T, 1e-6)
+    # mm2_update_gram
+    Y3, G3 = fused.mm2_update_gram(M1, U, M2, V)
+    Y3f = np.asarray(Y3, np.float64)
+    close(Y3, M1f @ Uf + M2f @ Vf)
+    close(G3, Y3f @ Y3f.T, 1e-6)
+    # px_update
+    Pn, Xn = fused.px_update(M1, U, M2, V, M1, X)
+    close(Pn, M1f @ Uf + M2f @ Vf)
+    close(Xn, Xf + M1f @ Vf)
+    # qr_p_update / qr_px_update
+    Q, Pn2 = fused.qr_p_update(M2, U, M1, V)
+    close(Q, M2f @ Uf)
+    close(Pn2, M2f @ Uf + M1f @ Vf)
+    Q3, Pn3, Xn3 = fused.qr_px_update(M2, U, M1, V, M2, X)
+    close(Q3, M2f @ Uf)
+    close(Pn3, M2f @ Uf + M1f @ Vf)
+    close(Xn3, Xf + M2f @ Vf)
