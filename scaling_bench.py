@@ -84,6 +84,14 @@ def main():
     from blockcg_tpu.problems import laplacian_dia
 
     ndev = args.devices or len(jax.devices())
+    if ndev > len(jax.devices()):
+        raise SystemExit(
+            f"--devices {ndev} > {len(jax.devices())} available on this "
+            f"backend ({jax.default_backend()}). For a fake multi-device "
+            "CPU mesh run with XLA_FLAGS="
+            "--xla_force_host_platform_device_count=N JAX_PLATFORMS=cpu "
+            "(row_mesh(D) on fewer real devices otherwise fails deep in "
+            "sharding with a confusing broadcast-shape error).")
     bz, by, bx = args.base_shape
     results = []
     for D in [d for d in (1, 2, 4, 8, 16, 32) if d <= ndev]:
