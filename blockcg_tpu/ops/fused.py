@@ -489,6 +489,98 @@ def mm2_update_gram_available(B1) -> bool:
     return _ok(B1) and _pick_tile(k, bs, lanes, 3, _isz(B1)) is not None
 
 
+# ---------------------------------------------------------- xr_update_gram --
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "donate"))
+def xr_update_gram(
+    alpha: jax.Array, P: jax.Array, X: jax.Array, Z: jax.Array,
+    R: jax.Array, *, interpret: bool = False, donate: bool = False,
+):
+    """Xn = X + alpha @ P ;  Rn = R - alpha @ Z ;  G = Rn Rn^T — one pass.
+
+    The BCG/BCGA iteration's solution+residual updates fused: the two
+    k x k applications ride ONE stacked (2k, 2k) @ (2k, R) MXU dot
+    ([dX; dRm] = [[alpha, 0], [0, -alpha]] @ [P; Z] — the small-dot
+    utilization rule, see _mxu_pair) and the next Gram comes from the
+    stored Rn. 6 field passes (read P, Z, X, R; write Xn, Rn) — same
+    bytes as the separate mm_update + mm_update_gram but one kernel and
+    double the dot contraction.
+
+    ``donate=True`` aliases Xn<->X and Rn<->R (both dead in the solver
+    bodies; P and Z stay live for the direction update)."""
+    interpret = interpret or _env_interpret()
+    k, bs, lanes = _field_dims(P)
+    R_tile = _require_tile(_pick_tile(k, bs, lanes, 6, _isz(P)),
+                           k, bs, lanes)
+    nb = lanes // R_tile
+
+    def kernel(a_ref, p_ref, x_ref, z_ref, r_ref, xn_ref, rn_ref, g_ref):
+        i = pl.program_id(0)
+        a = _f32(a_ref[:, :])
+        z2 = jnp.zeros((k, k), jnp.float32)
+        wt = jnp.concatenate([
+            jnp.concatenate([a, z2], axis=1),
+            jnp.concatenate([z2, -a], axis=1),
+        ], axis=0)  # (2k, 2k)
+        g = None
+        for bi in range(max(bs, 1)):
+            if bs == 0:
+                pz = jnp.concatenate([p_ref[:], z_ref[:]], axis=0)
+            else:
+                pz = jnp.concatenate([p_ref[:, bi, :], z_ref[:, bi, :]],
+                                     axis=0)
+            wtx, pzx, prec = _mxu_pair(wt, pz)
+            y = jax.lax.dot_general(
+                wtx, pzx, (((1,), (0,)), ((), ())), precision=prec,
+                preferred_element_type=jnp.float32,
+            )
+            if bs == 0:
+                xn = (_f32(x_ref[:]) + y[:k]).astype(xn_ref.dtype)
+                rn = (_f32(r_ref[:]) + y[k:]).astype(rn_ref.dtype)
+                xn_ref[:] = xn
+                rn_ref[:] = rn
+            else:
+                xn = (_f32(x_ref[:, bi, :]) + y[:k]).astype(xn_ref.dtype)
+                rn = (_f32(r_ref[:, bi, :]) + y[k:]).astype(rn_ref.dtype)
+                xn_ref[:, bi, :] = xn
+                rn_ref[:, bi, :] = rn
+            # Gram on the STORED residual (see mm2_update_gram)
+            t = _dot_gram(rn, rn)
+            g = t if g is None else g + t
+
+        @pl.when(i == 0)
+        def _():
+            g_ref[:, :] = g
+
+        @pl.when(i > 0)
+        def _():
+            g_ref[:, :] += g
+
+    return pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[_kk_spec((k, k)), _spec(k, bs, R_tile),
+                  _spec(k, bs, R_tile), _spec(k, bs, R_tile),
+                  _spec(k, bs, R_tile)],
+        out_specs=(_spec(k, bs, R_tile), _spec(k, bs, R_tile),
+                   _kk_spec((k, k))),
+        out_shape=(
+            out_struct(X.shape, X.dtype, X),
+            out_struct(R.shape, R.dtype, R),
+            out_struct((k, k), jnp.float32, X),
+        ),
+        input_output_aliases={2: 0, 4: 1} if donate else {},
+        interpret=interpret,
+        compiler_params=_COMPILER_PARAMS,
+    )(alpha, P, X, Z, R)
+
+
+def xr_update_gram_available(P) -> bool:
+    k, bs, lanes = _field_dims(P)
+    return _ok(P) and _pick_tile(k, bs, lanes, 6, _isz(P)) is not None
+
+
 # -------------------------------------------------------------- px_update --
 
 

@@ -23,7 +23,7 @@ from blockcg_tpu.solvers.common import (
     f_gram,
     f_matmat_gram,
     f_mm_update,
-    f_mm_update_gram,
+    f_xr_update_gram,
     row_norms2_t,
 )
 
@@ -50,14 +50,13 @@ def _bcg_impl(op, Bt, X0t, tol, max_iter, axis_name, record_history):
         Xt, Rt, Pt, S, it, hist = state
         Zt, M = f_matmat_gram(op, Pt, axis_name)  # Z = A P, M = P^T A P
         alpha = chol_solve_spd(M, S)  # M alpha = S
-        # Fused one-pass updates (T-K2): the residual update also emits the
-        # next Gram S' = R R^T in the same pass.
-        # donate: each update overwrites its dead operand in place (old X,
-        # Z, old P respectively) — in-place HBM writes stream ~2x faster
-        # than fresh-buffer writes (ops/fused.py px_update docstring).
-        Xt = f_mm_update(alpha.T, Pt, Xt, codec=op, donate="a")
-        Rt, S_new = f_mm_update_gram(-alpha.T, Zt, Rt, axis_name,
-                                     codec=op, donate=True)
+        # Fused one-pass X+R updates with the next Gram S' = R R^T
+        # emitted from the same kernel (T-K2; round 5: one stacked
+        # (2k, 2k) dot instead of two k x k dots — the small-dot MXU
+        # utilization rule). donate: X and R are dead; P/Z stay live for
+        # the direction update below.
+        Xt, Rt, S_new = f_xr_update_gram(alpha.T, Pt, Xt, Zt, Rt,
+                                         axis_name, codec=op, donate=True)
         beta = chol_solve_spd(S, S_new)  # S beta = S'
         Pt = f_mm_update(beta.T, Pt, Rt, codec=op, donate="b")
         if hist is not None:

@@ -43,7 +43,7 @@ from blockcg_tpu.solvers.common import (
     f_gram,
     f_matmat_gram,
     f_mm_update,
-    f_mm_update_gram,
+    f_xr_update_gram,
     row_norms2_t,
     safe_cholesky,
 )
@@ -82,13 +82,11 @@ def _bcga_impl(op, Bt, X0t, tol, max_iter, axis_name, record_history):
         Pn_t = f_mm_update(G1, Pt, codec=op, donate="b")   # P~ (P dead)
         Zn_t = f_mm_update(G1, Zt, codec=op, donate="b")   # Z~ (Z dead)
         alpha = f_gram(Pn_t, Rt, axis_name, codec=op)      # P~^H R
-        Xt = f_mm_update(alpha.T, Pn_t, Xt, codec=op, donate="a")
-        # NO donate here: mm_update_gram's donation aliases the output
-        # onto Zn_t, which beta still reads below — XLA would insert a
-        # full-field correctness copy (review finding; CLAUDE.md: donate
-        # only operands DEAD at the call site).
-        Rt, S_new = f_mm_update_gram(-alpha.T, Zn_t, Rt, axis_name,
-                                     codec=op)
+        # Fused X+R updates with the next Gram (round 5, one stacked dot);
+        # donate covers only X and R — P~/Z~ stay live for beta and the
+        # direction update (the review-caught live-operand rule).
+        Xt, Rt, S_new = f_xr_update_gram(alpha.T, Pn_t, Xt, Zn_t, Rt,
+                                         axis_name, codec=op, donate=True)
         beta = -f_gram(Zn_t, Rt, axis_name, codec=op)      # -Z~^H R_new
         Pt = f_mm_update(beta.T, Pn_t, Rt, codec=op, donate="b")
         if hist is not None:

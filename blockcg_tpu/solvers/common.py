@@ -255,6 +255,24 @@ def f_mm2_update_gram(M1, B1t, M2, B2t, axis_name: str | None = None,
     return Y, gram_t(Y, Y, axis_name, codec)
 
 
+def f_xr_update_gram(alpha, Pt, Xt, Zt, Rt, axis_name: str | None = None,
+                     codec=None, donate: bool = False):
+    """(Xn = X + alpha @ P, Rn = R - alpha @ Z, S' = Rn Rn^T) in one pass
+    (codec-aware) — the BCG/BCGA solution+residual updates fused into one
+    stacked-dot kernel (ops/fused.py xr_update_gram). ``donate`` aliases
+    Xn<->X and Rn<->R (both dead in the solver bodies)."""
+    from blockcg_tpu.ops import fused
+
+    A = _ce(codec, alpha)
+    if fused.xr_update_gram_available(Pt):
+        Xn, Rn, S = fused.xr_update_gram(A, Pt, Xt, Zt, Rt,
+                                         donate=donate and _donate_ok())
+        return Xn, Rn, psum_if(_gc(codec, S), axis_name)
+    Xn = (Xt + mm(A, Pt)).astype(Xt.dtype)
+    Rn = (Rt - mm(A, Zt)).astype(Rt.dtype)
+    return Xn, Rn, gram_t(Rn, Rn, axis_name, codec)
+
+
 def f_px_update(M1, Wt, rho, Pt, C, Xt, codec=None, donate: bool = False):
     """(Pn = M1 @ W + rho @ P, Xn = X + C @ P) in one pass — the implicit-Q
     SBCGrQ iteration tail (no Q write; ops/fused.py px_update). ``donate``

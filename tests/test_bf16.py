@@ -264,3 +264,9 @@ def test_bf16_fused_kernel_coverage(monkeypatch):
     close(Q3, M2f @ Uf)
     close(Pn3, M2f @ Uf + M1f @ Vf)
     close(Xn3, Xf + M2f @ Vf)
+    # xr_update_gram (BCG/BCGA fused tail)
+    Xn4, Rn4, S4 = fused.xr_update_gram(M1, U, X, V, X)
+    Rn4f = np.asarray(Rn4, np.float64)
+    close(Xn4, Xf + M1f @ Uf)
+    close(Rn4, Xf - M1f @ Vf)
+    close(S4, Rn4f @ Rn4f.T, 1e-5)

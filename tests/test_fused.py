@@ -193,3 +193,37 @@ def test_qr_px_update(shape):
     np.testing.assert_allclose(
         np.asarray(Xn), x + np.tensordot(cc, p, axes=(1, 0)),
         rtol=1e-5, atol=1e-4)
+
+
+@pytest.mark.parametrize("shape", [(8, 1024), (6, 4, 512)])
+def test_fused_xr_update_gram(shape):
+    """Xn = X + aP, Rn = R - aZ, S' = Rn Rn^T in one stacked-dot pass
+    (the BCG/BCGA tail, round 5) vs the f64 oracle; donated equals fresh."""
+    from blockcg_tpu.ops import fused
+
+    k = shape[0]
+    rng = np.random.default_rng(41)
+    A = jnp.asarray(rng.standard_normal((k, k)), jnp.float32)
+    P = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    X = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    Z = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    R = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    Xn, Rn, S = fused.xr_update_gram(A, P, X, Z, R, interpret=True)
+    p = np.asarray(P, np.float64).reshape(k, -1)
+    x = np.asarray(X, np.float64).reshape(k, -1)
+    z = np.asarray(Z, np.float64).reshape(k, -1)
+    r = np.asarray(R, np.float64).reshape(k, -1)
+    a = np.asarray(A, np.float64)
+    wantX = x + a @ p
+    wantR = r - a @ z
+    np.testing.assert_allclose(np.asarray(Xn, np.float64).reshape(k, -1),
+                               wantX, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(Rn, np.float64).reshape(k, -1),
+                               wantR, rtol=1e-5, atol=1e-5)
+    rn = np.asarray(Rn, np.float64).reshape(k, -1)
+    np.testing.assert_allclose(np.asarray(S, np.float64), rn @ rn.T,
+                               rtol=1e-5, atol=1e-4)
+    Xd, Rd, Sd = fused.xr_update_gram(A, P, X, Z, R, interpret=True,
+                                      donate=True)
+    np.testing.assert_array_equal(np.asarray(Xd), np.asarray(Xn))
+    np.testing.assert_array_equal(np.asarray(Rd), np.asarray(Rn))
